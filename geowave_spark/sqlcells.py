@@ -1,0 +1,104 @@
+"""Pure Spark-Column builders for the cell-index hot path.
+
+The reference computes SFC keys per feature in JVM code inside its RDD
+flatMap (GeoWaveIndexedRDD.java:148-223).  We go one better for Spark: the
+POINT side of every operator (the 10^12-row image table) computes its Morton
+cell id entirely with built-in Column bit arithmetic — shiftleft / AND / OR
+chains — so the whole key-generation stage stays inside Tungsten whole-stage
+codegen.  No Python is involved for points at any scale; pandas UDFs are
+reserved for the (small) polygon side and for exact geometry refinement.
+
+Mirrors cells.py exactly (property-tested against it in tests/test_cells.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .cells import MAX_TIER
+
+_M16 = 0x0000FFFF0000FFFF
+_M8 = 0x00FF00FF00FF00FF
+_M4 = 0x0F0F0F0F0F0F0F0F
+_M2 = 0x3333333333333333
+_M1 = 0x5555555555555555
+
+
+def part1by1(col: Column) -> Column:
+    """Spread the low 32 bits into even bit positions (JVM-side Morton half)."""
+    x = col.cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 16))).bitwiseAND(F.lit(_M16))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(_M8))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(_M4))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(_M2))
+    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(_M1))
+    return x
+
+
+def interleave(x: Column, y: Column) -> Column:
+    return part1by1(x).bitwiseOR(F.shiftleft(part1by1(y), 1))
+
+
+def norm_lon(lon: Column) -> Column:
+    x = (lon + F.lit(180.0)) / F.lit(360.0)
+    return x - F.floor(x)  # antimeridian wrap (LongitudeDefinition.java:52-67)
+
+
+def norm_lat(lat: Column) -> Column:
+    x = (lat + F.lit(90.0)) / F.lit(180.0)
+    return F.least(F.greatest(x, F.lit(0.0)), F.lit(1.0))  # clamp
+
+
+def grid_coord(norm: Column, tier: int) -> Column:
+    r = 1 << tier
+    g = F.floor(norm * F.lit(float(r))).cast("long")
+    return F.least(F.greatest(g, F.lit(0)), F.lit(r - 1))
+
+
+def cell_expr(lon: Column, lat: Column, tier: int = MAX_TIER) -> Column:
+    """Point → Z-order cell id at ``tier`` — pure Column arithmetic."""
+    return interleave(grid_coord(norm_lon(lon), tier), grid_coord(norm_lat(lat), tier))
+
+
+def cell_at_tier_expr(cell31: Column, to_tier: int, from_tier: int = MAX_TIER) -> Column:
+    """Reproject a finest-tier cell to a coarser tier (prefix shift) —
+    the Column twin of TieredSFCIndexStrategy.reprojectToTier."""
+    return F.shiftrightunsigned(cell31, 2 * (from_tier - to_tier))
+
+
+# ---------------------------------------------------------------------------
+# phash → deterministic lon/lat (FIXTURES.md §1), JVM-side
+# ---------------------------------------------------------------------------
+
+def lon_from_phash(phash: Column) -> Column:
+    hi = F.shiftrightunsigned(phash, 32).bitwiseAND(F.lit(0xFFFFFFFF))
+    return hi.cast("double") / F.lit(4294967296.0) * F.lit(360.0) - F.lit(180.0)
+
+
+def lat_from_phash(phash: Column) -> Column:
+    lo = phash.bitwiseAND(F.lit(0xFFFFFFFF))
+    return lo.cast("double") / F.lit(4294967296.0) * F.lit(180.0) - F.lit(90.0)
+
+
+# ---------------------------------------------------------------------------
+# Tile pyramid math (KDE grid convention: level ℓ → 2^(ℓ+1) × 2^ℓ grid,
+# KDERunner.java:234-238) — JVM-side
+# ---------------------------------------------------------------------------
+
+def tile_x_expr(lon: Column, level: int) -> Column:
+    nx = 1 << (level + 1)
+    t = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(nx))).cast("long")
+    return F.least(F.greatest(t, F.lit(0)), F.lit(nx - 1))
+
+
+def tile_y_expr(lat: Column, level: int) -> Column:
+    ny = 1 << level
+    t = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(ny))).cast("long")
+    return F.least(F.greatest(t, F.lit(0)), F.lit(ny - 1))
+
+
+def salt_expr(cell: Column, n_salts: int) -> Column:
+    """Hot-cell salting prefix — our analog of RoundRobinKeyIndexStrategy /
+    HashKeyIndexStrategy partition prefixes (SURVEY.md §1.2)."""
+    return F.pmod(F.xxhash64(cell), F.lit(n_salts))

@@ -1,0 +1,83 @@
+"""Planar geometry kernel tests (PIP, distance, WKT, box intersection)."""
+
+import numpy as np
+
+from geowave_spark import geom
+
+
+BOX = geom.polygon_from_wkt(geom.box_wkt(0, 0, 10, 10))
+# C-shape: concave polygon whose envelope over-covers (FIXTURES.md `concave`)
+C_SHAPE = geom.polygon_from_wkt(
+    "POLYGON ((0 0, 10 0, 10 2, 2 2, 2 8, 10 8, 10 10, 0 10, 0 0))"
+)
+DONUT = geom.polygon_from_wkt(
+    "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))"
+)
+
+
+def test_pip_box():
+    lon = np.array([5.0, -1.0, 10.5, 0.0, 10.0])
+    lat = np.array([5.0, 5.0, 5.0, 0.0, 10.0])
+    got = BOX.contains(lon, lat)
+    assert got.tolist() == [True, False, False, True, True]  # boundary inclusive
+
+
+def test_pip_concave():
+    # (5,5) is inside the C's notch → outside polygon, inside envelope
+    assert not C_SHAPE.contains(np.array([5.0]), np.array([5.0]))[0]
+    assert C_SHAPE.contains(np.array([1.0]), np.array([5.0]))[0]
+    assert C_SHAPE.contains(np.array([5.0]), np.array([1.0]))[0]
+
+
+def test_pip_hole():
+    assert not DONUT.contains(np.array([5.0]), np.array([5.0]))[0]
+    assert DONUT.contains(np.array([1.0]), np.array([1.0]))[0]
+    assert DONUT.contains(np.array([3.0]), np.array([5.0]))[0]  # hole boundary
+
+
+def test_distance():
+    d = BOX.distance(np.array([5.0, 15.0, 13.0]), np.array([5.0, 5.0, 14.0]))
+    assert d[0] == 0.0
+    assert np.isclose(d[1], 5.0)
+    assert np.isclose(d[2], 5.0)  # corner (10,10) → (13,14)
+
+
+def test_point_distance_planar():
+    # planar degrees, matching JTS Geometry.distance (GeomDistance.java:14-23)
+    assert np.isclose(
+        geom.point_distance(np.array([0.0]), np.array([0.0]), np.array([3.0]), np.array([4.0]))[0],
+        5.0,
+    )
+
+
+def test_intersects_boxes():
+    x0 = np.array([-5.0, 4.0, 20.0, 3.5])
+    y0 = np.array([-5.0, 4.0, 20.0, 3.5])
+    x1 = np.array([-1.0, 6.0, 30.0, 6.5])
+    y1 = np.array([-1.0, 6.0, 30.0, 6.5])
+    got = BOX.intersects_boxes(x0, y0, x1, y1)
+    assert got.tolist() == [False, True, False, True]
+    # box fully inside the donut hole does NOT intersect
+    got2 = DONUT.intersects_boxes(
+        np.array([4.0]), np.array([4.0]), np.array([6.0]), np.array([6.0])
+    )
+    assert not got2[0]
+
+
+def test_trim_cells_to_geom():
+    from geowave_spark import cells
+
+    t, cs = cells.cells_for_bbox(C_SHAPE.bbox, max_dup=64)
+    trimmed = cells.trim_cells_to_geom(cs, t, C_SHAPE.intersects_boxes)
+    assert trimmed.size <= cs.size
+    # the notch cells must be dropped when resolution is fine enough
+    t2 = t + 3
+    cs2 = cells.cells_for_bbox_at_tier(C_SHAPE.bbox, t2)
+    trimmed2 = cells.trim_cells_to_geom(cs2, t2, C_SHAPE.intersects_boxes)
+    assert trimmed2.size < cs2.size
+
+
+def test_wkt_roundtrip_cache():
+    p1 = geom.polygon_from_wkt(geom.box_wkt(0, 0, 1, 1))
+    p2 = geom.polygon_from_wkt(geom.box_wkt(0, 0, 1, 1))
+    assert p1 is p2  # lru_cache interning, cf. GeometryImage interning note
