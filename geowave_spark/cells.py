@@ -169,7 +169,19 @@ def split_bbox_antimeridian(
     [-180, max] and [min, 180].
     """
     lon_min, lat_min, lon_max, lat_max = bbox
-    if lon_min > lon_max:
+    if lon_max - lon_min >= 360.0:  # full wrap (e.g. world bbox buffered)
+        return [(-180.0, lat_min, 180.0, lat_max)]
+    if lon_max > 180.0:  # unwrapped above (e.g. 175..185)
+        return [
+            (max(lon_min, -180.0), lat_min, 180.0, lat_max),
+            (-180.0, lat_min, lon_max - 360.0, lat_max),
+        ]
+    if lon_min < -180.0:  # unwrapped below (e.g. buffered box at -180)
+        return [
+            (-180.0, lat_min, min(lon_max, 180.0), lat_max),
+            (lon_min + 360.0, lat_min, 180.0, lat_max),
+        ]
+    if lon_min > lon_max:  # wrapped representation
         return [
             (-180.0, lat_min, lon_max, lat_max),
             (lon_min, lat_min, 180.0, lat_max),
@@ -282,6 +294,31 @@ def trim_cells_to_geom(
     lon0, lat0, lon1, lat1 = cell_to_bounds(cells, tier)
     keep = geom_contains_bbox_test(lon0, lat0, lon1, lat1)
     return cells[keep]
+
+
+# ---------------------------------------------------------------------------
+# Packed (tier, cell) key — one int64 join key
+# ---------------------------------------------------------------------------
+# The reference prefixes row keys with a tier byte
+# (TieredSFCIndexStrategy.java:386-395: tierAndBinId = [tierId] + binId).  We
+# pack (tier, cell) bijectively into a single long:
+#   key = (4^tier - 1)/3 + cell      (cell < 4^tier, offset[32] ≈ 6.1e18 < 2^63)
+# so the equi-join shuffles ONE long column instead of a (tier, cell) pair.
+
+TIER_OFFSETS = [(4**t - 1) // 3 for t in range(MAX_TIER + 2)]
+
+
+def pack_key(tier: np.ndarray | int, cell: np.ndarray) -> np.ndarray:
+    t = np.asarray(tier, dtype=np.int64)
+    offs = np.asarray(TIER_OFFSETS, dtype=np.int64)[t]
+    return offs + np.asarray(cell, dtype=np.int64)
+
+
+def unpack_key(key: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    key = np.asarray(key, dtype=np.int64)
+    offs = np.asarray(TIER_OFFSETS[: MAX_TIER + 1], dtype=np.int64)
+    tier = (np.searchsorted(offs, key, side="right") - 1).astype(np.int64)
+    return tier, key - offs[tier]
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,137 @@
+"""Arrow-batched pandas UDFs — the ONLY Python that touches data at scale.
+
+Three UDF families, mirroring the reference's division of labor:
+
+* ``cover_keys_udf`` — polygon/extent → packed (tier,cell) covering keys,
+  the insert path of TieredSFCIndexStrategy.getInsertionIds (:167-206,
+  334-396) with the join's 80-cell cap (GeoWaveIndexedRDD.java:193), the
+  >3-cell geometry trim (RDDUtils.trimIndexIds:158-184) and distance-join
+  buffering (TieredSpatialJoin.java:142-165, GeomWithinDistance.getBufferAmount).
+  Runs on the SMALL side only (polygons); the big point side never leaves
+  the JVM (see sqlcells.py).
+* ``predicate_udf`` / ``distance_udf`` — exact geometry refinement, the
+  equivalent of SpatialQueryFilter.accept (:259-302) / GeomWithinDistance
+  (:43-45).  Vectorized per distinct polygon within each Arrow batch;
+  polygons are interned via lru_cache like the reference's GeometryImage
+  prepared-geometry interning (SpatialQueryFilter.java:353-367).
+
+Antimeridian polygons arrive in UNWRAPPED coords (lon may exceed +180); the
+refine tests each point at lon and lon+360 (LongitudeDefinition split-bin
+semantics).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import cells, geom
+
+
+def _ring_bbox(p: geom.Polygon, buffer: float) -> tuple[float, float, float, float]:
+    x0, y0, x1, y1 = p.bbox
+    if buffer:
+        x0, y0, x1, y1 = x0 - buffer, y0 - buffer, x1 + buffer, y1 + buffer
+    return x0, max(y0, -90.0), x1, min(y1, 90.0)
+
+
+def cover_keys(
+    wkts: pd.Series,
+    max_cells: int = cells.JOIN_MAX_CELLS,
+    buffer: float = 0.0,
+    trim: bool = True,
+) -> pd.Series:
+    """WKT series → list[int64] packed covering keys (adaptive tier)."""
+    out = []
+    for wkt in wkts:
+        p = geom.polygon_from_wkt(wkt)
+        bbox = _ring_bbox(p, buffer)
+        tier, cs = cells.cells_for_bbox(bbox, max_dup=max_cells)
+        if trim and not buffer and cs.size > 3:
+            # drop covering cells that miss the true geometry; for unwrapped
+            # antimeridian polygons also test the +360-shifted copy
+            lon0, lat0, lon1, lat1 = cells.cell_to_bounds(cs, tier)
+            keep = p.intersects_boxes(lon0, lat0, lon1, lat1)
+            if p.bbox[2] > 180.0:
+                keep |= p.intersects_boxes(lon0 + 360.0, lat0, lon1 + 360.0, lat1)
+            cs = cs[keep]
+        out.append(cells.pack_key(tier, cs).tolist())
+    return pd.Series(out, index=wkts.index)
+
+
+def make_cover_keys_udf(max_cells: int = cells.JOIN_MAX_CELLS, buffer: float = 0.0, trim: bool = True):
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _udf(wkts: pd.Series) -> pd.Series:
+        return cover_keys(wkts, max_cells=max_cells, buffer=buffer, trim=trim)
+
+    return _udf
+
+
+def _eval_per_polygon(wkts: pd.Series, lon: pd.Series, lat: pd.Series, fn) -> np.ndarray:
+    """Group a candidate batch by polygon and evaluate vectorized."""
+    res = np.zeros(len(wkts), dtype=np.float64)
+    lon_v = lon.to_numpy(dtype=np.float64)
+    lat_v = lat.to_numpy(dtype=np.float64)
+    codes, uniques = pd.factorize(wkts)
+    for u, w in enumerate(uniques):
+        idx = np.nonzero(codes == u)[0]
+        p = geom.polygon_from_wkt(w)
+        v = fn(p, lon_v[idx], lat_v[idx])
+        if p.bbox[2] > 180.0:  # unwrapped antimeridian polygon
+            v2 = fn(p, lon_v[idx] + 360.0, lat_v[idx])
+            v = np.minimum(v, v2) if v.dtype != bool else (v | v2)
+        res[idx] = v
+    return res
+
+
+@F.pandas_udf(T.BooleanType())
+def st_contains_point(wkts: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+    got = _eval_per_polygon(wkts, lon, lat, lambda p, x, y: p.contains(x, y))
+    return pd.Series(got.astype(bool))
+
+
+@F.pandas_udf(T.DoubleType())
+def st_distance_point(wkts: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+    got = _eval_per_polygon(wkts, lon, lat, lambda p, x, y: p.distance(x, y))
+    return pd.Series(got)
+
+
+# --- image payload UDFs (BASELINE.json invariants) --------------------------
+
+@F.pandas_udf(T.DoubleType())
+def image_psnr(data: pd.Series, fmt: pd.Series, w: pd.Series, h: pd.Series, ref_seed_id: pd.Series) -> pd.Series:
+    """PSNR of the stored bytes vs the deterministic source array (per-row
+    invariant check, runnable at any scale)."""
+    from ..functions import imagecodec as codec
+    from ..sources import images as img
+
+    out = []
+    for b, f, i in zip(data, fmt, ref_seed_id):
+        dec = codec.decode_image(bytes(b), f)
+        out.append(codec.psnr(img.pixels_for(int(i)), dec))
+    return pd.Series(out)
+
+
+def decode_mean_pixel(iterator):
+    """mapInPandas feature extractor: decode → per-image mean channel values.
+
+    The decode step uses the engine's own codecs; on a cluster with real
+    image libs, only this function changes.
+    """
+    from ..functions import imagecodec as codec
+
+    for pdf in iterator:
+        means = np.empty((len(pdf), 3), dtype=np.float64)
+        for j, (b, f) in enumerate(zip(pdf["bytes"], pdf["fmt"])):
+            arr = codec.decode_image(bytes(b), f)
+            means[j] = arr.reshape(-1, 3).mean(axis=0)
+        yield pd.DataFrame(
+            {
+                "image_id": pdf["image_id"],
+                "mean_r": means[:, 0],
+                "mean_g": means[:, 1],
+                "mean_b": means[:, 2],
+            }
+        )

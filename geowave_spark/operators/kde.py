@@ -1,0 +1,83 @@
+"""Kernel density estimation over the tile grid — the reference's KDE
+pipeline (analytics/spark/.../kde/KDERunner.java:234-316,458-549; kernel
+analytics/mapreduce/.../kde/GaussianFilter.java:81-156) as one declarative
+plan:
+
+    per point: cell (x, y) on the level-ℓ grid (2^(ℓ+1) × 2^ℓ)
+    explode a (2r+1)² literal offset table with gaussian weights
+      (σ=1 cell, radius 3 — GaussianFilter's smear)       — JVM-only
+    groupBy(cell) sum(weight)          (map-side partial agg soaks the 49×)
+    normalized = weight / max() over ()                    (global max)
+    percentile = percent_rank() over (order by weight)     (rank semantics
+      of KDERunner.java:252-291: sortByKey desc + zipWithIndex)
+
+Output = the reference's 3 bands (Weight, Normalized, Percentile) as columns
+of a (level, x, y) row — the columnar twin of its 3-band raster tile.
+Everything is built-in SQL; the oracle (DuckDB) runs the same algebra.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .spatial_join import add_point_cols
+
+RADIUS = 3  # cells, like GaussianFilter
+SIGMA = 1.0
+
+
+def gaussian_offsets(radius: int = RADIUS, sigma: float = SIGMA) -> list[tuple[int, int, float]]:
+    out = []
+    for dx in range(-radius, radius + 1):
+        for dy in range(-radius, radius + 1):
+            out.append((dx, dy, math.exp(-(dx * dx + dy * dy) / (2.0 * sigma * sigma))))
+    return out
+
+
+def kde(
+    points: DataFrame,
+    level: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    radius: int = RADIUS,
+    sigma: float = SIGMA,
+) -> DataFrame:
+    """(level, x, y, weight, normalized, percentile) KDE surface."""
+    nx, ny = 1 << (level + 1), 1 << level
+    pts = add_point_cols(points, lon_col, lat_col)
+    cx = F.least(
+        F.greatest(F.floor((F.col(lon_col) + 180.0) / 360.0 * nx).cast("long"), F.lit(0)),
+        F.lit(nx - 1),
+    )
+    cy = F.least(
+        F.greatest(F.floor((F.col(lat_col) + 90.0) / 180.0 * ny).cast("long"), F.lit(0)),
+        F.lit(ny - 1),
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(w).alias("w"))
+            for dx, dy, w in gaussian_offsets(radius, sigma)
+        ]
+    )
+    smeared = (
+        pts.select(cx.alias("_cx"), cy.alias("_cy"))
+        .withColumn("_o", F.explode(offs))
+        .select(
+            F.pmod(F.col("_cx") + F.col("_o.dx"), F.lit(nx)).alias("x"),  # lon wraps
+            (F.col("_cy") + F.col("_o.dy")).alias("y"),
+            F.col("_o.w").alias("w"),
+        )
+        .filter((F.col("y") >= 0) & (F.col("y") < ny))  # lat clamps
+    )
+    agg = smeared.groupBy("x", "y").agg(F.sum("w").alias("weight"))
+    w_all = Window.partitionBy()
+    w_rank = Window.partitionBy().orderBy(F.col("weight").asc())
+    return (
+        agg.withColumn("level", F.lit(level))
+        .withColumn("normalized", F.col("weight") / F.max("weight").over(w_all))
+        .withColumn("percentile", F.percent_rank().over(w_rank))
+        .select("level", "x", "y", "weight", "normalized", "percentile")
+    )

@@ -1,0 +1,141 @@
+"""kNN via cell-ring expansion + distance refinement.
+
+Re-expresses the reference's NN/kNN machinery (NNMapReduce.java:94-260 —
+partition cells plus neighbor expansion, per-partition neighbor lists capped
+by maxDistance and maxNeighbors; expansion geometry
+OrthodromicDistancePartitioner.java:95-140) as one declarative plan:
+
+    per query: tier t s.t. cell side >= max_distance   (so a 3x3 ring
+               provably covers the search radius — no iteration needed)
+    explode the 9 ring cells (lon wraps, lat clamps)   — ALL Column math
+    equi-join with image cells at the same tiers       (packed long key)
+    planar distance refine (pure SQL sqrt — no Python)
+    row_number() over (partition by query order by dist, id) <= k
+
+Everything is JVM-side column arithmetic: per-row tiers, ring cells and
+Morton interleave are built from pow/floor/bit ops, so the whole candidate
+generation stays in whole-stage codegen.  maxDistance + maxNeighbors
+semantics exactly as NNMapReduce.java:168-169,199.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import cells, sqlcells
+from .spatial_join import add_point_cols
+
+def _tier_offsets_expr() -> Column:
+    return F.array(*[F.lit(int(o)) for o in cells.TIER_OFFSETS[: cells.MAX_TIER + 1]])
+
+
+def _tier_expr(maxd: Column) -> Column:
+    """Coarsest tier whose cell side (180/2^t) >= max_distance."""
+    t = F.floor(F.log2(F.lit(180.0) / maxd)).cast("int")
+    return F.least(F.greatest(t, F.lit(0)), F.lit(cells.MAX_TIER))
+
+
+def knn_join(
+    points: DataFrame,
+    queries: DataFrame,
+    point_id: str = "image_id",
+    query_id: str = "query_id",
+    k_col: str = "k",
+    maxd_col: str = "max_distance",
+    q_lon: str = "lon",
+    q_lat: str = "lat",
+    p_lon: str = "lon",
+    p_lat: str = "lat",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Return (query_id, image_id, dist, rank) — top-k by planar distance
+    within max_distance, ties broken by point id (deterministic)."""
+    q = queries.withColumn("_tier", _tier_expr(F.col(maxd_col)))
+    # per-row grid resolution r = 2^tier (exact in double up to 2^31)
+    q = q.withColumn("_r", F.pow(F.lit(2.0), F.col("_tier").cast("double")).cast("long"))
+    qx = F.least(
+        F.greatest(F.floor(sqlcells.norm_lon(F.col(q_lon)) * F.col("_r").cast("double")), F.lit(0)),
+        F.col("_r") - 1,
+    ).cast("long")
+    qy = F.least(
+        F.greatest(F.floor(sqlcells.norm_lat(F.col(q_lat)) * F.col("_r").cast("double")), F.lit(0)),
+        F.col("_r") - 1,
+    ).cast("long")
+    q = q.withColumn("_qx", qx).withColumn("_qy", qy)
+    # 3x3 ring: lon wraps (pmod), lat clamps (filter)
+    q = (
+        q.withColumn("_dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("_dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("_nx", F.pmod(F.col("_qx") + F.col("_dx"), F.col("_r")))
+        .withColumn("_ny", F.col("_qy") + F.col("_dy"))
+        .filter((F.col("_ny") >= 0) & (F.col("_ny") < F.col("_r")))
+        .withColumn(
+            "key",
+            F.element_at(_tier_offsets_expr(), F.col("_tier") + 1)
+            + sqlcells.interleave(F.col("_nx"), F.col("_ny")),
+        )
+        .dropDuplicates([query_id, "key"])
+        .select(query_id, q_lon, q_lat, k_col, maxd_col, "_tier", "key")
+        .withColumnRenamed(q_lon, "_q_lon")
+        .withColumnRenamed(q_lat, "_q_lat")
+    )
+
+    tiers = sorted(r[0] for r in q.select("_tier").distinct().collect())
+    if not tiers:
+        raise ValueError("no queries")
+
+    pts = add_point_cols(points, p_lon, p_lat)
+    pts = pts.withColumn(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.lit(int(cells.TIER_OFFSETS[t]))
+                    + sqlcells.cell_at_tier_expr(F.col("_cell31"), t)
+                    for t in tiers
+                ]
+            )
+        ),
+    ).select(point_id, F.col(p_lon).alias("_p_lon"), F.col(p_lat).alias("_p_lat"), "key")
+
+    right = F.broadcast(q) if broadcast_queries else q
+    cand = pts.join(right, "key")
+
+    dist = F.sqrt(
+        (F.col("_p_lon") - F.col("_q_lon")) ** 2 + (F.col("_p_lat") - F.col("_q_lat")) ** 2
+    )
+    cand = (
+        cand.withColumn("dist", dist)
+        .filter(F.col("dist") <= F.col(maxd_col))
+        .dropDuplicates([query_id, point_id])  # ring cells can overlap after wrap
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("dist").asc(), F.col(point_id).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col(k_col))
+        .select(query_id, point_id, "dist", "rank")
+    )
+
+
+def knn_oracle_numpy(
+    p_ids: np.ndarray,
+    p_lon: np.ndarray,
+    p_lat: np.ndarray,
+    q_ids: np.ndarray,
+    q_lon: np.ndarray,
+    q_lat: np.ndarray,
+    ks: np.ndarray,
+    maxds: np.ndarray,
+) -> list[tuple]:
+    """Brute-force pairwise oracle (FIXTURES.md §5)."""
+    out = []
+    for qi in range(len(q_ids)):
+        d = np.sqrt((p_lon - q_lon[qi]) ** 2 + (p_lat - q_lat[qi]) ** 2)
+        ok = d <= maxds[qi]
+        idx = np.nonzero(ok)[0]
+        order = sorted(idx, key=lambda i: (d[i], p_ids[i]))
+        for rank, i in enumerate(order[: int(ks[qi])], start=1):
+            out.append((q_ids[qi], p_ids[i], float(d[i]), rank))
+    return out

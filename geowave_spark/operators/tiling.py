@@ -1,0 +1,148 @@
+"""Raster↔vector tile assignment + per-tile assembly.
+
+Re-expresses the reference's raster tiling (RasterDataAdapter.convertToIndex
+:468-569 — one tile row per covering insertion id of a fixed single-tier
+strategy per pyramid level; mosaic/merge per tile key
+MosaicPerPyramidLevelBuilder:571-700, merge strategies
+extensions/adapters/raster/.../adapter/merge/) for the image workload:
+
+* tile grid convention — level ℓ has 2^(ℓ+1) × 2^ℓ tiles over
+  lon × lat, the KDE grid convention (KDERunner.java:234-238);
+* `assign_tiles` — each image point → its (level, tile_x, tile_y) per
+  pyramid level, PURE Column math (no Python at any scale);
+* `assemble_tiles` — groupBy(level, tx, ty) + applyInPandas mosaic: decode
+  the member images and accumulate a tile_px × tile_px mean-color raster
+  (the merge strategy; nodata cells stay 0 like NoDataMergeStrategy).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import sqlcells
+from .spatial_join import add_point_cols
+
+
+def assign_tiles(
+    points: DataFrame,
+    levels: list[int],
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    point_id: str = "image_id",
+) -> DataFrame:
+    """(image_id, level, tile_x, tile_y) for each pyramid level — JVM-only."""
+    pts = add_point_cols(points, lon_col, lat_col)
+    structs = [
+        F.struct(
+            F.lit(lvl).alias("level"),
+            sqlcells.tile_x_expr(F.col(lon_col), lvl).alias("tile_x"),
+            sqlcells.tile_y_expr(F.col(lat_col), lvl).alias("tile_y"),
+        )
+        for lvl in levels
+    ]
+    return (
+        pts.withColumn("_t", F.explode(F.array(*structs)))
+        .select(point_id, "_t.level", "_t.tile_x", "_t.tile_y")
+    )
+
+
+def tile_assignment_oracle_numpy(lon: np.ndarray, lat: np.ndarray, level: int):
+    """Reference numpy implementation for golden files (FIXTURES.md §4)."""
+    nx, ny = 1 << (level + 1), 1 << level
+    tx = np.clip(np.floor((lon + 180.0) / 360.0 * nx), 0, nx - 1).astype(np.int64)
+    ty = np.clip(np.floor((lat + 90.0) / 180.0 * ny), 0, ny - 1).astype(np.int64)
+    return tx, ty
+
+
+def tile_counts(points: DataFrame, levels: list[int], point_id: str = "image_id") -> DataFrame:
+    """Per-tile image counts — the aggregation dual of assignment."""
+    return (
+        assign_tiles(points, levels, point_id=point_id)
+        .groupBy("level", "tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n_images"))
+    )
+
+
+_TILE_SCHEMA = T.StructType(
+    [
+        T.StructField("level", T.IntegerType()),
+        T.StructField("tile_x", T.LongType()),
+        T.StructField("tile_y", T.LongType()),
+        T.StructField("n_images", T.LongType()),
+        T.StructField("tile_png", T.BinaryType()),
+    ]
+)
+
+
+def _assemble(tile_px: int):
+    from ..functions import imagecodec as codec
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        level, tx, ty = int(key[0]), int(key[1]), int(key[2])
+        nx, ny = 1 << (level + 1), 1 << level
+        lon0, lon1 = tx / nx * 360.0 - 180.0, (tx + 1) / nx * 360.0 - 180.0
+        lat0, lat1 = ty / ny * 180.0 - 90.0, (ty + 1) / ny * 180.0 - 90.0
+        acc = np.zeros((tile_px, tile_px, 3), np.float64)
+        cnt = np.zeros((tile_px, tile_px, 1), np.float64)
+        px = np.clip(((pdf["lon"] - lon0) / (lon1 - lon0) * tile_px).astype(int), 0, tile_px - 1)
+        py = np.clip(((pdf["lat"] - lat0) / (lat1 - lat0) * tile_px).astype(int), 0, tile_px - 1)
+        for j, (b, f) in enumerate(zip(pdf["bytes"], pdf["fmt"])):
+            mean = codec.decode_image(bytes(b), f).reshape(-1, 3).mean(axis=0)
+            acc[py.iloc[j], px.iloc[j]] += mean
+            cnt[py.iloc[j], px.iloc[j]] += 1.0
+        tile = np.where(cnt > 0, acc / np.maximum(cnt, 1.0), 0.0)  # nodata stays 0
+        png = codec.encode_png(np.clip(np.round(tile), 0, 255).astype(np.uint8))
+        return pd.DataFrame(
+            [
+                {
+                    "level": level,
+                    "tile_x": tx,
+                    "tile_y": ty,
+                    "n_images": len(pdf),
+                    "tile_png": png,
+                }
+            ]
+        )
+
+    return fn
+
+
+def assemble_tiles(
+    images: DataFrame,
+    level: int,
+    tile_px: int = 64,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Mosaic per (level, tile): decode member images, mean-color raster.
+
+    The shuffle key is the tile key — identical to the reference's
+    groupBy(partition+sort key) mosaic (KDERunner.java:551-623).
+    """
+    pts = add_point_cols(images, lon_col, lat_col)
+    pts = pts.withColumn("level", F.lit(level)).withColumn(
+        "tile_x", sqlcells.tile_x_expr(F.col(lon_col), level)
+    ).withColumn("tile_y", sqlcells.tile_y_expr(F.col(lat_col), level))
+    return pts.groupBy("level", "tile_x", "tile_y").applyInPandas(
+        _assemble(tile_px), _TILE_SCHEMA
+    )
+
+
+def retile(tiles: DataFrame, from_level: int, to_level: int) -> DataFrame:
+    """Re-tile aggregated per-tile counts to a coarser level — the analog of
+    RasterTileResizeSparkRunner (flatMap to new tile keys → merge).  Pure
+    column math: a level-ℓ tile's parent at ℓ' is (tx >> (ℓ-ℓ'), ty >> (ℓ-ℓ'))."""
+    if to_level > from_level:
+        raise ValueError("retile only coarsens (use assign_tiles for finer)")
+    d = from_level - to_level
+    return (
+        tiles.withColumn("tile_x", F.shiftrightunsigned(F.col("tile_x"), d))
+        .withColumn("tile_y", F.shiftrightunsigned(F.col("tile_y"), d))
+        .withColumn("level", F.lit(to_level))
+        .groupBy("level", "tile_x", "tile_y")
+        .agg(F.sum("n_images").alias("n_images"))
+    )

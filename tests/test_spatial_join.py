@@ -1,0 +1,87 @@
+"""Oracle-equivalence tests for the tiered spatial join — the same design as
+the reference's GeoWaveSparkSpatialJoinIT (tiered vs brute-force cross join,
+equal counts + symmetric set difference empty, :97-175,227-254)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geowave_spark.operators import spatial_join as sj
+from geowave_spark.sources import images as src
+
+N_IMAGES = 2000
+N_POLYGONS = 36  # covers all 6 fixture classes, 6× each
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    imgs = src.generate_images(spark, N_IMAGES).select("image_id", "phash").cache()
+    polys = spark.createDataFrame(
+        __import__("pandas").DataFrame([src.polygon_row(j) for j in range(N_POLYGONS)])
+    ).cache()
+    imgs.count()
+    polys.count()
+    return imgs, polys
+
+
+def assert_same_pairs(a, b):
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_pip_join_matches_oracle(tables):
+    imgs, polys = tables
+    got = sj.tiered_spatial_join(imgs, polys)
+    want = sj.brute_force_join(imgs, polys)
+    assert_same_pairs(got, want)
+    assert want.count() > 0  # non-degenerate (world polygons match everything)
+
+
+def test_pip_join_shuffle_path_matches_oracle(tables):
+    """Same join forced down the non-broadcast (shuffle + salt) path."""
+    imgs, polys = tables
+    got = sj.tiered_spatial_join(imgs, polys, broadcast_polygons=False, salt=4)
+    want = sj.brute_force_join(imgs, polys)
+    assert_same_pairs(got, want)
+
+
+def test_distance_join_matches_oracle(tables):
+    imgs, polys = tables
+    small = polys.filter(F.col("class").isin("small_box", "cell_exact", "concave"))
+    got = sj.tiered_spatial_join(imgs, small, predicate="dwithin", radius=2.0)
+    want = sj.brute_force_join(imgs, small, predicate="dwithin", radius=2.0)
+    assert_same_pairs(got, want)
+    # dwithin is a superset of intersects matches
+    pip = sj.brute_force_join(imgs, small)
+    assert got.count() >= pip.count()
+
+
+def test_semi_and_anti_outputs(tables):
+    """Semi/anti join-back semantics (TieredSpatialJoin.java:357-373)."""
+    imgs, polys = tables
+    small = polys.filter(F.col("class") == "large_box")
+    pairs = sj.tiered_spatial_join(imgs, small)
+    semi = sj.semi_join_matches(imgs, pairs)
+    anti = sj.anti_join_matches(imgs, pairs)
+    assert semi.count() + anti.count() == imgs.count()
+    assert semi.count() == pairs.select("image_id").distinct().count()
+    # caption/payload columns survive untouched through the operator
+    assert set(semi.columns) == set(imgs.columns)
+
+
+def test_loose_join_superset(tables):
+    """loose=True (IndexOnlySpatialQuery) returns a superset of exact."""
+    imgs, polys = tables
+    concave = polys.filter(F.col("class") == "concave")
+    loose = sj.tiered_spatial_join(imgs, concave, loose=True)
+    exact = sj.tiered_spatial_join(imgs, concave)
+    assert loose.count() >= exact.count()
+    assert exact.exceptAll(loose).count() == 0
+
+
+def test_antimeridian_polygon_matches(tables):
+    imgs, polys = tables
+    am = polys.filter(F.col("class") == "antimeridian")
+    got = sj.tiered_spatial_join(imgs, am)
+    want = sj.brute_force_join(imgs, am)
+    assert_same_pairs(got, want)
