@@ -1,0 +1,860 @@
+"""Driver-contract query registry: Spark queries + exact DuckDB oracles.
+
+Every operator the engine claims (SURVEY.md §2 + the training-data-pipeline
+extensions) has a ``QUERIES`` entry; each SQL-expressible one also has an
+``ORACLES`` entry producing IDENTICAL values in DuckDB.
+
+Cross-engine exactness rules used throughout (see tests/test_entry_parity.py):
+
+* the only hash is h60: Spark ``conv(substr(md5(x),1,15),16,10)::long`` ==
+  DuckDB ``('0x'||substr(md5(x),1,15))::BIGINT``;
+* every float output is quantized to integer micro-units
+  ``floor(x*1e6+0.5)`` (or cents) — never a raw double;
+* float expressions keep the exact same IEEE op sequence on both sides
+  (explicit CAST(... AS DOUBLE) in SQL where DuckDB would otherwise use
+  DECIMAL arithmetic);
+* sums are over integers only (order-independent); ranks order by already
+  quantized values with id tie-breaks;
+* events get deterministic synthetic coordinates
+  lon = (h60('lon:'||id) % 3600000)/1e4 - 180 (1e-4° grid) — the same rows
+  in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import cells, sqlcells
+from .geom import box_wkt
+from .operators import dedup, kde, knn, similarity, spatial_join, stats, textstats, tiling
+
+# ---------------------------------------------------------------------------
+# SQL fragment helpers (DuckDB side)
+# ---------------------------------------------------------------------------
+
+def sql_h60(x: str) -> str:
+    return f"(('0x' || substr(md5({x}),1,15))::BIGINT)"
+
+
+def sql_mu(x: str) -> str:
+    return f"CAST(floor(({x}) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+def sql_cents(x: str) -> str:
+    return f"CAST(floor(({x}) * 100.0 + 0.5) AS BIGINT)"
+
+
+_LON_H = sql_h60("'lon:' || CAST(event_id AS VARCHAR)")
+_LAT_H = sql_h60("'lat:' || CAST(event_id AS VARCHAR)")
+
+EV_CTE = (
+    "ev AS (SELECT event_id, event_type, value, ts, user_id, "
+    f"CAST({_LON_H} % 3600000 AS DOUBLE) / CAST(10000.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon, "
+    f"CAST({_LAT_H} % 1800000 AS DOUBLE) / CAST(10000.0 AS DOUBLE) - CAST(90.0 AS DOUBLE) AS lat "
+    "FROM events)"
+)
+
+# canonical tokenization (documents) — twin of dedup.tokens_col
+SQL_TOKS = (
+    "list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), "
+    "x -> x <> '')"
+)
+
+
+def sql_shingles(toks: str, w: int = 3) -> str:
+    """w-token shingles — twin of dedup.shingles_col."""
+    return (
+        f"CASE WHEN len({toks}) >= {w} THEN "
+        f"list_transform(range(1, len({toks}) - {w - 2}), "
+        f"i -> array_to_string(({toks})[i:i+{w - 1}], ' ')) "
+        f"ELSE [] END"
+    )
+
+
+_M = {
+    16: 0x0000FFFF0000FFFF,
+    8: 0x00FF00FF00FF00FF,
+    4: 0x0F0F0F0F0F0F0F0F,
+    2: 0x3333333333333333,
+    1: 0x5555555555555555,
+}
+
+
+def sql_morton_steps(prefix: str, src: str) -> list[str]:
+    """Lateral-alias column chain spreading src's low 32 bits to even bits."""
+    steps = [f"(({src}) & 4294967295) AS {prefix}0"]
+    prev = f"{prefix}0"
+    for n, sh in enumerate((16, 8, 4, 2, 1), start=1):
+        steps.append(f"((({prev}) | (({prev}) << {sh})) & {_M[sh]}) AS {prefix}{n}")
+        prev = f"{prefix}{n}"
+    return steps
+
+
+def sql_grid(axis: str, col: str, tier: int) -> str:
+    """Grid coordinate at tier (square 2^t grid) — twin of sqlcells.grid_coord."""
+    r = 1 << tier
+    if axis == "lon":
+        norm = f"((({col}) + CAST(180.0 AS DOUBLE)) / CAST(360.0 AS DOUBLE))"
+        norm = f"(({norm}) - floor({norm}))"  # antimeridian wrap
+    else:
+        norm = f"((({col}) + CAST(90.0 AS DOUBLE)) / CAST(180.0 AS DOUBLE))"
+        norm = f"least(greatest({norm}, CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))"  # clamp
+    return f"least(greatest(CAST(floor(({norm}) * CAST({float(r)} AS DOUBLE)) AS BIGINT), 0), {r - 1})"
+
+
+def sql_cell_select(tier: int, out: str, lon: str = "lon", lat: str = "lat") -> tuple[str, str]:
+    """(inner grid-coord select fragment, outer interleave fragment)."""
+    gx, gy = f"_gx{tier}", f"_gy{tier}"
+    inner = f"{sql_grid('lon', lon, tier)} AS {gx}, {sql_grid('lat', lat, tier)} AS {gy}"
+    xs = sql_morton_steps(f"_x{tier}_", gx)
+    ys = sql_morton_steps(f"_y{tier}_", gy)
+    outer = ", ".join(xs + ys) + f", ((_x{tier}_5) | ((_y{tier}_5) << 1)) AS {out}"
+    return inner, outer
+
+
+def sql_tile(axis: str, col: str, level: int) -> str:
+    """Tile coordinate — twin of sqlcells.tile_x_expr / tile_y_expr."""
+    n = 1 << (level + 1) if axis == "x" else 1 << level
+    span, off = (360.0, 180.0) if axis == "x" else (180.0, 90.0)
+    e = (
+        f"CAST(floor((({col}) + CAST({off} AS DOUBLE)) / CAST({span} AS DOUBLE) "
+        f"* CAST({float(n)} AS DOUBLE)) AS BIGINT)"
+    )
+    return f"least(greatest({e}, 0), {n - 1})"
+
+
+# ---------------------------------------------------------------------------
+# Shared fixtures: the polygon workload used by the join queries
+# ---------------------------------------------------------------------------
+# (polygon_id, x0, y0, x1, y1); x1 > 180 marks an unwrapped antimeridian box.
+
+def _cell_exact_box(tier: int, gx: int, gy: int) -> tuple[float, float, float, float]:
+    r = 1 << tier
+    return (gx / r * 360.0 - 180.0, gy / r * 180.0 - 90.0,
+            (gx + 1) / r * 360.0 - 180.0, (gy + 1) / r * 180.0 - 90.0)
+
+
+PIP_POLYGONS: list[tuple[str, float, float, float, float]] = [
+    ("world", -180.0, -90.0, 180.0, 90.0),
+    ("cell_t2", *_cell_exact_box(2, 1, 2)),
+    ("cell_t4", *_cell_exact_box(4, 9, 5)),
+    ("cell_t8", *_cell_exact_box(8, 130, 77)),
+    ("am_east", 176.5, -20.0, 183.5, -10.0),   # antimeridian, unwrapped
+    ("am_north", 178.0, 55.0, 190.0, 70.0),    # antimeridian, unwrapped
+    ("big_eu", -10.0, 35.0, 40.0, 70.0),
+    ("big_na", -130.0, 25.0, -60.0, 55.0),
+    ("big_asia", 60.0, 5.0, 140.0, 55.0),
+    ("mid_sa", -80.0, -40.0, -35.0, 5.0),
+    ("mid_af", -15.0, -35.0, 50.0, 35.0),
+    ("mid_oz", 112.0, -45.0, 155.0, -10.0),
+    ("small_1", 2.05, 48.75, 2.55, 49.05),
+    ("small_2", -74.25, 40.45, -73.65, 40.95),
+    ("small_3", 139.45, 35.45, 140.05, 35.95),
+    ("small_4", -0.55, 51.25, 0.35, 51.75),
+    ("tiny_1", 10.0, 10.0, 10.2, 10.2),
+    ("tiny_2", -120.05, -5.05, -119.85, -4.85),
+    ("band_lat", -180.0, -2.5, 180.0, 2.5),    # world-spanning band → coarse tier
+]
+
+DWITHIN_POLYGONS = [p for p in PIP_POLYGONS if p[0].startswith(("small_", "tiny_", "am_east"))]
+DWITHIN_RADIUS = 1.5
+
+
+def _poly_df(spark: SparkSession, polys) -> DataFrame:
+    rows = [(pid, box_wkt(x0, y0, x1, y1)) for pid, x0, y0, x1, y1 in polys]
+    return spark.createDataFrame(rows, ["polygon_id", "wkt"])
+
+
+def _sql_poly_values(polys) -> str:
+    vals = ", ".join(
+        f"('{pid}', CAST({x0!r} AS DOUBLE), CAST({y0!r} AS DOUBLE), "
+        f"CAST({x1!r} AS DOUBLE), CAST({y1!r} AS DOUBLE))"
+        for pid, x0, y0, x1, y1 in polys
+    )
+    return f"p(polygon_id, x0, y0, x1, y1) AS (VALUES {vals})"
+
+
+_SQL_PIP_PRED = (
+    "e.lat >= p.y0 AND e.lat <= p.y1 AND "
+    "((e.lon >= p.x0 AND e.lon <= p.x1) OR "
+    "(e.lon + CAST(360.0 AS DOUBLE) >= p.x0 AND e.lon + CAST(360.0 AS DOUBLE) <= p.x1))"
+)
+
+# box distance with antimeridian copy — twin of geom.Polygon.distance for boxes
+_SQL_BOX_DIST = (
+    "least("
+    "sqrt(greatest(p.x0 - e.lon, e.lon - p.x1, CAST(0.0 AS DOUBLE)) * "
+    "greatest(p.x0 - e.lon, e.lon - p.x1, CAST(0.0 AS DOUBLE)) + "
+    "greatest(p.y0 - e.lat, e.lat - p.y1, CAST(0.0 AS DOUBLE)) * "
+    "greatest(p.y0 - e.lat, e.lat - p.y1, CAST(0.0 AS DOUBLE))), "
+    "sqrt(greatest(p.x0 - (e.lon + CAST(360.0 AS DOUBLE)), (e.lon + CAST(360.0 AS DOUBLE)) - p.x1, CAST(0.0 AS DOUBLE)) * "
+    "greatest(p.x0 - (e.lon + CAST(360.0 AS DOUBLE)), (e.lon + CAST(360.0 AS DOUBLE)) - p.x1, CAST(0.0 AS DOUBLE)) + "
+    "greatest(p.y0 - e.lat, e.lat - p.y1, CAST(0.0 AS DOUBLE)) * "
+    "greatest(p.y0 - e.lat, e.lat - p.y1, CAST(0.0 AS DOUBLE))))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side loaders
+# ---------------------------------------------------------------------------
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn("lon", sqlcells.derived_lon(F.col("event_id"))).withColumn(
+        "lat", sqlcells.derived_lat(F.col("event_id"))
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _mu(col) -> F.Column:
+    return F.floor(col * 1e6 + F.lit(0.5)).cast("long")
+
+
+def _cents(col) -> F.Column:
+    return F.floor(col * 100.0 + F.lit(0.5)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Queries — spatial core
+# ---------------------------------------------------------------------------
+
+def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return spatial_join.tiered_spatial_join(
+        ev, _poly_df(spark, PIP_POLYGONS), point_id="event_id"
+    )
+
+
+def q_pip_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    pairs = spatial_join.tiered_spatial_join(
+        ev, _poly_df(spark, [p for p in PIP_POLYGONS if p[0] != "world"]), point_id="event_id"
+    )
+    return spatial_join.semi_join_matches(ev, pairs, "event_id").select(
+        "event_id", "event_type", _cents(F.col("value")).alias("value_c")
+    )
+
+
+def q_pip_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    pairs = spatial_join.tiered_spatial_join(
+        ev, _poly_df(spark, [p for p in PIP_POLYGONS if p[0] != "world"]), point_id="event_id"
+    )
+    return spatial_join.anti_join_matches(ev, pairs, "event_id").select(
+        "event_id", "event_type", _cents(F.col("value")).alias("value_c")
+    )
+
+
+def q_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return spatial_join.tiered_spatial_join(
+        ev,
+        _poly_df(spark, DWITHIN_POLYGONS),
+        predicate="dwithin",
+        radius=DWITHIN_RADIUS,
+        point_id="event_id",
+    )
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    qs = (
+        ev.filter(F.col("event_id") < 16)
+        .select(F.col("event_id").alias("query_id"), "lon", "lat")
+        .withColumn("k", F.lit(5))
+        .withColumn("max_distance", F.lit(3.0))
+    )
+    out = knn.knn_join(ev, qs, point_id="event_id")
+    return out.select(
+        "query_id", "event_id", _mu(F.col("dist")).alias("dist_mu"), F.col("rank").cast("long").alias("rank")
+    )
+
+
+RANGE_BBOX = (-30.0, 10.0, 45.0, 55.0)
+
+
+def q_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return stats.range_lookup(ev, RANGE_BBOX).select(
+        "event_id", "event_type", _cents(F.col("value")).alias("value_c")
+    )
+
+
+def q_cell_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        sqlcells.cell_expr(F.col("lon"), F.col("lat"), 10).alias("cell10"),
+        sqlcells.cell_expr(F.col("lon"), F.col("lat"), 4).alias("cell4"),
+    )
+
+
+def q_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.subsample_cells(_events(spark, sf_dir), tier=8, id_col="event_id")
+
+
+def q_tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tiling.assign_tiles(_events(spark, sf_dir), [4, 8, 12], point_id="event_id")
+    return out.select("event_id", F.col("level").cast("long").alias("level"), "tile_x", "tile_y")
+
+
+def q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tiling.tile_counts(_events(spark, sf_dir), [8], point_id="event_id")
+    return out.select(F.col("level").cast("long").alias("level"), "tile_x", "tile_y", "n_images")
+
+
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t8 = tiling.tile_counts(_events(spark, sf_dir), [8], point_id="event_id")
+    return tiling.retile(t8, 8, 5).select(
+        F.col("level").cast("long").alias("level"), "tile_x", "tile_y", "n_images"
+    )
+
+
+def q_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kde.kde_exact(_events(spark, sf_dir), level=6)
+
+
+def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.table_stats(_events(spark, sf_dir))
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.fixed_bin_histogram(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Queries — dedup / text / similarity
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash64(_docs(spark, sf_dir))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3).select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.text_quality(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_counts(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.doc_fingerprint(_docs(spark, sf_dir))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _embs(spark, sf_dir)
+    out = similarity.cosine_topk(em, em.filter(F.col("vec_id") < 8), k=10)
+    return out.select("query_id", "vec_id", "cos_mu", F.col("rank").cast("long").alias("rank"))
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _embs(spark, sf_dir)
+    out = similarity.lsh_ann_topk(em, em.filter(F.col("vec_id") < 32), k=10)
+    return out.select("query_id", "vec_id", "cos_mu", F.col("rank").cast("long").alias("rank"))
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_neardup_pairs(_embs(spark, sf_dir), threshold_mu=950_000)
+
+
+# ---------------------------------------------------------------------------
+# Queries — SQL-surface passthrough (aggregation/window/set ops)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.withColumn("qty_c", _cents(F.col("l_quantity")))
+        .withColumn("price_c", _cents(F.col("l_extendedprice")))
+        .withColumn("disc_price_c", _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qty_c").alias("sum_qty_c"),
+            F.sum("price_c").alias("sum_price_c"),
+            F.sum("disc_price_c").alias("sum_disc_price_c"),
+        )
+    )
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            _cents(F.col("o_totalprice")).alias("price_c"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Queries — image pipeline (no SQL oracle: engine-generated fixture input)
+# ---------------------------------------------------------------------------
+
+def q_image_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources import images as img
+
+    n = 2000 if "0.1" in sf_dir.rstrip("/").rsplit("sf", 1)[-1] else 500
+    df = img.generate_images(spark, n)
+    out = tiling.tile_counts(df, [6], point_id="image_id")
+    return out.select(F.col("level").cast("long").alias("level"), "tile_x", "tile_y", "n_images")
+
+
+def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import geo_udfs
+    from .sources import images as img
+
+    df = img.generate_images(spark, 300)
+    means = df.mapInPandas(
+        geo_udfs.decode_mean_pixel,
+        "image_id string, mean_r double, mean_g double, mean_b double",
+    )
+    return means.select(
+        "image_id", _mu(F.col("mean_r")).alias("mean_r_mu"), _mu(F.col("mean_g")).alias("mean_g_mu")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL
+# ---------------------------------------------------------------------------
+
+def _oracle_pip_join() -> str:
+    return (
+        f"WITH {EV_CTE}, {_sql_poly_values(PIP_POLYGONS)} "
+        f"SELECT e.event_id, p.polygon_id FROM ev e JOIN p ON {_SQL_PIP_PRED}"
+    )
+
+
+def _oracle_pip_semi() -> str:
+    polys = [p for p in PIP_POLYGONS if p[0] != "world"]
+    return (
+        f"WITH {EV_CTE}, {_sql_poly_values(polys)} "
+        f"SELECT event_id, event_type, {sql_cents('value')} AS value_c FROM ev e "
+        f"WHERE EXISTS (SELECT 1 FROM p WHERE {_SQL_PIP_PRED})"
+    )
+
+
+def _oracle_pip_anti() -> str:
+    polys = [p for p in PIP_POLYGONS if p[0] != "world"]
+    return (
+        f"WITH {EV_CTE}, {_sql_poly_values(polys)} "
+        f"SELECT event_id, event_type, {sql_cents('value')} AS value_c FROM ev e "
+        f"WHERE NOT EXISTS (SELECT 1 FROM p WHERE {_SQL_PIP_PRED})"
+    )
+
+
+def _oracle_dwithin() -> str:
+    return (
+        f"WITH {EV_CTE}, {_sql_poly_values(DWITHIN_POLYGONS)} "
+        f"SELECT e.event_id, p.polygon_id FROM ev e JOIN p ON "
+        f"{_SQL_BOX_DIST} <= CAST({DWITHIN_RADIUS!r} AS DOUBLE)"
+    )
+
+
+def _oracle_knn() -> str:
+    return (
+        f"WITH {EV_CTE}, "
+        "q AS (SELECT event_id AS query_id, lon AS qlon, lat AS qlat FROM ev WHERE event_id < 16), "
+        "cand AS (SELECT q.query_id, e.event_id, "
+        "sqrt((e.lon - q.qlon) * (e.lon - q.qlon) + (e.lat - q.qlat) * (e.lat - q.qlat)) AS dist "
+        "FROM ev e CROSS JOIN q), "
+        "flt AS (SELECT * FROM cand WHERE dist <= CAST(3.0 AS DOUBLE)), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, event_id ASC) AS rank FROM flt) "
+        f"SELECT query_id, event_id, {sql_mu('dist')} AS dist_mu, CAST(rank AS BIGINT) AS rank "
+        "FROM r WHERE rank <= 5"
+    )
+
+
+def _oracle_range() -> str:
+    x0, y0, x1, y1 = RANGE_BBOX
+    return (
+        f"WITH {EV_CTE} SELECT event_id, event_type, {sql_cents('value')} AS value_c FROM ev "
+        f"WHERE lon >= CAST({x0!r} AS DOUBLE) AND lon <= CAST({x1!r} AS DOUBLE) "
+        f"AND lat >= CAST({y0!r} AS DOUBLE) AND lat <= CAST({y1!r} AS DOUBLE)"
+    )
+
+
+def _oracle_cell_ids() -> str:
+    in10, out10 = sql_cell_select(10, "cell10")
+    in4, out4 = sql_cell_select(4, "cell4")
+    return (
+        f"WITH {EV_CTE}, g AS (SELECT event_id, {in10}, {in4} FROM ev) "
+        f"SELECT event_id, cell10, cell4 FROM (SELECT event_id, {out10}, {out4} FROM g)"
+    )
+
+
+def _oracle_subsample() -> str:
+    in8, out8 = sql_cell_select(8, "cell")
+    return (
+        f"WITH {EV_CTE}, g AS (SELECT event_id, {in8} FROM ev), "
+        f"c AS (SELECT event_id, {out8} FROM g) "
+        "SELECT cell, min(event_id) AS keep_id, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY cell"
+    )
+
+
+def _oracle_tiles(levels: list[int]) -> str:
+    parts = [
+        (
+            f"SELECT event_id, CAST({lvl} AS BIGINT) AS level, "
+            f"{sql_tile('x', 'lon', lvl)} AS tile_x, {sql_tile('y', 'lat', lvl)} AS tile_y FROM ev"
+        )
+        for lvl in levels
+    ]
+    return f"WITH {EV_CTE} " + " UNION ALL ".join(parts)
+
+
+def _oracle_tile_counts(level: int) -> str:
+    return (
+        f"WITH {EV_CTE} SELECT CAST({level} AS BIGINT) AS level, "
+        f"{sql_tile('x', 'lon', level)} AS tile_x, {sql_tile('y', 'lat', level)} AS tile_y, "
+        "CAST(count(*) AS BIGINT) AS n_images FROM ev GROUP BY tile_x, tile_y"
+    )
+
+
+def _oracle_kde(level: int = 6) -> str:
+    nx, ny = 1 << (level + 1), 1 << level
+    offs = ", ".join(f"({dx}, {dy}, {w})" for dx, dy, w in kde.gaussian_offsets_mu())
+    return (
+        f"WITH {EV_CTE}, "
+        f"base AS (SELECT "
+        f"least(greatest(CAST(floor(((lon + CAST(180.0 AS DOUBLE)) / CAST(360.0 AS DOUBLE)) * CAST({float(nx)} AS DOUBLE)) AS BIGINT), 0), {nx - 1}) AS cx, "
+        f"least(greatest(CAST(floor(((lat + CAST(90.0 AS DOUBLE)) / CAST(180.0 AS DOUBLE)) * CAST({float(ny)} AS DOUBLE)) AS BIGINT), 0), {ny - 1}) AS cy "
+        "FROM ev), "
+        f"offs(dx, dy, w) AS (VALUES {offs}), "
+        f"sm AS (SELECT ((cx + dx) % {nx} + {nx}) % {nx} AS x, cy + dy AS y, w "
+        f"FROM base CROSS JOIN offs WHERE cy + dy >= 0 AND cy + dy < {ny}), "
+        "agg AS (SELECT x, y, CAST(sum(w) AS BIGINT) AS weight_mu FROM sm GROUP BY x, y) "
+        f"SELECT CAST({level} AS BIGINT) AS level, x, y, weight_mu, "
+        f"{sql_mu('weight_mu / max(weight_mu) OVER ()')} AS norm_mu, "
+        f"{sql_mu('percent_rank() OVER (ORDER BY weight_mu ASC)')} AS pct_mu FROM agg"
+    )
+
+
+def _oracle_stats_summary() -> str:
+    return (
+        f"WITH {EV_CTE} SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+        f"{sql_mu('min(value)')} AS min_value_mu, {sql_mu('max(value)')} AS max_value_mu, "
+        "CAST(epoch_us(min(ts)) AS BIGINT) AS min_ts_us, CAST(epoch_us(max(ts)) AS BIGINT) AS max_ts_us, "
+        f"{sql_mu('min(lon)')} AS min_lon_mu, {sql_mu('max(lon)')} AS max_lon_mu, "
+        f"{sql_mu('min(lat)')} AS min_lat_mu, {sql_mu('max(lat)')} AS max_lat_mu "
+        "FROM ev GROUP BY event_type"
+    )
+
+
+def _oracle_histogram() -> str:
+    return (
+        "SELECT CAST(floor(value / CAST(5.0 AS DOUBLE)) AS BIGINT) AS bin, "
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY bin"
+    )
+
+
+def _oracle_dedup_exact() -> str:
+    return (
+        f"SELECT {sql_h60('text')} AS text_hash, min(doc_id) AS keep_id, "
+        "CAST(count(*) AS BIGINT) AS n_dups FROM documents GROUP BY text_hash"
+    )
+
+
+_SQL_DOC_SHINGLES = (
+    "sh AS (SELECT DISTINCT doc_id, shingle FROM "
+    f"(SELECT doc_id, unnest({sql_shingles(SQL_TOKS)}) AS shingle FROM documents))"
+)
+
+
+def _oracle_jaccard(threshold: float = 0.5) -> str:
+    return (
+        f"WITH {_SQL_DOC_SHINGLES}, "
+        "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i "
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY doc_a, doc_b), "
+        "j AS (SELECT doc_a, doc_b, i / (sa.n_sh + sb.n_sh - i) AS jac FROM inter "
+        "JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b) "
+        f"SELECT doc_a, doc_b, {sql_mu('jac')} AS jaccard_mu FROM j WHERE jac >= CAST({threshold!r} AS DOUBLE)"
+    )
+
+
+def _oracle_minhash(n_perm: int = 16, bands: int = 4) -> str:
+    rpb = n_perm // bands
+    h = sql_h60("CAST(perm AS VARCHAR) || ':' || shingle")
+    hb = sql_h60("string_agg(CAST(sig AS VARCHAR), ',' ORDER BY perm)")
+    return (
+        f"WITH {_SQL_DOC_SHINGLES}, "
+        f"sigs AS (SELECT doc_id, perm, min({h}) AS sig FROM sh "
+        f"CROSS JOIN (SELECT unnest(range({n_perm})) AS perm) GROUP BY doc_id, perm), "
+        f"bands AS (SELECT doc_id, perm // {rpb} AS band, {hb} AS bucket FROM sigs GROUP BY doc_id, band) "
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a "
+        "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"
+    )
+
+
+_SQL_SIMHASH = (
+    "toks AS (SELECT DISTINCT doc_id, tok FROM "
+    f"(SELECT doc_id, unnest({SQL_TOKS}) AS tok FROM documents)), "
+    f"th AS (SELECT doc_id, {sql_h60('tok')} AS h FROM toks), "
+    "votes AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s "
+    "FROM th CROSS JOIN (SELECT unnest(range(60)) AS j) GROUP BY doc_id, j), "
+    "sh AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) "
+    "AS simhash FROM votes GROUP BY doc_id)"
+)
+
+
+def _oracle_simhash() -> str:
+    return f"WITH {_SQL_SIMHASH} SELECT doc_id, simhash FROM sh"
+
+
+def _oracle_simhash_pairs(max_hamming: int = 3) -> str:
+    return (
+        f"WITH {_SQL_SIMHASH} "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+        f"AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"
+    )
+
+
+_SQL_STOP_EN = ", ".join(f"'{w}'" for w in textstats.STOPWORDS["en"])
+
+
+def _oracle_text_quality() -> str:
+    alpha = "length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / greatest(length(text), 1)"
+    return (
+        f"WITH d AS (SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents) "
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(len(toks) AS BIGINT) AS n_tokens, "
+        f"{sql_mu('coalesce(list_sum(list_transform(toks, x -> length(x))), 0) / greatest(len(toks), 1)')} AS avg_token_len_mu, "
+        f"{sql_mu(f'len(list_filter(toks, x -> x IN ({_SQL_STOP_EN}))) / greatest(len(toks), 1)')} AS stopword_ratio_mu, "
+        f"{sql_mu(alpha)} AS alpha_ratio_mu "
+        "FROM d"
+    )
+
+
+def _oracle_lang_id() -> str:
+    langs = sorted(textstats.STOPWORDS)
+    hits = ", ".join(
+        f"CAST(len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in textstats.STOPWORDS[g])}))) AS BIGINT) AS _{g}"
+        for g in langs
+    )
+    best = f"greatest({', '.join('_' + g for g in langs)})"
+    case = " ".join(f"WHEN _{g} = best AND best > 0 THEN '{g}'" for g in langs)
+    return (
+        f"WITH d AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents), "
+        f"s AS (SELECT doc_id, {hits} FROM d), "
+        f"b AS (SELECT *, {best} AS best FROM s) "
+        f"SELECT doc_id, CASE {case} ELSE 'und' END AS lang_guess, best AS hits FROM b"
+    )
+
+
+def _oracle_token_counts() -> str:
+    return (
+        f"WITH d AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents) "
+        "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_ws_tokens, "
+        "CAST(coalesce(list_sum(list_transform(toks, x -> (length(x) + 3) // 4)), 0) AS BIGINT) AS n_bpe_tokens "
+        "FROM d"
+    )
+
+
+def _oracle_fingerprint() -> str:
+    h = sql_h60("x")
+    return (
+        f"WITH d AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents) "
+        "SELECT doc_id, CAST(list_reduce(list_concat([CAST(0 AS BIGINT)], "
+        f"list_transform(toks, x -> {h})), "
+        f"(a, b) -> (a * 31 + b) % {dedup.MOD40}) AS BIGINT) AS fingerprint FROM d"
+    )
+
+
+_SQL_COS = (
+    "list_dot_product(a, b) / (sqrt(list_dot_product(a, a)) * sqrt(list_dot_product(b, b)))"
+)
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _oracle_ann_topk(k: int = 10, nq: int = 8) -> str:
+    return (
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), "
+        f"q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {nq}), "
+        f"cand AS (SELECT q.query_id, v.vec_id, {sql_mu(_sql_cos('q.qe', 'v.e'))} AS cos_mu "
+        "FROM v CROSS JOIN q), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_mu DESC, vec_id ASC) AS rank FROM cand) "
+        f"SELECT query_id, vec_id, cos_mu, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= {k}"
+    )
+
+
+def _sql_bucket(e: str, n_planes: int = 12) -> str:
+    planes = similarity.hyperplane_components(n_planes)
+    terms = []
+    for i, comps in enumerate(planes):
+        arr = "[" + ", ".join(f"CAST({float(c)!r} AS DOUBLE)" for c in comps) + "]"
+        terms.append(f"(CASE WHEN list_dot_product({e}, {arr}) > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _oracle_ann_lsh(k: int = 10, nq: int = 32) -> str:
+    return (
+        "WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), "
+        f"v AS (SELECT vec_id, e, {_sql_bucket('e')} AS bucket FROM v0), "
+        f"q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM v WHERE vec_id < {nq}), "
+        f"cand AS (SELECT q.query_id, v.vec_id, {sql_mu(_sql_cos('q.qe', 'v.e'))} AS cos_mu "
+        "FROM v JOIN q ON v.bucket = q.bucket), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_mu DESC, vec_id ASC) AS rank FROM cand) "
+        f"SELECT query_id, vec_id, cos_mu, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= {k}"
+    )
+
+
+def _oracle_embed_neardup(threshold_mu: int = 950_000) -> str:
+    return (
+        "WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), "
+        f"v AS (SELECT vec_id, e, {_sql_bucket('e')} AS bucket FROM v0), "
+        f"c AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {sql_mu(_sql_cos('a.e', 'b.e'))} AS cos_mu "
+        "FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) "
+        f"SELECT vec_a, vec_b, cos_mu FROM c WHERE cos_mu >= {threshold_mu}"
+    )
+
+
+def _oracle_pricing() -> str:
+    return (
+        "SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(sum({sql_cents('l_quantity')}) AS BIGINT) AS sum_qty_c, "
+        f"CAST(sum({sql_cents('l_extendedprice')}) AS BIGINT) AS sum_price_c, "
+        f"CAST(sum({sql_cents('l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)')}) AS BIGINT) AS sum_disc_price_c "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    )
+
+
+def _oracle_window_topk() -> str:
+    return (
+        "SELECT o_custkey, o_orderkey, price_c, CAST(rank AS BIGINT) AS rank FROM ("
+        f"SELECT o_custkey, o_orderkey, {sql_cents('o_totalprice')} AS price_c, "
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank "
+        "FROM orders) WHERE rank <= 3"
+    )
+
+
+def _oracle_set_except() -> str:
+    return (
+        "SELECT c_custkey FROM customer "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Public registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pip_join_tiered": q_pip_join,
+    "pip_join_semi": q_pip_semi,
+    "pip_join_anti": q_pip_anti,
+    "dwithin_join": q_dwithin_join,
+    "knn_join": q_knn_join,
+    "range_query": q_range_query,
+    "cell_ids": q_cell_ids,
+    "subsample_cells": q_subsample,
+    "tile_assignment": q_tile_assignment,
+    "tile_counts_l8": q_tile_counts,
+    "tile_pyramid_rollup": q_tile_pyramid,
+    "kde_l6": q_kde,
+    "stats_summary": q_stats_summary,
+    "histogram_value": q_histogram,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "simhash64": q_simhash,
+    "dedup_simhash_pairs": q_simhash_pairs,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "token_counts": q_token_counts,
+    "doc_fingerprint": q_fingerprint,
+    "ann_cosine_topk": q_ann_topk,
+    "ann_lsh_bucketed": q_ann_lsh,
+    "dedup_embedding_cosine": q_embed_neardup,
+    "agg_pricing_summary": q_pricing_summary,
+    "window_topk_orders": q_window_topk,
+    "set_except_customers": q_set_except,
+    "image_tile_counts": q_image_tile_counts,
+    "image_decode_stats": q_image_decode_stats,
+}
+
+
+def build_oracles() -> dict[str, str]:
+    return {
+        "pip_join_tiered": _oracle_pip_join(),
+        "pip_join_semi": _oracle_pip_semi(),
+        "pip_join_anti": _oracle_pip_anti(),
+        "dwithin_join": _oracle_dwithin(),
+        "knn_join": _oracle_knn(),
+        "range_query": _oracle_range(),
+        "cell_ids": _oracle_cell_ids(),
+        "subsample_cells": _oracle_subsample(),
+        "tile_assignment": _oracle_tiles([4, 8, 12]),
+        "tile_counts_l8": _oracle_tile_counts(8),
+        "tile_pyramid_rollup": _oracle_tile_counts(5),
+        "kde_l6": _oracle_kde(6),
+        "stats_summary": _oracle_stats_summary(),
+        "histogram_value": _oracle_histogram(),
+        "dedup_exact": _oracle_dedup_exact(),
+        "dedup_ngram_jaccard": _oracle_jaccard(),
+        "dedup_minhash_lsh": _oracle_minhash(),
+        "simhash64": _oracle_simhash(),
+        "dedup_simhash_pairs": _oracle_simhash_pairs(),
+        "text_quality": _oracle_text_quality(),
+        "lang_id": _oracle_lang_id(),
+        "token_counts": _oracle_token_counts(),
+        "doc_fingerprint": _oracle_fingerprint(),
+        "ann_cosine_topk": _oracle_ann_topk(),
+        "ann_lsh_bucketed": _oracle_ann_lsh(),
+        "dedup_embedding_cosine": _oracle_embed_neardup(),
+        "agg_pricing_summary": _oracle_pricing(),
+        "window_topk_orders": _oracle_window_topk(),
+        "set_except_customers": _oracle_set_except(),
+        # image_* : engine-generated fixture input → rows-only check
+    }

@@ -81,3 +81,65 @@ def kde(
         .withColumn("percentile", F.percent_rank().over(w_rank))
         .select("level", "x", "y", "weight", "normalized", "percentile")
     )
+
+
+def gaussian_offsets_mu(radius: int = RADIUS, sigma: float = SIGMA) -> list[tuple[int, int, int]]:
+    """Kernel weights as exact integer micro-units — makes the per-cell sums
+    order-independent bigint arithmetic, bit-identical across engines."""
+    return [
+        (dx, dy, int(math.floor(w * 1e6 + 0.5)))
+        for dx, dy, w in gaussian_offsets(radius, sigma)
+    ]
+
+
+def kde_exact(
+    points: DataFrame,
+    level: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    radius: int = RADIUS,
+    sigma: float = SIGMA,
+) -> DataFrame:
+    """Integer-exact KDE: (level, x, y, weight_mu, norm_mu, pct_mu).
+
+    Identical plan to :func:`kde`, but kernel weights are integer
+    micro-units so the groupBy sum is exact bigint math, and the two
+    derived bands are re-quantized — the cross-engine-reproducible flavor
+    used by the correctness gate.
+    """
+    nx, ny = 1 << (level + 1), 1 << level
+    pts = add_point_cols(points, lon_col, lat_col)
+    cx = F.least(
+        F.greatest(F.floor((F.col(lon_col) + 180.0) / 360.0 * nx).cast("long"), F.lit(0)),
+        F.lit(nx - 1),
+    )
+    cy = F.least(
+        F.greatest(F.floor((F.col(lat_col) + 90.0) / 180.0 * ny).cast("long"), F.lit(0)),
+        F.lit(ny - 1),
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(w).cast("long").alias("w"))
+            for dx, dy, w in gaussian_offsets_mu(radius, sigma)
+        ]
+    )
+    smeared = (
+        pts.select(cx.alias("_cx"), cy.alias("_cy"))
+        .withColumn("_o", F.explode(offs))
+        .select(
+            F.pmod(F.col("_cx") + F.col("_o.dx"), F.lit(nx)).alias("x"),
+            (F.col("_cy") + F.col("_o.dy")).alias("y"),
+            F.col("_o.w").alias("w"),
+        )
+        .filter((F.col("y") >= 0) & (F.col("y") < ny))
+    )
+    agg = smeared.groupBy("x", "y").agg(F.sum("w").alias("weight_mu"))
+    w_all = Window.partitionBy()
+    w_rank = Window.partitionBy().orderBy(F.col("weight_mu").asc())
+    mu = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
+    return (
+        agg.withColumn("level", F.lit(level).cast("long"))
+        .withColumn("norm_mu", mu(F.col("weight_mu") / F.max("weight_mu").over(w_all)))
+        .withColumn("pct_mu", mu(F.percent_rank().over(w_rank)))
+        .select("level", "x", "y", "weight_mu", "norm_mu", "pct_mu")
+    )

@@ -103,9 +103,10 @@ def knn_join(
     right = F.broadcast(q) if broadcast_queries else q
     cand = pts.join(right, "key")
 
-    dist = F.sqrt(
-        (F.col("_p_lon") - F.col("_q_lon")) ** 2 + (F.col("_p_lat") - F.col("_q_lat")) ** 2
-    )
+    # explicit products (not pow) → bit-identical to the SQL oracle's dx*dx+dy*dy
+    dx = F.col("_p_lon") - F.col("_q_lon")
+    dy = F.col("_p_lat") - F.col("_q_lat")
+    dist = F.sqrt(dx * dx + dy * dy)
     cand = (
         cand.withColumn("dist", dist)
         .filter(F.col("dist") <= F.col(maxd_col))

@@ -1,0 +1,170 @@
+"""Similarity search over an embedding column (`array<float>`).
+
+Brute-force cosine top-k is the correctness baseline; the scale path is the
+LSH-bucketed variant (random-hyperplane signatures → bucket equi-join →
+cosine refine within bucket).  The same cell-keyed-equi-join shape as the
+spatial tiered join — buckets play the role of SFC cells.
+
+All math is built-in column algebra: `zip_with` for the element products,
+`aggregate` for the fold — JVM-side, no Python.  Cosines are emitted in
+integer micro-units (`floor(x*1e6+0.5)`) so results are order-independent
+and exactly reproducible by the DuckDB oracle; ranking uses the micro value
+with id tie-breaks, so ranks are deterministic across engines.
+
+Hyperplane components are derived from the shared 60-bit md5 hash
+(`h60("i:d") % 2001 - 1000`), making the LSH bucketing itself
+cross-engine-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import h60
+
+DIM = 64  # embedding dimensionality of the input tables
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic evaluation order)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm2(a: Column) -> Column:
+    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def cosine_mu(a: Column, b: Column) -> Column:
+    """Cosine similarity in exact integer micro-units."""
+    c = dot(a, b) / (F.sqrt(norm2(a)) * F.sqrt(norm2(b)))
+    return F.floor(c * 1e6 + F.lit(0.5)).cast("long")
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Brute-force cosine top-k: (query_id, vec_id, cos_mu, rank).
+
+    The query side broadcasts; the vector side streams through one codegen
+    stage — at 100 TB this is a single scan with zero shuffle except the
+    final per-query top-k (tiny after the rank filter).
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id), _as_double(F.col(vec_col)).alias("_qv")
+    )
+    v = vectors.select(F.col(id_col).alias(id_col), _as_double(F.col(vec_col)).alias("_vv"))
+    cand = v.crossJoin(F.broadcast(q) if broadcast_queries else q).withColumn(
+        "cos_mu", cosine_mu(F.col("_qv"), F.col("_vv"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos_mu").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "cos_mu", "rank")
+    )
+
+
+def hyperplane_components(n_planes: int, dim: int = DIM) -> list[list[int]]:
+    """Deterministic integer hyperplane components in [-1000, 1000].
+
+    Pure function of (plane, dim) via the shared md5 hash — replicated
+    verbatim by the oracle SQL.  Computed driver-side (tiny) and inlined as
+    literals into the plan.
+    """
+    import hashlib
+
+    out = []
+    for i in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:15], 16)
+            row.append(h % 2001 - 1000)
+        out.append(row)
+    return out
+
+
+def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
+    """Random-hyperplane signature: bit i = [dot(vec, plane_i) > 0]."""
+    b = F.lit(0).cast("long")
+    for i, comps in enumerate(planes):
+        plane = F.array(*[F.lit(float(c)) for c in comps])
+        b = b + F.when(dot(vec, plane) > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return b
+
+
+def lsh_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: candidates share the query's bucket.
+
+    (query_id, vec_id, cos_mu, rank) — rank within bucket.  At scale the
+    bucket column becomes the table's partition/cluster key, so the
+    equi-join prunes to matching buckets only (the ANN analog of the
+    tiered cell join).
+    """
+    planes = hyperplane_components(n_planes)
+    q = queries.select(
+        F.col(id_col).alias(query_id),
+        _as_double(F.col(vec_col)).alias("_qv"),
+    ).withColumn("bucket", lsh_bucket(F.col("_qv"), planes))
+    v = vectors.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_vv")
+    ).withColumn("bucket", lsh_bucket(F.col("_vv"), planes))
+    cand = v.join(F.broadcast(q), "bucket").withColumn(
+        "cos_mu", cosine_mu(F.col("_qv"), F.col("_vv"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos_mu").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "cos_mu", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    threshold_mu: int = 950_000,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold, LSH-bucket candidates.
+
+    Exact-verify within bucket; high-cosine pairs almost surely share all
+    hyperplane signs, so the bucket join is the correct scale plan (the
+    brute-force oracle confirms recall at test scale).
+    """
+    planes = hyperplane_components(n_planes)
+    v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v")).withColumn(
+        "bucket", lsh_bucket(F.col("_v"), planes)
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(b, F.col("a.bucket") == F.col("b.bucket"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn("cos_mu", cosine_mu(F.col("a._v"), F.col("b._v")))
+        .filter(F.col("cos_mu") >= threshold_mu)
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            "cos_mu",
+        )
+    )

@@ -1,0 +1,140 @@
+"""Statistics aggregations, fixed-resolution subsampling, range lookups.
+
+Spark twins of the reference's ingest-maintained statistics and query paths:
+
+* ``table_stats`` — CountDataStatistics / BoundingBoxDataStatistics /
+  TimeRangeDataStatistics / NumericRangeDataStatistics (SURVEY.md §1.6,
+  core/geotime/.../statistics/BoundingBoxDataStatistics.java:27,107,138)
+  as one partial+final aggregation (Catalyst does the merge).
+* ``fixed_bin_histogram`` — FixedBinNumericStatistics as floor-bucket
+  groupBy.
+* ``subsample_cells`` — fixed-resolution render subsampling: keep one row
+  per coarse SFC cell (NativeEntryIteratorWrapper.java:47-58,160-166) as
+  ``groupBy(coarse_cell).agg(min(id))``.
+* ``range_lookup`` — bbox query via driver-side cell-cover computation
+  pushed down as a sargable cell filter + exact bbox refine — the
+  DataStore.query range-planning path (TieredSFCIndexStrategy
+  .getQueryRanges:109-158) re-expressed as Catalyst filters that reach the
+  Parquet/Iceberg scan (PushedFilters), then min-max/partition pruning does
+  what the KV range scan did.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import cells, sqlcells
+from .spatial_join import add_point_cols
+
+
+def _micros(col):
+    return F.floor(col * 1e6 + F.lit(0.5)).cast("long")
+
+
+def table_stats(
+    points: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Per-group count / numeric range / time range / bbox — the statistics
+    family as one aggregation; doubles in exact micro-units."""
+    pts = add_point_cols(points, lon_col, lat_col)
+    return pts.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        _micros(F.min(value_col)).alias("min_value_mu"),
+        _micros(F.max(value_col)).alias("max_value_mu"),
+        # NTZ-safe epoch micros (tz-independent; DuckDB twin: epoch_us(ts))
+        F.expr(
+            f"timestampdiff(MICROSECOND, CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), min({ts_col}))"
+        ).alias("min_ts_us"),
+        F.expr(
+            f"timestampdiff(MICROSECOND, CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), max({ts_col}))"
+        ).alias("max_ts_us"),
+        _micros(F.min(lon_col)).alias("min_lon_mu"),
+        _micros(F.max(lon_col)).alias("max_lon_mu"),
+        _micros(F.min(lat_col)).alias("min_lat_mu"),
+        _micros(F.max(lat_col)).alias("max_lat_mu"),
+    )
+
+
+def fixed_bin_histogram(
+    df: DataFrame, value_col: str = "value", bin_width: float = 5.0
+) -> DataFrame:
+    """FixedBinNumericStatistics: floor-bucket counts (map-side combinable)."""
+    return (
+        df.select(F.floor(F.col(value_col) / F.lit(bin_width)).cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def subsample_cells(
+    points: DataFrame,
+    tier: int,
+    id_col: str = "event_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Fixed-resolution subsampling: one representative row per tier-t cell.
+
+    (cell, keep_id, n) — `min(id)` is the deterministic representative;
+    the reference keeps the first row per coarse SFC prefix, which is
+    scan-order-dependent, so we pin min(id) for reproducibility.
+    """
+    pts = add_point_cols(points, lon_col, lat_col)
+    cell = sqlcells.cell_at_tier_expr(F.col("_cell31"), tier)
+    return (
+        pts.select(cell.alias("cell"), F.col(id_col))
+        .groupBy("cell")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def range_lookup(
+    points: DataFrame,
+    bbox: tuple[float, float, float, float],
+    max_cells: int = 256,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    loose: bool = False,
+) -> DataFrame:
+    """All point rows inside bbox, planned like the reference's range query:
+
+    1. driver-side: adaptive cell cover of the bbox (numpy, closed-form) —
+       the analog of getQueryRanges' per-tier SFC range decomposition;
+    2. sargable filter `cell_at_tier(point) IN cover` — whole-stage codegen,
+       prunable by Iceberg/Parquet min-max on a cell-sorted layout;
+    3. exact bbox refine in plain SQL comparisons (skipped when loose=True,
+       the IndexOnlySpatialQuery semantics).
+    """
+    tier = cells.tier_for_bbox(bbox, max_dup=max_cells)
+    cover = cells.cells_for_bbox_at_tier(bbox, tier)
+    pts = add_point_cols(points, lon_col, lat_col)
+    cell = sqlcells.cell_at_tier_expr(F.col("_cell31"), tier)
+    out = pts.filter(cell.isin([int(c) for c in cover]))
+    if not loose:
+        lon0, lat0, lon1, lat1 = bbox
+        refine = (F.col(lat_col) >= lat0) & (F.col(lat_col) <= lat1)
+        if lon0 <= lon1 and lon1 <= 180.0:
+            refine &= (F.col(lon_col) >= lon0) & (F.col(lon_col) <= lon1)
+        else:  # antimeridian (unwrapped lon1 > 180 or wrapped lon0 > lon1)
+            hi = lon1 - 360.0 if lon1 > 180.0 else lon1
+            refine &= (F.col(lon_col) >= lon0) | (F.col(lon_col) <= hi)
+        out = out.filter(refine)
+    return out
+
+
+def approx_stats(df: DataFrame, col: str) -> DataFrame:
+    """Sketch statistics — HyperLogLog distinct + CountMinSketch analog
+    (FeatureHyperLogLogStatistics / FeatureCountMinSketchStatistics,
+    extensions/adapters/vector/.../stats/).  Approximate by design: no
+    oracle entry; exercised in tests for sanity bounds."""
+    return df.agg(
+        F.approx_count_distinct(col).alias("approx_distinct"),
+        F.count(col).alias("n"),
+    )

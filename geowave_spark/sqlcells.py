@@ -98,6 +98,29 @@ def tile_y_expr(lat: Column, level: int) -> Column:
     return F.least(F.greatest(t, F.lit(0)), F.lit(ny - 1))
 
 
+# ---------------------------------------------------------------------------
+# Cross-engine deterministic hash + derived point coordinates
+# ---------------------------------------------------------------------------
+
+def h60_expr(col: Column) -> Column:
+    """60-bit md5-derived hash; DuckDB twin:
+    ``('0x' || substr(md5(x),1,15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def derived_lon(id_col: Column) -> Column:
+    """Deterministic lon from an integer id (1e-4° grid) — gives any keyed
+    table a synthetic point geometry, identically in Spark and DuckDB
+    (oracle: ``(h60('lon:' || id) % 3600000)/10000.0 - 180.0``)."""
+    h = h60_expr(F.concat(F.lit("lon:"), id_col.cast("string")))
+    return F.pmod(h, F.lit(3_600_000)).cast("double") / F.lit(10_000.0) - F.lit(180.0)
+
+
+def derived_lat(id_col: Column) -> Column:
+    h = h60_expr(F.concat(F.lit("lat:"), id_col.cast("string")))
+    return F.pmod(h, F.lit(1_800_000)).cast("double") / F.lit(10_000.0) - F.lit(90.0)
+
+
 def salt_expr(cell: Column, n_salts: int) -> Column:
     """Hot-cell salting prefix — our analog of RoundRobinKeyIndexStrategy /
     HashKeyIndexStrategy partition prefixes (SURVEY.md §1.2)."""
