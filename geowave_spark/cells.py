@@ -296,6 +296,23 @@ def trim_cells_to_geom(
     return cells[keep]
 
 
+def ranges_for_cover(cover: np.ndarray) -> list[tuple[int, int]]:
+    """Merge a sorted cover's consecutive cell ids into inclusive ranges.
+
+    The reference's query planning emits SFC *ranges*, not cell lists
+    (TieredSFCIndexStrategy.getQueryRanges → SinglePartitionQueryRanges);
+    Z-order covers of a grid rectangle contain long consecutive runs, so
+    ranges keep the pushed predicate small (and codegen compact).
+    """
+    if cover.size == 0:
+        return []
+    c = np.sort(np.asarray(cover, dtype=np.int64))
+    breaks = np.nonzero(np.diff(c) > 1)[0]
+    starts = np.concatenate(([0], breaks + 1))
+    ends = np.concatenate((breaks, [c.size - 1]))
+    return [(int(c[s]), int(c[e])) for s, e in zip(starts, ends)]
+
+
 # ---------------------------------------------------------------------------
 # Packed (tier, cell) key — one int64 join key
 # ---------------------------------------------------------------------------

@@ -266,6 +266,19 @@ def q_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extent_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General tiered join: derived per-event extents × polygon workload."""
+    ev = _events(spark, sf_dir)
+    ex = ev.select(
+        F.col("event_id").alias("extent_id"),
+        F.col("lon").alias("x0"),
+        F.col("lat").alias("y0"),
+        F.least(F.col("lon") + (F.lit(0.1) + F.col("value") / F.lit(25.0)), F.lit(180.0)).alias("x1"),
+        F.least(F.col("lat") + (F.lit(0.1) + F.col("value") / F.lit(50.0)), F.lit(90.0)).alias("y1"),
+    )
+    return spatial_join.tiered_extent_join(ex, _poly_df(spark, PIP_POLYGONS))
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     qs = (
@@ -292,11 +305,9 @@ def q_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cell_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    return ev.select(
-        "event_id",
-        sqlcells.cell_expr(F.col("lon"), F.col("lat"), 10).alias("cell10"),
-        sqlcells.cell_expr(F.col("lon"), F.col("lat"), 4).alias("cell4"),
-    )
+    ev = sqlcells.add_cell_column(ev, tier=10, out="cell10")
+    ev = sqlcells.add_cell_column(ev, tier=4, out="cell4")
+    return ev.select("event_id", "cell10", "cell4")
 
 
 def q_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,6 +446,14 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Queries — image pipeline (no SQL oracle: engine-generated fixture input)
 # ---------------------------------------------------------------------------
 
+def q_kmeans_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans + per-cluster convex hulls (iterative → rows-only check)."""
+    from .operators import kmeans
+
+    ev = _events(spark, sf_dir)
+    return kmeans.cluster_hulls(kmeans.kmeans_clusters(ev, k=8))
+
+
 def q_image_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import images as img
 
@@ -492,6 +511,25 @@ def _oracle_dwithin() -> str:
         f"WITH {EV_CTE}, {_sql_poly_values(DWITHIN_POLYGONS)} "
         f"SELECT e.event_id, p.polygon_id FROM ev e JOIN p ON "
         f"{_SQL_BOX_DIST} <= CAST({DWITHIN_RADIUS!r} AS DOUBLE)"
+    )
+
+
+def _oracle_extent_join() -> str:
+    """Brute-force bbox-intersect — validates the tiered machinery's recall
+    (the reference's brute-force IT design, GeoWaveSparkSpatialJoinIT)."""
+    vals = ", ".join(
+        f"('{pid}', CAST({x0!r} AS DOUBLE), CAST({y0!r} AS DOUBLE), "
+        f"CAST({x1!r} AS DOUBLE), CAST({y1!r} AS DOUBLE))"
+        for pid, x0, y0, x1, y1 in PIP_POLYGONS
+    )
+    return (
+        f"WITH {EV_CTE}, "
+        "ex AS (SELECT event_id AS extent_id, lon AS x0, lat AS y0, "
+        "least(lon + (CAST(0.1 AS DOUBLE) + value / CAST(25.0 AS DOUBLE)), CAST(180.0 AS DOUBLE)) AS x1, "
+        "least(lat + (CAST(0.1 AS DOUBLE) + value / CAST(50.0 AS DOUBLE)), CAST(90.0 AS DOUBLE)) AS y1 FROM ev), "
+        f"pb(polygon_id, px0, py0, px1, py1) AS (VALUES {vals}) "
+        "SELECT e.extent_id, p.polygon_id FROM ex e JOIN pb p ON "
+        "e.x0 <= p.px1 AND e.x1 >= p.px0 AND e.y0 <= p.py1 AND e.y1 >= p.py0"
     )
 
 
@@ -599,18 +637,21 @@ def _oracle_dedup_exact() -> str:
     )
 
 
-_SQL_DOC_SHINGLES = (
-    "sh AS (SELECT DISTINCT doc_id, shingle FROM "
-    f"(SELECT doc_id, unnest({sql_shingles(SQL_TOKS)}) AS shingle FROM documents))"
+_SQL_DOC_SHINGLE_HASHES = (
+    f"tkh AS (SELECT doc_id, list_transform({SQL_TOKS}, x -> {sql_h60('x')}) AS th FROM documents), "
+    "sh AS (SELECT DISTINCT doc_id, h FROM (SELECT doc_id, unnest("
+    "CASE WHEN len(th) >= 3 THEN list_transform(range(1, len(th) - 1), i -> "
+    f"((((0 * 31 + th[i]) % {dedup.MOD40}) * 31 + th[i + 1]) % {dedup.MOD40} * 31 + th[i + 2]) % {dedup.MOD40}) "
+    "ELSE [] END) AS h FROM tkh))"
 )
 
 
 def _oracle_jaccard(threshold: float = 0.5) -> str:
     return (
-        f"WITH {_SQL_DOC_SHINGLES}, "
+        f"WITH {_SQL_DOC_SHINGLE_HASHES}, "
         "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id), "
         "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i "
-        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY doc_a, doc_b), "
+        "FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY doc_a, doc_b), "
         "j AS (SELECT doc_a, doc_b, i / (sa.n_sh + sb.n_sh - i) AS jac FROM inter "
         "JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b) "
         f"SELECT doc_a, doc_b, {sql_mu('jac')} AS jaccard_mu FROM j WHERE jac >= CAST({threshold!r} AS DOUBLE)"
@@ -619,12 +660,14 @@ def _oracle_jaccard(threshold: float = 0.5) -> str:
 
 def _oracle_minhash(n_perm: int = 16, bands: int = 4) -> str:
     rpb = n_perm // bands
-    h = sql_h60("CAST(perm AS VARCHAR) || ':' || shingle")
+    coeffs = ", ".join(f"({i}, {a}, {b}, {c})" for i, (a, b, c) in enumerate(dedup.perm_coeffs(n_perm)))
     hb = sql_h60("string_agg(CAST(sig AS VARCHAR), ',' ORDER BY perm)")
     return (
-        f"WITH {_SQL_DOC_SHINGLES}, "
-        f"sigs AS (SELECT doc_id, perm, min({h}) AS sig FROM sh "
-        f"CROSS JOIN (SELECT unnest(range({n_perm})) AS perm) GROUP BY doc_id, perm), "
+        f"WITH {_SQL_DOC_SHINGLE_HASHES}, "
+        f"perms(perm, a, b, c) AS (VALUES {coeffs}), "
+        "sigs AS (SELECT doc_id, perm, "
+        f"min((a * (h >> 30) + b * (h & 1073741823) + c) % {dedup.P61}) AS sig "
+        "FROM sh CROSS JOIN perms GROUP BY doc_id, perm), "
         f"bands AS (SELECT doc_id, perm // {rpb} AS band, {hb} AS bucket FROM sigs GROUP BY doc_id, band) "
         "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a "
         "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"
@@ -795,6 +838,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pip_join_semi": q_pip_semi,
     "pip_join_anti": q_pip_anti,
     "dwithin_join": q_dwithin_join,
+    "extent_join_tiered": q_extent_join,
     "knn_join": q_knn_join,
     "range_query": q_range_query,
     "cell_ids": q_cell_ids,
@@ -820,6 +864,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_pricing_summary": q_pricing_summary,
     "window_topk_orders": q_window_topk,
     "set_except_customers": q_set_except,
+    "kmeans_hulls": q_kmeans_hulls,
     "image_tile_counts": q_image_tile_counts,
     "image_decode_stats": q_image_decode_stats,
 }
@@ -831,6 +876,7 @@ def build_oracles() -> dict[str, str]:
         "pip_join_semi": _oracle_pip_semi(),
         "pip_join_anti": _oracle_pip_anti(),
         "dwithin_join": _oracle_dwithin(),
+        "extent_join_tiered": _oracle_extent_join(),
         "knn_join": _oracle_knn(),
         "range_query": _oracle_range(),
         "cell_ids": _oracle_cell_ids(),

@@ -41,6 +41,21 @@ class Polygon:
             float(ext[:, 1].max()),
         )
 
+    def is_box(self) -> bool:
+        """True iff this is an axis-aligned rectangle without holes.
+
+        Box polygons take the engine's JVM-only refine fast path (plain SQL
+        comparisons instead of the pandas predicate UDF).
+        """
+        if len(self.rings) != 1:
+            return False
+        ext = self.rings[0]
+        if len(ext) != 5:
+            return False
+        x0, y0, x1, y1 = self.bbox
+        corners = {(x0, y0), (x1, y0), (x1, y1), (x0, y1)}
+        return {(float(p[0]), float(p[1])) for p in ext[:-1]} == corners
+
     # -- predicates (vectorized over n points) -----------------------------
 
     def contains(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:

@@ -66,12 +66,67 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def _doc_shingles(docs: DataFrame, text_col: str, id_col: str, w: int) -> DataFrame:
-    """(doc_id, shingle) distinct."""
+    """(doc_id, shingle) distinct.
+
+    Tokens are materialized as a column BEFORE shingling: passing the raw
+    tokenize expression into the higher-order transform would re-evaluate
+    the regexp split once per shingle index (observed ~150× slowdown).
+    """
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("_toks"))
     return (
-        docs.select(F.col(id_col).alias("doc_id"), shingles_col(tokens_col(F.col(text_col)), w).alias("_sh"))
+        toks.select("doc_id", shingles_col(F.col("_toks"), w).alias("_sh"))
         .select("doc_id", F.explode("_sh").alias("shingle"))
         .distinct()
     )
+
+
+def _doc_shingle_hashes(docs: DataFrame, text_col: str, id_col: str, w: int) -> DataFrame:
+    """(doc_id, h) distinct — shingle hashes computed ARITHMETICALLY from
+    per-token hashes, never materializing shingle strings:
+
+        h(shingle i) = fold over w tokens of (acc*31 + h60(tok)) mod 2^40
+
+    One md5 per token (not per shingle), and the shingle step is pure int64
+    array math.  40-bit space ⇒ ~0.03 expected collisions at 260k shingles,
+    and the oracle computes the identical function, so any collision is
+    shared — parity stays exact.  The _th array is materialized as a column
+    so the outer transform references an attribute (inlining it would
+    re-run the md5 map per shingle index).
+    """
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("_toks"))
+    th = toks.select("doc_id", F.transform(F.col("_toks"), lambda x: h60(x)).alias("_th"))
+    n = F.size(F.col("_th"))
+
+    def shingle_hash(i):
+        acc = F.lit(0).cast("long")
+        for j in range(w):
+            acc = (acc * 31 + F.element_at(F.col("_th"), i + j)) % F.lit(MOD40)
+        return acc
+
+    sh = F.when(
+        n >= w, F.transform(F.sequence(F.lit(1), n - (w - 1)), shingle_hash)
+    ).otherwise(F.array().cast("array<long>"))
+    return th.select("doc_id", F.explode(sh).alias("h")).distinct()
+
+
+P61 = (1 << 61) - 1  # Mersenne prime modulus for the affine perm hashes
+_M30 = (1 << 30) - 1
+
+
+def perm_coeffs(n_perm: int) -> list[tuple[int, int, int]]:
+    """Deterministic (a, b, c) coefficients < 2^30 for the affine universal
+    hash family g_i(h) = (a_i*hi + b_i*lo + c_i) mod (2^61-1), where
+    hi/lo split h's 60 bits.  All products stay < 2^60 — exact int64 in
+    both engines; md5-derived so the oracle replicates the literals."""
+    import hashlib
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return [
+        (h(f"mh:{i}:a") % (1 << 30) | 1, h(f"mh:{i}:b") % (1 << 30) | 1, h(f"mh:{i}:c") % (1 << 30))
+        for i in range(n_perm)
+    ]
 
 
 def ngram_jaccard_pairs(
@@ -87,12 +142,15 @@ def ngram_jaccard_pairs(
     counts → |A∩B| / (|A|+|B|−|A∩B|).  Output (doc_a, doc_b, jaccard_mu)
     with jaccard in exact integer micro-units.
     """
-    sh = _doc_shingles(docs, text_col, id_col, w)
+    # sh feeds three plan branches (sizes + both self-join sides) — persist
+    # once, like the reference's MEMORY_ONLY_SER reuse of reindexed RDDs
+    # (TieredSpatialJoin.java:346-353)
+    sh = _doc_shingle_hashes(docs, text_col, id_col, w).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        a.join(b, F.col("a.h") == F.col("b.h"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -115,13 +173,35 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     docs: DataFrame, n_perm: int = 16, w: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc_id, perm, sig): sig = min over shingles of h60(perm ':' shingle)."""
-    sh = _doc_shingles(docs, text_col, id_col, w)
+    """(doc_id, perm, sig): sig = min over shingles of the affine perm hash.
+
+    One md5 per shingle; the n_perm permutations are pure int64 column
+    arithmetic (a*hi + b*lo + c mod 2^61-1) — ~n_perm× cheaper than
+    hashing each (perm, shingle) pair.
+    """
+    sh = _doc_shingle_hashes(docs, text_col, id_col, w)
+    perms = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("perm"),
+                F.lit(a).cast("long").alias("a"),
+                F.lit(b).cast("long").alias("b"),
+                F.lit(c).cast("long").alias("c"),
+            )
+            for i, (a, b, c) in enumerate(perm_coeffs(n_perm))
+        ]
+    )
+    hi = F.expr("shiftrightunsigned(h, 30)")
+    lo = F.col("h").bitwiseAND(F.lit(_M30))
     return (
-        sh.withColumn("perm", F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))))
-        .withColumn("sig", h60(F.concat_ws(":", F.col("perm"), F.col("shingle"))))
+        sh.withColumn("_p", F.explode(perms))
+        .select(
+            "doc_id",
+            F.col("_p.perm").alias("perm"),
+            ((F.col("_p.a") * hi + F.col("_p.b") * lo + F.col("_p.c")) % F.lit(P61)).alias("g"),
+        )
         .groupBy("doc_id", "perm")
-        .agg(F.min("sig").alias("sig"))
+        .agg(F.min("g").alias("sig"))
     )
 
 
@@ -141,7 +221,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = n_perm // bands
     sig = minhash_signatures(docs, n_perm, w, text_col, id_col)
-    buckets = (
+    buckets_base = (
         sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")
         .agg(
@@ -156,6 +236,8 @@ def minhash_lsh_pairs(
         .withColumn("bucket", h60(F.col("_bandsig")))
         .select("doc_id", "band", "bucket")
     )
+    # both self-join sides would recompute the full signature pipeline
+    buckets = buckets_base.persist()
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -205,11 +287,15 @@ def simhash_pairs(
     """
     chunk_bits = bits // bands
     sh = simhash64(docs, bits, text_col, id_col)
-    chunks = sh.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1)))).withColumn(
-        "chunk",
-        F.expr(f"shiftrightunsigned(simhash, band * {chunk_bits})").bitwiseAND(
-            F.lit((1 << chunk_bits) - 1)
-        ),
+    chunks = (
+        sh.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
+        .withColumn(
+            "chunk",
+            F.expr(f"shiftrightunsigned(simhash, band * {chunk_bits})").bitwiseAND(
+                F.lit((1 << chunk_bits) - 1)
+            ),
+        )
+        .persist()  # reused by both self-join sides
     )
     a = chunks.alias("a")
     b = chunks.alias("b")

@@ -152,8 +152,10 @@ def embedding_neardup_pairs(
     brute-force oracle confirms recall at test scale).
     """
     planes = hyperplane_components(n_planes)
-    v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v")).withColumn(
-        "bucket", lsh_bucket(F.col("_v"), planes)
+    v = (
+        vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+        .withColumn("bucket", lsh_bucket(F.col("_v"), planes))
+        .persist()  # reused by both self-join sides
     )
     a = v.alias("a")
     b = v.alias("b")

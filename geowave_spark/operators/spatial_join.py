@@ -60,9 +60,7 @@ def add_point_cols(
         df = df.withColumn(lon_col, sqlcells.lon_from_phash(F.col(phash_col))).withColumn(
             lat_col, sqlcells.lat_from_phash(F.col(phash_col))
         )
-    return df.withColumn(
-        "_cell31", sqlcells.cell_expr(F.col(lon_col), F.col(lat_col), cells.MAX_TIER)
-    )
+    return sqlcells.add_cell_column(df, lon_col, lat_col, cells.MAX_TIER, "_cell31")
 
 
 def _point_keys_expr(tiers: list[int]) -> Column:
@@ -83,12 +81,89 @@ def polygon_cover(
     max_cells: int = cells.JOIN_MAX_CELLS,
     buffer: float = 0.0,
 ) -> DataFrame:
-    """Polygon side → exploded (id, wkt, key) covering-cell frame."""
+    """Polygon side → exploded (id, wkt, key) covering-cell frame.
+
+    Distributed path for polygon sets too large to collect; the broadcast
+    path uses :func:`polygon_cover_local` instead.
+    """
     cover = geo_udfs.make_cover_keys_udf(max_cells=max_cells, buffer=buffer)
     return (
         polygons.select(id_col, wkt_col)
         .withColumn("key", F.explode(cover(F.col(wkt_col))))
     )
+
+
+def polygon_cover_local(
+    rows: list[tuple[str, str]],
+    max_cells: int = cells.JOIN_MAX_CELLS,
+    buffer: float = 0.0,
+) -> tuple[list[tuple], list[int]]:
+    """Driver-side cover for a small polygon set (the broadcast path).
+
+    The reference broadcasts its index strategy and plans query ranges on
+    the driver (RDDUtils.broadcastIndexStrategy:255-263;
+    TieredSFCIndexStrategy.getQueryRanges) — our equivalent plans the whole
+    small side locally with numpy: no Spark job, no Python workers, and the
+    cover is computed exactly once.
+
+    Returns (cell_rows, tiers): cell_rows =
+    (key, polygon_id, wkt, x0, y0, x1, y1, is_box) per covering cell.
+    """
+    import pandas as pd
+
+    from .. import geom
+
+    wkts = pd.Series([w for _, w in rows])
+    keys_per_poly = geo_udfs.cover_keys(wkts, max_cells=max_cells, buffer=buffer, trim=not buffer)
+    out: list[tuple] = []
+    tiers: set[int] = set()
+    import numpy as np
+
+    for (pid, wkt), keys in zip(rows, keys_per_poly):
+        p = geom.polygon_from_wkt(wkt)
+        x0, y0, x1, y1 = p.bbox
+        isb = p.is_box()
+        for k in keys:
+            out.append((int(k), pid, wkt, float(x0), float(y0), float(x1), float(y1), bool(isb)))
+        if len(keys):
+            tiers.update(cells.unpack_key(np.asarray(keys))[0].tolist())
+    return out, sorted(tiers)
+
+
+_CELLS_SCHEMA = (
+    "key long, polygon_id string, wkt string, "
+    "x0 double, y0 double, x1 double, y1 double, is_box boolean"
+)
+
+
+def _box_contains_pred(lon: Column, lat: Column) -> Column:
+    """JVM-only boundary-inclusive point-in-box, antimeridian-aware.
+
+    Mirrors the oracle SQL predicate exactly; the +360 clause is harmless
+    for x1 <= 180 boxes only because workload boxes with x1 == 180 also
+    have x0 == -180 (see entry_queries._SQL_PIP_PRED discussion).
+    """
+    lon2 = lon + F.lit(360.0)
+    return (
+        (lat >= F.col("y0"))
+        & (lat <= F.col("y1"))
+        & (
+            ((lon >= F.col("x0")) & (lon <= F.col("x1")))
+            | ((lon2 >= F.col("x0")) & (lon2 <= F.col("x1")))
+        )
+    )
+
+
+def _box_dist_expr(lon: Column, lat: Column) -> Column:
+    """JVM-only planar distance to a box (0 inside), antimeridian copy via
+    least() — same IEEE op sequence as the oracle's formula."""
+
+    def d(px: Column) -> Column:
+        ddx = F.greatest(F.col("x0") - px, px - F.col("x1"), F.lit(0.0))
+        ddy = F.greatest(F.col("y0") - lat, lat - F.col("y1"), F.lit(0.0))
+        return F.sqrt(ddx * ddx + ddy * ddy)
+
+    return F.least(d(lon), d(lon + F.lit(360.0)))
 
 
 def tiered_spatial_join(
@@ -112,52 +187,227 @@ def tiered_spatial_join(
     (GeomWithinDistance with `radius`).  loose=True skips the exact refine
     (IndexOnlySpatialQuery.java:34-43 semantics).
     """
+    if predicate not in ("intersects", "dwithin"):
+        raise ValueError(f"unknown predicate {predicate!r}")
     buffer = radius if predicate == "dwithin" else 0.0
     pts = add_point_cols(points, lon_col, lat_col)
+    if broadcast_polygons is None:
+        broadcast_polygons = True  # caller disables for huge polygon sets
 
+    if broadcast_polygons:
+        return _broadcast_join(
+            pts, polygons, predicate, radius, buffer, lon_col, lat_col,
+            point_id, polygon_id, wkt_col, max_cells, loose,
+        )
+    return _shuffle_join(
+        pts, polygons, predicate, radius, buffer, lon_col, lat_col,
+        point_id, polygon_id, wkt_col, max_cells, loose, salt,
+    )
+
+
+def _refine_box(j: DataFrame, predicate: str, radius: float, lon_col: str, lat_col: str) -> DataFrame:
+    if predicate == "intersects":
+        return j.filter(_box_contains_pred(F.col(lon_col), F.col(lat_col)))
+    return j.filter(_box_dist_expr(F.col(lon_col), F.col(lat_col)) <= F.lit(float(radius)))
+
+
+def _refine_general(
+    j: DataFrame, predicate: str, radius: float, lon_col: str, lat_col: str, wkt_col: str
+) -> DataFrame:
+    if predicate == "intersects":
+        return j.filter(geo_udfs.st_contains_point(F.col(wkt_col), F.col(lon_col), F.col(lat_col)))
+    return j.filter(
+        geo_udfs.st_distance_point(F.col(wkt_col), F.col(lon_col), F.col(lat_col))
+        <= F.lit(float(radius))
+    )
+
+
+def _broadcast_join(
+    pts, polygons, predicate, radius, buffer, lon_col, lat_col,
+    point_id, polygon_id, wkt_col, max_cells, loose,
+) -> DataFrame:
+    """Small polygon side: driver-side cover + broadcast hash join.
+
+    Box polygons refine with pure Column SQL (whole-stage codegen, zero
+    Python); general polygons fall back to the pandas predicate UDF.  The
+    point side is scanned once per polygon class present (boxes / general)
+    — one scan in the overwhelmingly common homogeneous case.
+    """
+    spark = pts.sparkSession
+    rows = [(r[0], r[1]) for r in polygons.select(polygon_id, wkt_col).collect()]
+    cell_rows, tiers = polygon_cover_local(rows, max_cells=max_cells, buffer=buffer)
+    if not tiers:
+        return pts.select(point_id).limit(0).crossJoin(polygons.select(polygon_id).limit(0))
+
+    pt_keys = pts.withColumn("key", F.explode(_point_keys_expr(tiers)))
+    box_rows = [r for r in cell_rows if r[7]]
+    gen_rows = [r for r in cell_rows if not r[7]]
+    parts = []
+    for subset, is_box in ((box_rows, True), (gen_rows, False)):
+        if not subset:
+            continue
+        right = F.broadcast(
+            spark.createDataFrame(subset, _CELLS_SCHEMA)
+            .withColumnRenamed("polygon_id", polygon_id)
+            .withColumnRenamed("wkt", wkt_col)
+        )
+        j = pt_keys.join(right, "key")
+        if not loose:
+            j = (
+                _refine_box(j, predicate, radius, lon_col, lat_col)
+                if is_box
+                else _refine_general(j, predicate, radius, lon_col, lat_col, wkt_col)
+            )
+        parts.append(j.select(point_id, polygon_id))
+    out = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    # DedupeFilter semantics: one match per (point, polygon) regardless of
+    # how many covering cells both occupy
+    return out.dropDuplicates([point_id, polygon_id])
+
+
+def _shuffle_join(
+    pts, polygons, predicate, radius, buffer, lon_col, lat_col,
+    point_id, polygon_id, wkt_col, max_cells, loose, salt,
+) -> DataFrame:
+    """Large polygon side: distributed pandas-UDF cover + shuffle equi-join
+    on the packed key, with optional polygon-replication salting on top of
+    AQE skew-join splitting."""
     poly_cells = polygon_cover(polygons, wkt_col, polygon_id, max_cells, buffer)
 
-    # tier discovery from the small side only (cf. TieredSpatialJoin.java:173-207)
+    # tier discovery from the polygon side only (TieredSpatialJoin.java:173-207)
     import numpy as np
 
     keys = np.array([r[0] for r in poly_cells.select("key").distinct().collect()], dtype=np.int64)
     tiers = sorted(set(cells.unpack_key(keys)[0].tolist())) if keys.size else []
     if not tiers:
-        return (
-            pts.select(point_id).limit(0).crossJoin(polygons.select(polygon_id).limit(0))
-        )
+        return pts.select(point_id).limit(0).crossJoin(polygons.select(polygon_id).limit(0))
 
     pt_keys = pts.withColumn("key", F.explode(_point_keys_expr(tiers)))
-
-    if broadcast_polygons is None:
-        broadcast_polygons = True  # caller disables for huge polygon sets
-    right = F.broadcast(poly_cells) if broadcast_polygons else poly_cells
-
-    if salt > 1 and not broadcast_polygons:
+    if salt > 1:
         # replicate polygon cells `salt` ways; point rows pick one replica —
         # breaks single-hot-cell skew beyond what AQE splitting can do
         pt_keys = pt_keys.withColumn("_salt", F.pmod(F.xxhash64(point_id), F.lit(salt)))
-        right = right.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+        right = poly_cells.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+        )
         joined = pt_keys.join(right, ["key", "_salt"])
     else:
-        joined = pt_keys.join(right, "key")
+        joined = pt_keys.join(poly_cells, "key")
 
     if not loose:
-        if predicate == "intersects":
-            joined = joined.filter(
-                geo_udfs.st_contains_point(F.col(wkt_col), F.col(lon_col), F.col(lat_col))
-            )
-        elif predicate == "dwithin":
-            joined = joined.filter(
-                geo_udfs.st_distance_point(F.col(wkt_col), F.col(lon_col), F.col(lat_col))
-                <= F.lit(float(radius))
-            )
-        else:
-            raise ValueError(f"unknown predicate {predicate!r}")
-
-    # DedupeFilter semantics: one match per (point, polygon) regardless of
-    # how many covering cells both occupy
+        joined = _refine_general(joined, predicate, radius, lon_col, lat_col, wkt_col)
     return joined.select(point_id, polygon_id).dropDuplicates([point_id, polygon_id])
+
+
+def tiered_extent_join(
+    extents: DataFrame,
+    polygons: DataFrame,
+    extent_id: str = "extent_id",
+    polygon_id: str = "polygon_id",
+    x0: str = "x0",
+    y0: str = "y0",
+    x1: str = "x1",
+    y1: str = "y1",
+    wkt_col: str = "wkt",
+) -> DataFrame:
+    """General tiered join: ARBITRARY extents on the big side (bbox columns)
+    vs a broadcastable polygon side — the reference's full join shape
+    (TieredSpatialJoin.java:75-377: both sides adaptively tiered, duplicated
+    into covering cells, matched per tier with reprojectToTier, deduped).
+
+    Tier scheme (exactly the reference's two-direction reprojection, folded
+    into one equi-join):
+
+    * each extent row gets tier te = finest tier whose cell size >= its
+      normalized span (the estimated-count insert rule of
+      TieredSFCIndexStrategy.getEstimatedIdCount — span-based, so the
+      covering block is provably <= 2x2 = the default 2^d duplication
+      budget), and explodes into those <= 4 cells — pure Column math;
+    * a pair (extent@te, polygon@tp) must meet at min(te, tp): the
+      polygon's broadcast cell list carries its cover TRUNCATED to every
+      tier <= tp (driver-side, tiny), covering the te <= tp direction; the
+      extent additionally emits its cells truncated to each polygon tier
+      < te, covering the tp < te direction;
+    * equi-join on the packed key, exact bbox-intersects refine
+      (boundary-inclusive, JTS-intersects semantics), global dedupe.
+
+    Output: (extent_id, polygon_id).  Verified against the brute-force
+    bbox-intersect oracle — the same test design as the reference's
+    GeoWaveSparkSpatialJoinIT brute-force comparison.
+    """
+    import numpy as np
+
+    from .. import geom
+
+    spark = extents.sparkSession
+    rows = [(r[0], r[1]) for r in polygons.select(polygon_id, wkt_col).collect()]
+    if not rows:
+        return extents.select(extent_id).limit(0).crossJoin(polygons.select(polygon_id).limit(0))
+
+    # polygon side: cover at its adaptive tier + truncations to every
+    # coarser tier (reprojectToTier, coarser direction)
+    poly_rows: list[tuple] = []
+    poly_tiers: set[int] = set()
+    for pid, wkt in rows:
+        p = geom.polygon_from_wkt(wkt)
+        bx0, by0, bx1, by1 = p.bbox
+        tp, cover = cells.cells_for_bbox((bx0, by0, bx1, by1), max_dup=cells.JOIN_MAX_CELLS)
+        poly_tiers.add(tp)
+        for t in range(tp, -1, -1):
+            tc = np.unique(cells.cell_at_tier(cover, tp, t))
+            for k in cells.pack_key(t, tc).tolist():
+                poly_rows.append((int(k), pid, float(bx0), float(by0), float(bx1), float(by1)))
+    right = F.broadcast(
+        spark.createDataFrame(
+            poly_rows, "key long, _pid string, _px0 double, _py0 double, _px1 double, _py1 double"
+        ).withColumnRenamed("_pid", polygon_id)
+    )
+
+    # extent side: span-based adaptive tier (pure Column math)
+    sx = (F.col(x1) - F.col(x0)) / F.lit(360.0)
+    sy = (F.col(y1) - F.col(y0)) / F.lit(180.0)
+    span = F.greatest(sx, sy, F.lit(0.0))
+    te = (
+        F.when(span <= 0.0, F.lit(cells.MAX_TIER))
+        .otherwise(F.least(F.greatest(F.floor(-F.log2(span)).cast("int"), F.lit(0)), F.lit(cells.MAX_TIER)))
+    )
+    ex = extents.withColumn("_te", te)
+    ex = ex.withColumn("_r", F.pow(F.lit(2.0), F.col("_te").cast("double")).cast("long"))
+    rl = F.col("_r").cast("double")
+    gx0 = F.least(F.greatest(F.floor(sqlcells.norm_lon(F.col(x0)) * rl), F.lit(0)), F.col("_r") - 1).cast("long")
+    gy0 = F.least(F.greatest(F.floor(sqlcells.norm_lat(F.col(y0)) * rl), F.lit(0)), F.col("_r") - 1).cast("long")
+    # span <= cell size ⇒ upper coord is at most g0+1
+    gx1 = F.least(F.greatest(F.floor(sqlcells.norm_lon_upper(F.col(x1)) * rl), gx0), F.col("_r") - 1).cast("long")
+    gy1 = F.least(F.greatest(F.floor(sqlcells.norm_lat(F.col(y1)) * rl), gy0), F.col("_r") - 1).cast("long")
+    ex = (
+        ex.withColumn("_gx0", gx0).withColumn("_gx1", gx1)
+        .withColumn("_gy0", gy0).withColumn("_gy1", gy1)
+        .withColumn("_gx", F.explode(F.sequence(F.col("_gx0"), F.col("_gx1"))))
+        .withColumn("_gy", F.explode(F.sequence(F.col("_gy0"), F.col("_gy1"))))
+        .withColumn("_cell", sqlcells.interleave(F.col("_gx"), F.col("_gy")))
+    )
+    # keys: own tier + truncations to each coarser polygon tier
+    offs = F.array(*[F.lit(int(o)) for o in cells.TIER_OFFSETS[: cells.MAX_TIER + 1]])
+    own_key = F.element_at(offs, F.col("_te") + 1) + F.col("_cell")
+    trunc_keys = [
+        F.when(
+            F.col("_te") > t,
+            F.lit(int(cells.TIER_OFFSETS[t])) + F.expr(f"shiftrightunsigned(_cell, 2 * (_te - {t}))"),
+        )
+        for t in sorted(poly_tiers)
+    ]
+    keys = F.array_compact(F.array(own_key.cast("long"), *[k.cast("long") for k in trunc_keys]))
+    ex_keys = (
+        ex.withColumn("key", F.explode(keys))
+        .select(extent_id, x0, y0, x1, y1, "key")
+    )
+
+    j = ex_keys.join(right, "key")
+    refine = (
+        (F.col(x0) <= F.col("_px1")) & (F.col(x1) >= F.col("_px0"))
+        & (F.col(y0) <= F.col("_py1")) & (F.col(y1) >= F.col("_py0"))
+    )
+    return j.filter(refine).select(extent_id, polygon_id).dropDuplicates([extent_id, polygon_id])
 
 
 def semi_join_matches(points: DataFrame, pairs: DataFrame, point_id: str = "image_id") -> DataFrame:

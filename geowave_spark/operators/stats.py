@@ -107,16 +107,28 @@ def range_lookup(
 
     1. driver-side: adaptive cell cover of the bbox (numpy, closed-form) —
        the analog of getQueryRanges' per-tier SFC range decomposition;
-    2. sargable filter `cell_at_tier(point) IN cover` — whole-stage codegen,
-       prunable by Iceberg/Parquet min-max on a cell-sorted layout;
+    2. when the table carries a STORED ``cell`` column (the indexed layout,
+       sources/indexed.py), the cover becomes a sargable range predicate
+       that reaches the parquet scan (PushedFilters → row-group pruning) —
+       the true equivalent of the reference's KV range scan;
     3. exact bbox refine in plain SQL comparisons (skipped when loose=True,
        the IndexOnlySpatialQuery semantics).
+
+    For tables WITHOUT a stored cell column the cell predicate is skipped:
+    filtering on a freshly computed cell cannot prune the scan, and
+    pushing a multi-reference predicate down through the cell-computation
+    projection chain makes Catalyst re-inline the definition per reference
+    (exponential optimizer blowup — observed, not hypothetical).
     """
-    tier = cells.tier_for_bbox(bbox, max_dup=max_cells)
-    cover = cells.cells_for_bbox_at_tier(bbox, tier)
     pts = add_point_cols(points, lon_col, lat_col)
-    cell = sqlcells.cell_at_tier_expr(F.col("_cell31"), tier)
-    out = pts.filter(cell.isin([int(c) for c in cover]))
+    if "cell" in points.columns:
+        tier = cells.tier_for_bbox(bbox, max_dup=max_cells)
+        cover = cells.cells_for_bbox_at_tier(bbox, tier)
+        shift = 2 * (cells.MAX_TIER - tier)
+        pred = F.lit(False)
+        for lo, hi in cells.ranges_for_cover(cover):
+            pred = pred | F.col("cell").between(lo << shift, ((hi + 1) << shift) - 1)
+        pts = pts.filter(pred)
     if not loose:
         lon0, lat0, lon1, lat1 = bbox
         refine = (F.col(lat_col) >= lat0) & (F.col(lat_col) <= lat1)
@@ -125,8 +137,8 @@ def range_lookup(
         else:  # antimeridian (unwrapped lon1 > 180 or wrapped lon0 > lon1)
             hi = lon1 - 360.0 if lon1 > 180.0 else lon1
             refine &= (F.col(lon_col) >= lon0) | (F.col(lon_col) <= hi)
-        out = out.filter(refine)
-    return out
+        pts = pts.filter(refine)
+    return pts
 
 
 def approx_stats(df: DataFrame, col: str) -> DataFrame:

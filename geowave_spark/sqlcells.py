@@ -50,6 +50,12 @@ def norm_lat(lat: Column) -> Column:
     return F.least(F.greatest(x, F.lit(0.0)), F.lit(1.0))  # clamp
 
 
+def norm_lon_upper(lon: Column) -> Column:
+    """Upper-bound lon normalization: +180 maps to 1.0, not wrapped to 0
+    (twin of cells.norm_lon_upper)."""
+    return F.when(lon == 180.0, F.lit(1.0)).otherwise(norm_lon(lon))
+
+
 def grid_coord(norm: Column, tier: int) -> Column:
     r = 1 << tier
     g = F.floor(norm * F.lit(float(r))).cast("long")
@@ -57,8 +63,50 @@ def grid_coord(norm: Column, tier: int) -> Column:
 
 
 def cell_expr(lon: Column, lat: Column, tier: int = MAX_TIER) -> Column:
-    """Point → Z-order cell id at ``tier`` — pure Column arithmetic."""
+    """Point → Z-order cell id at ``tier`` — pure Column arithmetic.
+
+    NOTE: as a single expression this duplicates its input subtree 32×
+    (each spread step references its operand twice), which can push
+    generated code past the JVM 64KB method limit when lon/lat are
+    themselves complex expressions.  Hot paths should use
+    :func:`add_cell_column`, which materializes each step as a named
+    column (linear-size codegen).
+    """
     return interleave(grid_coord(norm_lon(lon), tier), grid_coord(norm_lat(lat), tier))
+
+
+_SPREAD_STEPS = [(16, _M16), (8, _M8), (4, _M4), (2, _M2), (1, _M1)]
+
+
+def add_cell_column(df, lon_col: str = "lon", lat_col: str = "lat", tier: int = MAX_TIER, out: str = "_cell31"):
+    """Stepwise Morton cell computation via named intermediate columns.
+
+    Each spread step references the PREVIOUS step's attribute instead of
+    copying its expression subtree, so whole-stage codegen sees a linear
+    chain (Catalyst's CollapseProject keeps non-cheap multi-referenced
+    aliases un-inlined).  This is what keeps the 10^12-row key-generation
+    stage inside a single compiled WholeStageCodegen span.
+    """
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    df = df.withColumn("_gx", grid_coord(norm_lon(F.col(lon_col)), tier))
+    df = df.withColumn("_gy", grid_coord(norm_lat(F.col(lat_col)), tier))
+    temps = ["_gx", "_gy"]
+    finals = []
+    for prefix, src in (("_px", "_gx"), ("_py", "_gy")):
+        cur = f"{prefix}0"
+        df = df.withColumn(cur, F.col(src).bitwiseAND(F.lit(0xFFFFFFFF)))
+        temps.append(cur)
+        for i, (sh, m) in enumerate(_SPREAD_STEPS, start=1):
+            nxt = f"{prefix}{i}"
+            df = df.withColumn(
+                nxt, (F.col(cur).bitwiseOR(F.shiftleft(F.col(cur), sh))).bitwiseAND(F.lit(m))
+            )
+            temps.append(nxt)
+            cur = nxt
+        finals.append(cur)
+    df = df.withColumn(out, F.col(finals[0]).bitwiseOR(F.shiftleft(F.col(finals[1]), 1)))
+    return df.drop(*temps)
 
 
 def cell_at_tier_expr(cell31: Column, to_tier: int, from_tier: int = MAX_TIER) -> Column:

@@ -1,0 +1,56 @@
+"""SpatialFrame facade smoke tests — each builder method produces the same
+result as the underlying operator call."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from geowave_spark import entry_queries as eq
+from geowave_spark.api import SpatialFrame
+from geowave_spark.operators import spatial_join
+
+
+def test_from_keyed_matches_entry_queries(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sf = SpatialFrame.from_keyed(ev, "event_id")
+    direct = eq._events(spark, sf_dir)
+    assert sorted(map(tuple, sf.df.select("event_id", "lon", "lat").collect())) == sorted(
+        map(tuple, direct.select("event_id", "lon", "lat").collect())
+    )
+
+
+def test_spatial_join_and_bbox(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sf = SpatialFrame.from_keyed(ev, "event_id")
+    polys = eq._poly_df(spark, [p for p in eq.PIP_POLYGONS if p[0].startswith("big")])
+    got = sf.spatial_join(polys)
+    want = spatial_join.tiered_spatial_join(sf.df, polys, point_id="event_id")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    n_box = sf.within_bbox((-30.0, 10.0, 45.0, 55.0)).count()
+    assert n_box > 0
+
+
+def test_knn_and_tiles_and_kde(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sf = SpatialFrame.from_keyed(ev, "event_id")
+    qs = sf.df.filter(F.col("event_id") < 4).select(
+        F.col("event_id").alias("query_id"), "lon", "lat"
+    )
+    knn = sf.knn(qs, k=3, max_distance=5.0)
+    assert knn.groupBy("query_id").count().agg(F.max("count")).collect()[0][0] <= 3
+    assert sf.tile_counts([5]).count() > 0
+    assert sf.kde(level=5, exact=True).count() > 0
+    assert sf.subsample(tier=6).count() > 0
+
+
+def test_from_images_phash_points(spark):
+    from geowave_spark.sources import images as img
+
+    sf = SpatialFrame.from_images(img.generate_images(spark, 50))
+    rows = sf.df.select("lon", "lat").collect()
+    assert all(-180 <= r["lon"] <= 180 and -90 <= r["lat"] <= 90 for r in rows)

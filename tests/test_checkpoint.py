@@ -1,0 +1,87 @@
+"""Checkpointed pipeline: resume skips completed stages; lineage records
+metrics; fingerprint change forces recompute."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from geowave_spark.plans.checkpoint import CheckpointedPipeline
+
+
+def _build_counter(spark, calls):
+    def build():
+        calls.append(1)
+        return spark.range(100).withColumn("v", F.col("id") * 2)
+
+    return build
+
+
+def test_stage_runs_then_resumes(spark, tmp_path):
+    calls: list[int] = []
+    p1 = CheckpointedPipeline(spark, str(tmp_path), "run1")
+    df1 = p1.stage("double", _build_counter(spark, calls), fingerprint="fp-v1")
+    assert df1.count() == 100
+    assert calls == [1]
+    assert p1.results["double"].resumed is False
+    assert p1.results["double"].rows == 100
+
+    # new pipeline object, same root — resumes from checkpoint, build not called
+    p2 = CheckpointedPipeline(spark, str(tmp_path), "run1")
+    df2 = p2.stage("double", _build_counter(spark, calls), fingerprint="fp-v1")
+    assert df2.count() == 100
+    assert calls == [1]
+    assert p2.results["double"].resumed is True
+
+
+def test_fingerprint_change_recomputes(spark, tmp_path):
+    calls: list[int] = []
+    p = CheckpointedPipeline(spark, str(tmp_path), "run2")
+    p.stage("s", _build_counter(spark, calls), fingerprint="a")
+    p.stage("s", _build_counter(spark, calls), fingerprint="b")  # input changed
+    assert calls == [1, 1]
+
+
+def test_multi_stage_lineage_and_repartition(spark, tmp_path):
+    p = CheckpointedPipeline(spark, str(tmp_path), "run3")
+    base = p.stage(
+        "base",
+        lambda: spark.range(1000).withColumn("k", F.pmod(F.col("id"), F.lit(7))),
+        fingerprint="v1",
+        repartition=(4, ["k"]),
+    )
+    # 7 key values hashed into 4 partitions; empty partitions write no file
+    assert 1 <= p.results["base"].partitions <= 4
+    agg = p.stage(
+        "agg",
+        lambda: base.groupBy("k").agg(F.count(F.lit(1)).alias("n")),
+        fingerprint="v1:agg",
+        upstream=["base"],
+    )
+    assert agg.count() == 7
+    lin = p.lineage()
+    assert lin["agg"]["upstream"] == ["base"]
+    assert lin["base"]["rows"] == 1000
+    assert all("wall_s" in v for v in lin.values())
+
+
+def test_resume_mid_pipeline(spark, tmp_path):
+    """Crash-after-stage-1 scenario: stage 1 resumes, stage 2 computes."""
+    calls1: list[int] = []
+    p = CheckpointedPipeline(spark, str(tmp_path), "run4")
+    p.stage("s1", _build_counter(spark, calls1), fingerprint="x")
+    # simulate crash: new pipeline; s1 must resume, s2 runs fresh
+    calls2: list[int] = []
+    p2 = CheckpointedPipeline(spark, str(tmp_path), "run4")
+    s1 = p2.stage("s1", _build_counter(spark, calls1), fingerprint="x")
+    s2 = p2.stage(
+        "s2", lambda: (calls2.append(1), s1.filter(F.col("id") < 10))[1], fingerprint="y", upstream=["s1"]
+    )
+    assert calls1 == [1]
+    assert calls2 == [1]
+    assert s2.count() == 10
+    assert p2.results["s1"].resumed and not p2.results["s2"].resumed

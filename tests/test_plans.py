@@ -1,0 +1,119 @@
+"""Physical-plan audits — the scale contract, asserted.
+
+These tests pin the plan shapes that make the engine viable at 100 TB:
+broadcast (not cartesian) joins, zero Python in box-workload hot paths,
+column pruning past the multi-KB image bytes column, and parquet pushdown
+of cell ranges on the indexed layout.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from geowave_spark import entry_queries as eq
+from geowave_spark.operators import spatial_join
+from geowave_spark.sources import indexed
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _full_plan(df) -> str:
+    # default maxMetadataStringLength=100 truncates ReadSchema/PushedFilters
+    df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    try:
+        return df._jdf.queryExecution().toString()
+    finally:
+        df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "100")
+
+
+def test_pip_join_is_broadcast_no_cartesian_no_python(spark, sf_dir):
+    """Box-only polygon workload: broadcast hash join, whole plan JVM-side."""
+    ev = eq._events(spark, sf_dir)
+    boxes = eq._poly_df(spark, [p for p in eq.PIP_POLYGONS])
+    out = spatial_join.tiered_spatial_join(ev, boxes, point_id="event_id")
+    out.count()  # materialize with AQE final plan
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan, "box fast path must not touch Python"
+
+
+def test_general_polygon_join_uses_pandas_refine_only(spark, sf_dir):
+    """Non-box polygons: exactly one ArrowEvalPython (the refine), still a
+    broadcast join — the cover is computed driver-side."""
+    ev = eq._events(spark, sf_dir)
+    tri = spark.createDataFrame(
+        [("tri1", "POLYGON ((0 0, 30 0, 15 25, 0 0))")], ["polygon_id", "wkt"]
+    )
+    out = spatial_join.tiered_spatial_join(ev, tri, point_id="event_id")
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_knn_plan_is_jvm_only(spark, sf_dir):
+    plan = _plan(eq.q_knn_join(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kde_and_tiles_jvm_only(spark, sf_dir):
+    for q in (eq.q_kde, eq.q_tile_counts, eq.q_subsample, eq.q_cell_ids):
+        assert "EvalPython" not in _plan(q(spark, sf_dir))
+
+
+def test_image_join_prunes_bytes_column(spark, tmp_path):
+    """The multi-KB bytes column must never be scanned by the spatial join."""
+    from geowave_spark.sources import images as img
+
+    path = str(tmp_path / "imgs.parquet")
+    img.generate_images(spark, 200).write.parquet(path)
+    df = spark.read.parquet(path)
+    polys = eq._poly_df(spark, [("b1", -90.0, -45.0, 90.0, 45.0)])
+    out = spatial_join.tiered_spatial_join(df, polys, point_id="image_id")
+    full = _full_plan(out)
+    scan_lines = [ln for ln in full.splitlines() if "ReadSchema" in ln and "imgs.parquet" in ln]
+    assert scan_lines, "expected a parquet scan of the image table"
+    for ln in scan_lines:
+        assert "bytes" not in ln.split("ReadSchema")[-1], f"bytes column scanned: {ln}"
+
+
+def test_indexed_layout_pushes_cell_ranges(spark, tmp_path):
+    """Cell-range predicates reach the parquet scan as PushedFilters, and
+    row-group stats prune files outside the query box."""
+    path = str(tmp_path / "ev_indexed.parquet")
+    ev = eq._events(spark, "/root/testdata/sf0.001")
+    indexed.write_indexed(ev, path, n_files=16, phash_col=None)
+    out = indexed.range_lookup_indexed(spark, path, (-30.0, 10.0, 45.0, 55.0))
+    full = _full_plan(out)
+    assert "PushedFilters: [" in full
+    pushed = full.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in pushed, f"cell ranges not pushed: {pushed[:200]}"
+    # correctness: indexed lookup == plain filter on the same table
+    plain = (
+        spark.read.parquet(path)
+        .filter(
+            (F.col("lon") >= -30.0) & (F.col("lon") <= 45.0)
+            & (F.col("lat") >= 10.0) & (F.col("lat") <= 55.0)
+        )
+    )
+    assert out.count() == plain.count()
+
+
+def test_broadcast_threshold_respected_for_shuffle_path(spark, sf_dir):
+    """broadcast_polygons=False takes the shuffle path (SortMergeJoin or
+    ShuffledHashJoin — AQE picks) and still matches the broadcast result."""
+    ev = eq._events(spark, sf_dir)
+    polys = eq._poly_df(spark, [p for p in eq.PIP_POLYGONS if p[0].startswith("small")])
+    fast = spatial_join.tiered_spatial_join(ev, polys, point_id="event_id")
+    slow = spatial_join.tiered_spatial_join(
+        ev, polys, point_id="event_id", broadcast_polygons=False
+    )
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))

@@ -1,0 +1,60 @@
+"""Streaming ingest: cell-keyed append equals the batch layout; windowed
+tile counts match the batch aggregation on the same rows."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from geowave_spark import entry_queries as eq
+from geowave_spark.sources.indexed import with_cell_column
+from geowave_spark.streaming import ingest
+
+
+def test_stream_ingest_matches_batch_cells(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ev = eq._events(spark, sf_dir).select("event_id", "lon", "lat")
+    ev.write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = ingest.start_cell_ingest(stream, out, ckpt, phash_col=None)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).select("event_id", "cell")
+    want = with_cell_column(ev, phash_col=None).select("event_id", "cell")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_tile_counts_match_batch(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "in2")
+    ev = eq._events(spark, sf_dir).select("event_id", "ts", "lon", "lat")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = ingest.streaming_tile_counts(stream, level=5)
+    # complete mode: append would hold back windows not yet past the
+    # watermark at the final availableNow commit
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tiles_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("tiles_stream")
+        .groupBy("tile_x", "tile_y")
+        .agg(F.sum("n").alias("n"))
+    )
+    from geowave_spark.operators import tiling
+
+    want = tiling.tile_counts(eq._events(spark, sf_dir), [5], point_id="event_id").select(
+        "tile_x", "tile_y", F.col("n_images").alias("n")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
