@@ -446,6 +446,16 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Queries — image pipeline (no SQL oracle: engine-generated fixture input)
 # ---------------------------------------------------------------------------
 
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering (iterative label propagation → rows-only
+    driver check; exact-vs-numpy-oracle equality is pinned in
+    tests/test_dbscan.py)."""
+    from .operators import dbscan
+
+    ev = _events(spark, sf_dir).limit(2000)
+    return dbscan.dbscan(ev, eps=3.0, min_pts=4)
+
+
 def q_kmeans_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMeans + per-cluster convex hulls (iterative → rows-only check)."""
     from .operators import kmeans
@@ -864,6 +874,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_pricing_summary": q_pricing_summary,
     "window_topk_orders": q_window_topk,
     "set_except_customers": q_set_except,
+    "dbscan": q_dbscan,
     "kmeans_hulls": q_kmeans_hulls,
     "image_tile_counts": q_image_tile_counts,
     "image_decode_stats": q_image_decode_stats,

@@ -37,21 +37,23 @@ def _tier_expr(maxd: Column) -> Column:
     return F.least(F.greatest(t, F.lit(0)), F.lit(cells.MAX_TIER))
 
 
-def knn_join(
+def distance_candidates(
     points: DataFrame,
     queries: DataFrame,
     point_id: str = "image_id",
     query_id: str = "query_id",
-    k_col: str = "k",
     maxd_col: str = "max_distance",
     q_lon: str = "lon",
     q_lat: str = "lat",
     p_lon: str = "lon",
     p_lat: str = "lat",
     broadcast_queries: bool = True,
+    extra_query_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Return (query_id, image_id, dist, rank) — top-k by planar distance
-    within max_distance, ties broken by point id (deterministic)."""
+    """All (query_id, point_id, dist) pairs with dist <= max_distance —
+    the unranked within-distance join (cell-ring candidates + exact
+    refine).  knn_join adds the top-k window; DBSCAN uses this directly."""
+    extra = extra_query_cols or []
     q = queries.withColumn("_tier", _tier_expr(F.col(maxd_col)))
     # per-row grid resolution r = 2^tier (exact in double up to 2^31)
     q = q.withColumn("_r", F.pow(F.lit(2.0), F.col("_tier").cast("double")).cast("long"))
@@ -77,7 +79,7 @@ def knn_join(
             + sqlcells.interleave(F.col("_nx"), F.col("_ny")),
         )
         .dropDuplicates([query_id, "key"])
-        .select(query_id, q_lon, q_lat, k_col, maxd_col, "_tier", "key")
+        .select(query_id, q_lon, q_lat, maxd_col, "_tier", "key", *extra)
         .withColumnRenamed(q_lon, "_q_lon")
         .withColumnRenamed(q_lat, "_q_lat")
     )
@@ -107,10 +109,32 @@ def knn_join(
     dx = F.col("_p_lon") - F.col("_q_lon")
     dy = F.col("_p_lat") - F.col("_q_lat")
     dist = F.sqrt(dx * dx + dy * dy)
-    cand = (
+    return (
         cand.withColumn("dist", dist)
         .filter(F.col("dist") <= F.col(maxd_col))
         .dropDuplicates([query_id, point_id])  # ring cells can overlap after wrap
+        .select(query_id, point_id, "dist", *extra)
+    )
+
+
+def knn_join(
+    points: DataFrame,
+    queries: DataFrame,
+    point_id: str = "image_id",
+    query_id: str = "query_id",
+    k_col: str = "k",
+    maxd_col: str = "max_distance",
+    q_lon: str = "lon",
+    q_lat: str = "lat",
+    p_lon: str = "lon",
+    p_lat: str = "lat",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Return (query_id, image_id, dist, rank) — top-k by planar distance
+    within max_distance, ties broken by point id (deterministic)."""
+    cand = distance_candidates(
+        points, queries, point_id, query_id, maxd_col, q_lon, q_lat, p_lon, p_lat,
+        broadcast_queries, extra_query_cols=[k_col],
     )
     w = Window.partitionBy(query_id).orderBy(F.col("dist").asc(), F.col(point_id).asc())
     return (

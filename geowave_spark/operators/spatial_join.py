@@ -260,9 +260,14 @@ def _broadcast_join(
             )
         parts.append(j.select(point_id, polygon_id))
     out = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-    # DedupeFilter semantics: one match per (point, polygon) regardless of
-    # how many covering cells both occupy
-    return out.dropDuplicates([point_id, polygon_id])
+    # DedupeFilter semantics hold BY CONSTRUCTION for point joins: a point
+    # occupies exactly one cell per tier and each polygon's cover lives at
+    # exactly one tier, so a (point, polygon) pair meets at most once — the
+    # reference's dedupe targets duplicated EXTENT entries
+    # (docs/content/devguide/040-keystructure.adoc:9), which the extent
+    # join handles.  Skipping it makes point-in-polygon a ZERO-SHUFFLE
+    # plan: scan → explode → broadcast hash join → filter.
+    return out
 
 
 def _shuffle_join(
@@ -296,7 +301,8 @@ def _shuffle_join(
 
     if not loose:
         joined = _refine_general(joined, predicate, radius, lon_col, lat_col, wkt_col)
-    return joined.select(point_id, polygon_id).dropDuplicates([point_id, polygon_id])
+    # points meet each polygon at most once (one cell per tier) — no dedupe
+    return joined.select(point_id, polygon_id)
 
 
 def tiered_extent_join(
@@ -411,13 +417,15 @@ def tiered_extent_join(
 
 
 def semi_join_matches(points: DataFrame, pairs: DataFrame, point_id: str = "image_id") -> DataFrame:
-    """Matched point rows (left_semi back to base table, TieredSpatialJoin.java:364-372)."""
-    return points.join(pairs.select(point_id).distinct(), point_id, "left_semi")
+    """Matched point rows (left_semi back to base table,
+    TieredSpatialJoin.java:364-372).  left_semi tolerates duplicate keys on
+    the right — no pre-distinct shuffle needed."""
+    return points.join(pairs.select(point_id), point_id, "left_semi")
 
 
 def anti_join_matches(points: DataFrame, pairs: DataFrame, point_id: str = "image_id") -> DataFrame:
     """Negative-predicate output (subtractByKey, TieredSpatialJoin.java:357-363)."""
-    return points.join(pairs.select(point_id).distinct(), point_id, "left_anti")
+    return points.join(pairs.select(point_id), point_id, "left_anti")
 
 
 def brute_force_join(

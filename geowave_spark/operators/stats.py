@@ -141,6 +141,38 @@ def range_lookup(
     return pts
 
 
+def write_stats_table(
+    points: DataFrame,
+    path: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> None:
+    """Persist the statistics aggregation — the ingest-maintained stats
+    store (per-adapter statistics tables, SURVEY.md §1.6).  Mergeable by
+    construction: re-running after an append recomputes partial+final via
+    Catalyst; incremental maintenance = union of per-snapshot stats with
+    the same aggregation (min/max/count all associative)."""
+    table_stats(points, group_col, value_col, ts_col).write.mode("overwrite").parquet(path)
+
+
+def merge_stats(a: DataFrame, b: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Merge two stats tables (Mergeable.merge semantics — associative
+    min/max/sum combine, so stats maintain incrementally per ingest batch)."""
+    mins = [c for c in a.columns if c.startswith("min_")]
+    maxs = [c for c in a.columns if c.startswith("max_")]
+    return (
+        a.unionByName(b)
+        .groupBy(group_col)
+        .agg(
+            F.sum("n").alias("n"),
+            *[F.min(c).alias(c) for c in mins],
+            *[F.max(c).alias(c) for c in maxs],
+        )
+        .select(*a.columns)
+    )
+
+
 def approx_stats(df: DataFrame, col: str) -> DataFrame:
     """Sketch statistics — HyperLogLog distinct + CountMinSketch analog
     (FeatureHyperLogLogStatistics / FeatureCountMinSketchStatistics,

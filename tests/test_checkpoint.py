@@ -85,3 +85,23 @@ def test_resume_mid_pipeline(spark, tmp_path):
     assert calls2 == [1]
     assert s2.count() == 10
     assert p2.results["s1"].resumed and not p2.results["s2"].resumed
+
+
+def test_stats_persist_and_merge(spark, tmp_path, sf_dir):
+    """Stats table write + associative merge equals stats over the union."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+
+    from geowave_spark import entry_queries as eq
+    from geowave_spark.operators import stats
+
+    ev = eq._events(spark, sf_dir)
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = stats.merge_stats(stats.table_stats(a), stats.table_stats(b))
+    want = stats.table_stats(ev)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, want.collect()))
+    p = str(tmp_path / "stats.parquet")
+    stats.write_stats_table(ev, p)
+    assert sorted(map(tuple, spark.read.parquet(p).collect())) == sorted(map(tuple, want.collect()))

@@ -60,3 +60,25 @@ def test_generation_deterministic():
     a = images.row_for(123)
     b = images.row_for(123)
     assert a["bytes"] == b["bytes"] and a["phash"] == b["phash"]
+
+
+def test_row_invariants_distributed(spark):
+    """The same per-row invariant enforced through the engine's own Spark
+    path: image_psnr pandas UDF over a generated DataFrame — every row
+    decodes to >= 40 dB (lossless rows come back infinite) and captions
+    survive the round trip."""
+    from pyspark.sql import functions as F
+
+    from geowave_spark.functions.geo_udfs import image_psnr
+
+    df = images.generate_images(spark, 120)
+    idx = F.substring(F.col("image_id"), 4, 10).cast("long")
+    scored = df.withColumn(
+        "psnr", image_psnr(F.col("bytes"), F.col("fmt"), F.col("w"), F.col("h"), idx)
+    )
+    rows = scored.select("image_id", "fmt", "psnr", "caption").collect()
+    assert len(rows) == 120
+    for r in rows:
+        assert r["psnr"] >= 40.0, f"{r['image_id']} ({r['fmt']}): PSNR {r['psnr']}"
+        i = int(r["image_id"][3:])
+        assert r["caption"] == f"synthetic image {i} tier test {i % 97}"
