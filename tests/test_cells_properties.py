@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) for the SFC cell core — randomized
+round-trip invariants strengthening the ported unit semantics of
+TieredSFCIndexStrategyTest."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from geowave_spark import cells
+
+lons = st.floats(min_value=-180.0, max_value=180.0, allow_nan=False, exclude_max=True)
+lats = st.floats(min_value=-90.0, max_value=90.0, allow_nan=False)
+tiers = st.integers(min_value=0, max_value=cells.MAX_TIER)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon=lons, lat=lats, tier=tiers)
+def test_point_cell_bounds_contain_point(lon, lat, tier):
+    c = cells.latlon_to_cell(np.array([lon]), np.array([lat]), tier)
+    x0, y0, x1, y1 = cells.cell_to_bounds(c, tier)
+    # lon within float-rounding of +180 wraps to the -180 cell (180 ≡ -180,
+    # LongitudeDefinition bin-wrap semantics) — accept either copy
+    in_lon = (x0[0] - 1e-9 <= lon <= x1[0] + 1e-9) or (
+        x0[0] - 1e-9 <= lon - 360.0 <= x1[0] + 1e-9
+    )
+    assert in_lon or tier == 0
+    assert y0[0] - 1e-9 <= min(lat, np.nextafter(90.0, 0)) <= y1[0] + 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon=lons, lat=lats, t_from=tiers, t_to=tiers)
+def test_prefix_reprojection_consistent(lon, lat, t_from, t_to):
+    if t_to > t_from:
+        t_from, t_to = t_to, t_from
+    fine = cells.latlon_to_cell(np.array([lon]), np.array([lat]), t_from)
+    coarse = cells.latlon_to_cell(np.array([lon]), np.array([lat]), t_to)
+    assert cells.cell_at_tier(fine, t_from, t_to)[0] == coarse[0]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    x0=lons, y0=lats,
+    w=st.floats(min_value=1e-6, max_value=60.0, allow_nan=False),
+    h=st.floats(min_value=1e-6, max_value=45.0, allow_nan=False),
+)
+def test_adaptive_cover_contains_inner_points(x0, y0, w, h):
+    """The adaptive cover must contain the cell of every point in the bbox
+    (recall — what join correctness depends on)."""
+    x1 = min(x0 + w, 180.0)
+    y1 = min(y0 + h, 90.0)
+    if x1 <= x0 or y1 <= y0:
+        return
+    tier, cover = cells.cells_for_bbox((x0, y0, x1, y1), max_dup=80)
+    assert 1 <= cover.size <= 80
+    cover_set = set(cover.tolist())
+    # sample interior + corner points; points within one float ulp of +180
+    # wrap to the -180 cell (shared with the reference's bin-wrap edge), so
+    # skip those measure-zero samples
+    for fx, fy in [(0.0, 0.0), (0.5, 0.5), (0.999, 0.999), (0.0, 0.999), (0.999, 0.0)]:
+        px = x0 + (x1 - x0) * fx
+        py = y0 + (y1 - y0) * fy
+        if float(cells.norm_lon(np.float64(px))) == 0.0 and px > 0:
+            continue
+        c = int(cells.latlon_to_cell(np.array([px]), np.array([py]), tier)[0])
+        assert c in cover_set, (tier, px, py)
+
+
+@settings(max_examples=200, deadline=None)
+@given(tier=tiers, data=st.data())
+def test_pack_unpack_roundtrip(tier, data):
+    cell = data.draw(st.integers(min_value=0, max_value=(1 << (2 * tier)) - 1 if tier else 0))
+    key = cells.pack_key(tier, np.array([cell]))
+    t2, c2 = cells.unpack_key(key)
+    assert t2[0] == tier and c2[0] == cell
+
+
+@settings(max_examples=100, deadline=None)
+@given(cover_cells=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=200, unique=True))
+def test_range_merge_preserves_membership(cover_cells):
+    cov = np.array(sorted(cover_cells), dtype=np.int64)
+    rngs = cells.ranges_for_cover(cov)
+    in_ranges = set()
+    for lo, hi in rngs:
+        in_ranges.update(range(lo, hi + 1))
+    assert in_ranges == set(cover_cells)

@@ -85,3 +85,17 @@ def test_antimeridian_polygon_matches(tables):
     got = sj.tiered_spatial_join(imgs, am)
     want = sj.brute_force_join(imgs, am)
     assert_same_pairs(got, want)
+
+
+def test_loose_mode_is_cover_superset(spark, tables):
+    """loose=True (IndexOnlySpatialQuery semantics) returns every exact
+    match plus only cover-level false positives."""
+    imgs, polys = tables
+    box_polys = polys.filter(F.col("class").isin("small_box", "large_box")).select(
+        "polygon_id", "wkt"
+    )
+    exact = sj.tiered_spatial_join(imgs, box_polys)
+    loose = sj.tiered_spatial_join(imgs, box_polys, loose=True)
+    e = {tuple(r) for r in exact.collect()}
+    l = {tuple(r) for r in loose.collect()}
+    assert e <= l

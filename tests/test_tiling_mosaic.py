@@ -1,0 +1,53 @@
+"""Per-tile mosaic assembly (the RasterDataAdapter merge path) and retile
+rollup consistency."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from geowave_spark.functions import imagecodec as codec
+from geowave_spark.operators import tiling
+from geowave_spark.sources import images as src
+
+LEVEL = 3
+TILE_PX = 16
+
+
+def test_assemble_tiles_mosaics_members(spark):
+    imgs = src.generate_images(spark, 300)
+    tiles = tiling.assemble_tiles(imgs, LEVEL, tile_px=TILE_PX).collect()
+    # membership counts match the pure assignment aggregation
+    want = {
+        (r["tile_x"], r["tile_y"]): r["n_images"]
+        for r in tiling.tile_counts(imgs, [LEVEL], point_id="image_id").collect()
+    }
+    got = {(r["tile_x"], r["tile_y"]): r["n_images"] for r in tiles}
+    assert got == want
+    # every tile decodes to the fixed mosaic shape; painted pixels are
+    # non-zero where members landed, zero (nodata) elsewhere
+    painted = 0
+    for r in tiles:
+        arr = codec.decode_png(bytes(r["tile_png"]))
+        assert arr.shape == (TILE_PX, TILE_PX, 3)
+        painted += int((arr.sum(axis=2) > 0).sum())
+    assert painted > 0
+
+
+def test_retile_rollup_equals_direct(spark):
+    imgs = src.generate_images(spark, 500)
+    t6 = tiling.tile_counts(imgs, [6], point_id="image_id")
+    rolled = {
+        (r["tile_x"], r["tile_y"]): r["n_images"] for r in tiling.retile(t6, 6, 4).collect()
+    }
+    direct = {
+        (r["tile_x"], r["tile_y"]): r["n_images"]
+        for r in tiling.tile_counts(imgs, [4], point_id="image_id").collect()
+    }
+    assert rolled == direct
