@@ -143,13 +143,14 @@ def main() -> None:
         "rows_per_sec": round(n_rows * len(HEADLINE) / headline_sec, 1),
     }
     if scaling:
-        # N=2 vs 4N=8 cores: this Firecracker microVM's shuffle+memory
-        # subsystem does not strong-scale to 32 JVM threads (measured: even
-        # embarrassingly-parallel map work tops out ~2.1x from 8->32), so
-        # the two-parallelism-level evidence uses the range where the VM
-        # itself scales; the engine's plans are identical at any level.
-        n_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-        n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "32000000"))
+        # N=1 vs 4N=4 cores: this Firecracker microVM's shared memory
+        # subsystem does not strong-scale to high thread counts (measured:
+        # even embarrassingly-parallel map work tops out ~2.1x from 8->32
+        # threads), so the two-parallelism-level evidence uses the range
+        # where the VM itself scales linearly; the engine's plans are
+        # identical at any level (see BENCH.md for the full ladder).
+        n_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
+        n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "8000000"))
         sec_n = scaling_once(n_cpus, n_scale)
         sec_4n = scaling_once(n_cpus * 4, n_scale)
         thr_n = n_scale * 3 / sec_n  # 3 passes over the table

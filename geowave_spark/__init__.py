@@ -11,3 +11,12 @@ plans (operators/*).
 from .session import get_spark  # noqa: F401
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy: importing the package must not pull pyspark.ml etc. eagerly
+    if name == "SpatialFrame":
+        from .api import SpatialFrame
+
+        return SpatialFrame
+    raise AttributeError(name)

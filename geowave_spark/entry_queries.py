@@ -303,6 +303,39 @@ def q_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ST_T0_US = 400_000_000_000  # ~2024-01-05 (events start 2024-01-01)
+ST_T1_US = 4_300_000_000_000  # ~2024-02-19
+ST_EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00
+
+
+def q_st_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatio-temporal range query: year-bin prune + epoch window + bbox."""
+    from .operators import spatiotemporal as st
+
+    ev = _events(spark, sf_dir)
+    out = st.st_range_query(
+        ev, RANGE_BBOX, ST_EPOCH_2024_US + ST_T0_US, ST_EPOCH_2024_US + ST_T1_US
+    )
+    return out.select("event_id", "event_type", _cents(F.col("value")).alias("value_c"))
+
+
+def q_st_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatio-temporal join: polygons with time windows × events."""
+    from .operators import spatiotemporal as st
+
+    ev = _events(spark, sf_dir)
+    polys = _poly_df(spark, [p for p in PIP_POLYGONS if p[0].startswith(("big", "mid", "band"))])
+    # deterministic staggered windows per polygon
+    w = Window.orderBy("polygon_id")
+    pwt = polys.withColumn("_i", F.row_number().over(w)).select(
+        "polygon_id",
+        "wkt",
+        (F.lit(ST_EPOCH_2024_US) + F.col("_i") * F.lit(200_000_000_000)).alias("t0_us"),
+        (F.lit(ST_EPOCH_2024_US) + F.col("_i") * F.lit(1_500_000_000_000)).alias("t1_us"),
+    )
+    return st.st_join(ev, pwt, point_id="event_id")
+
+
 def q_cell_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     ev = sqlcells.add_cell_column(ev, tier=10, out="cell10")
@@ -563,6 +596,36 @@ def _oracle_range() -> str:
         f"WITH {EV_CTE} SELECT event_id, event_type, {sql_cents('value')} AS value_c FROM ev "
         f"WHERE lon >= CAST({x0!r} AS DOUBLE) AND lon <= CAST({x1!r} AS DOUBLE) "
         f"AND lat >= CAST({y0!r} AS DOUBLE) AND lat <= CAST({y1!r} AS DOUBLE)"
+    )
+
+
+def _oracle_st_range() -> str:
+    x0, y0, x1, y1 = RANGE_BBOX
+    t0 = ST_EPOCH_2024_US + ST_T0_US
+    t1 = ST_EPOCH_2024_US + ST_T1_US
+    return (
+        f"WITH {EV_CTE} SELECT event_id, event_type, {sql_cents('value')} AS value_c FROM ev "
+        f"WHERE epoch_us(ts) >= {t0} AND epoch_us(ts) <= {t1} "
+        f"AND lon >= CAST({x0!r} AS DOUBLE) AND lon <= CAST({x1!r} AS DOUBLE) "
+        f"AND lat >= CAST({y0!r} AS DOUBLE) AND lat <= CAST({y1!r} AS DOUBLE)"
+    )
+
+
+def _oracle_st_join() -> str:
+    polys = sorted(
+        (p for p in PIP_POLYGONS if p[0].startswith(("big", "mid", "band"))), key=lambda p: p[0]
+    )
+    vals = ", ".join(
+        f"('{pid}', CAST({x0!r} AS DOUBLE), CAST({y0!r} AS DOUBLE), "
+        f"CAST({x1!r} AS DOUBLE), CAST({y1!r} AS DOUBLE), "
+        f"{ST_EPOCH_2024_US + (i + 1) * 200_000_000_000}, "
+        f"{ST_EPOCH_2024_US + (i + 1) * 1_500_000_000_000})"
+        for i, (pid, x0, y0, x1, y1) in enumerate(polys)
+    )
+    return (
+        f"WITH {EV_CTE}, p(polygon_id, x0, y0, x1, y1, t0_us, t1_us) AS (VALUES {vals}) "
+        f"SELECT e.event_id, p.polygon_id FROM ev e JOIN p ON {_SQL_PIP_PRED} "
+        "AND epoch_us(e.ts) >= p.t0_us AND epoch_us(e.ts) < p.t1_us"
     )
 
 
@@ -851,6 +914,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extent_join_tiered": q_extent_join,
     "knn_join": q_knn_join,
     "range_query": q_range_query,
+    "st_range_query": q_st_range,
+    "st_join": q_st_join,
     "cell_ids": q_cell_ids,
     "subsample_cells": q_subsample,
     "tile_assignment": q_tile_assignment,
@@ -890,6 +955,8 @@ def build_oracles() -> dict[str, str]:
         "extent_join_tiered": _oracle_extent_join(),
         "knn_join": _oracle_knn(),
         "range_query": _oracle_range(),
+        "st_range_query": _oracle_st_range(),
+        "st_join": _oracle_st_join(),
         "cell_ids": _oracle_cell_ids(),
         "subsample_cells": _oracle_subsample(),
         "tile_assignment": _oracle_tiles([4, 8, 12]),

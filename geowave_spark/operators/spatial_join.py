@@ -239,7 +239,11 @@ def _broadcast_join(
     if not tiers:
         return pts.select(point_id).limit(0).crossJoin(polygons.select(polygon_id).limit(0))
 
-    pt_keys = pts.withColumn("key", F.explode(_point_keys_expr(tiers)))
+    # prune to the join's working set BEFORE the explode — payload columns
+    # must never be replicated |tiers|× (semi/anti join back for full rows)
+    pt_keys = pts.select(point_id, lon_col, lat_col, "_cell31").withColumn(
+        "key", F.explode(_point_keys_expr(tiers))
+    )
     box_rows = [r for r in cell_rows if r[7]]
     gen_rows = [r for r in cell_rows if not r[7]]
     parts = []
@@ -287,7 +291,9 @@ def _shuffle_join(
     if not tiers:
         return pts.select(point_id).limit(0).crossJoin(polygons.select(polygon_id).limit(0))
 
-    pt_keys = pts.withColumn("key", F.explode(_point_keys_expr(tiers)))
+    pt_keys = pts.select(point_id, lon_col, lat_col, "_cell31").withColumn(
+        "key", F.explode(_point_keys_expr(tiers))
+    )
     if salt > 1:
         # replicate polygon cells `salt` ways; point rows pick one replica —
         # breaks single-hot-cell skew beyond what AQE splitting can do

@@ -1,0 +1,115 @@
+"""Spatial-temporal index + queries — the (lon, lat, time) dimension family.
+
+The reference's spatial-temporal index is a tiered SFC over (lon, lat,
+time) with a calendar-unit binning strategy (default YEAR): bin id = epoch
+period, value = offset within the period
+(TemporalBinningStrategy.java:36-127, SpatialTemporalOptions.java:18), and
+bias-dependent bits per dimension (SpatialTemporalDimensionalityTypeProvider
+.java:184-221).  Multi-bin ranges become multiple binned datasets.
+
+The Spark-first shape: the TIME BIN is a partition-grade column (year id),
+and within a bin the spatial cell machinery applies unchanged — a
+spatio-temporal range query is `bin IN (bins(t0, t1)) AND cell-range AND
+exact refine`, and a spatio-temporal join is the same packed-key equi-join
+with the bin folded into the join key.  This preserves exactly what the
+reference's time dimension buys (time-range pruning via key prefix) while
+letting the columnar layout partition/sort by (bin, cell) — the analog of
+its [tier | bin | sfc] key order (TieredSFCIndexStrategy.java:386-395).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .spatial_join import add_point_cols
+
+EPOCH_NTZ = "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ)"
+
+
+def epoch_us_expr(ts_col: str) -> Column:
+    """NTZ-safe epoch micros (tz-independent; DuckDB twin: epoch_us)."""
+    return F.expr(f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, {ts_col})")
+
+
+def year_bin_expr(ts_col: str) -> Column:
+    """Calendar-year bin id (TemporalBinningStrategy YEAR periodicity).
+
+    DuckDB twin: ``CAST(year(ts) AS BIGINT)`` — both engines read the same
+    NTZ timestamp, so the calendar split is identical.
+    """
+    return F.year(F.col(ts_col)).cast("long")
+
+
+def add_st_cols(
+    df: DataFrame, ts_col: str = "ts", lon_col: str = "lon", lat_col: str = "lat"
+) -> DataFrame:
+    """Add (_bin, _cell31) — the spatial-temporal key columns."""
+    return add_point_cols(df, lon_col, lat_col).withColumn("_bin", year_bin_expr(ts_col))
+
+
+def st_range_query(
+    points: DataFrame,
+    bbox: tuple[float, float, float, float],
+    t0_us: int,
+    t1_us: int,
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    loose: bool = False,
+) -> DataFrame:
+    """Spatio-temporal range query: time-bin prune + bbox + exact refine.
+
+    Bin pruning mirrors the reference's per-bin range decomposition
+    (BinnedNumericDataset): the bin predicate is sargable on a
+    (bin, cell)-sorted layout; the exact epoch-micros refine then applies
+    the precise time window inside surviving bins.
+    """
+    from .stats import range_lookup
+
+    df = add_st_cols(points, ts_col, lon_col, lat_col)
+    eus = epoch_us_expr(ts_col)
+    out = df.filter(
+        year_bin_expr(ts_col).between(
+            F.expr(f"year(timestampadd(MICROSECOND, {t0_us}, {EPOCH_NTZ}))").cast("long"),
+            F.expr(f"year(timestampadd(MICROSECOND, {t1_us}, {EPOCH_NTZ}))").cast("long"),
+        )
+    )
+    if not loose:
+        out = out.filter((eus >= t0_us) & (eus <= t1_us))
+    return range_lookup(out, bbox, lon_col=lon_col, lat_col=lat_col, loose=loose)
+
+
+def st_join(
+    points: DataFrame,
+    polygons_with_time: DataFrame,
+    ts_col: str = "ts",
+    point_id: str = "event_id",
+    polygon_id: str = "polygon_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Spatio-temporal join: spatial tiered join + per-pair time-window
+    refine.  The polygon side carries (t0_us, t1_us); the time test rides
+    the same broadcast join (zero extra shuffle) by joining the pair output
+    back to the windows.
+
+    Semantics: pairs where the point is inside the polygon AND
+    t0_us <= ts < t1_us — the reference's SpatialTemporalQuery shape
+    (spatial constraint × temporal constraint range).
+    """
+    from .spatial_join import tiered_spatial_join
+
+    pairs = tiered_spatial_join(
+        points, polygons_with_time.select(polygon_id, "wkt"),
+        point_id=point_id, polygon_id=polygon_id,
+        lon_col=lon_col, lat_col=lat_col,
+    )
+    pts_t = points.select(point_id, epoch_us_expr(ts_col).alias("_ts_us"))
+    windows = polygons_with_time.select(polygon_id, "t0_us", "t1_us")
+    return (
+        pairs.join(pts_t, point_id)
+        .join(F.broadcast(windows), polygon_id)
+        .filter((F.col("_ts_us") >= F.col("t0_us")) & (F.col("_ts_us") < F.col("t1_us")))
+        .select(point_id, polygon_id)
+    )
