@@ -17,8 +17,11 @@ serves every tier, exactly like the reference's common SFC prefix ordering
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .. import cells, sqlcells
 
@@ -70,6 +73,77 @@ def cell_range_predicate(bbox: tuple[float, float, float, float], max_cells: int
         p = F.col("cell").between(lo, hi)
         pred = p if pred is None else (pred | p)
     return pred, len(cover)
+
+
+def write_indexed_extents(
+    df: DataFrame,
+    path: str,
+    n_files: int = 32,
+    x0: str = "x0",
+    y0: str = "y0",
+    x1: str = "x1",
+    y1: str = "y1",
+) -> None:
+    """Extent table → XZ-indexed layout: one code per extent (no
+    duplication), files range-partitioned and sorted by the code — the
+    columnar twin of the reference's XZ storage index for extents
+    (XZHierarchicalIndexStrategy: points on a point curve, extents on an
+    XZ curve, SURVEY.md §1.2).
+
+    The XZ code is computed in an Arrow-batched pandas UDF (the extent
+    side math needs the quadtree walk; still vectorized numpy per batch).
+    """
+    from .. import cells_xz
+
+    @F.pandas_udf(T.LongType())
+    def _xz(ax0: pd.Series, ay0: pd.Series, ax1: pd.Series, ay1: pd.Series) -> pd.Series:
+        nx0 = cells.norm_lon(ax0.to_numpy())
+        nx1 = np.where(ax1.to_numpy() == 180.0, 1.0, cells.norm_lon(ax1.to_numpy()))
+        ny0 = cells.norm_lat(ay0.to_numpy())
+        ny1 = cells.norm_lat(ay1.to_numpy())
+        return pd.Series(cells_xz.xz_id(nx0, ny0, nx1, ny1))
+
+    out = df.withColumn("xz", _xz(F.col(x0), F.col(y0), F.col(x1), F.col(y1)))
+    (
+        out.repartitionByRange(n_files, F.col("xz"))
+        .sortWithinPartitions("xz")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def xz_range_lookup(
+    spark: SparkSession,
+    path: str,
+    bbox: tuple[float, float, float, float],
+    x0: str = "x0",
+    y0: str = "y0",
+    x1: str = "x1",
+    y1: str = "y1",
+    loose: bool = False,
+) -> DataFrame:
+    """Extent range query on the XZ layout: code-range pushdown + exact
+    bbox-intersects refine (XZOrderSFC query semantics)."""
+    import numpy as np
+
+    from .. import cells_xz
+
+    qx0 = float(cells.norm_lon(np.float64(bbox[0])))
+    qx1 = cells.norm_lon_upper(bbox[2])
+    qy0 = float(cells.norm_lat(np.float64(bbox[1])))
+    qy1 = float(cells.norm_lat(np.float64(bbox[3])))
+    ranges = cells_xz.xz_query_ranges(qx0, qy0, qx1, qy1, max_ranges=64)
+    df = spark.read.parquet(path)
+    pred = F.lit(False)
+    for lo, hi in ranges:
+        pred = pred | F.col("xz").between(lo, hi)
+    out = df.filter(pred)
+    if not loose:
+        bx0, by0, bx1, by1 = bbox
+        out = out.filter(
+            (F.col(x0) <= bx1) & (F.col(x1) >= bx0) & (F.col(y0) <= by1) & (F.col(y1) >= by0)
+        )
+    return out
 
 
 def range_lookup_indexed(
