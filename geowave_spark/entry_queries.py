@@ -293,6 +293,19 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True k-nearest via iterative ring growth (no fixed radius)."""
+    ev = _events(spark, sf_dir)
+    qs = ev.filter(F.col("event_id") < 12).select(
+        F.col("event_id").alias("query_id"), "lon", "lat"
+    )
+    out = knn.knn_adaptive(ev, qs, k=7, point_id="event_id")
+    return out.select(
+        "query_id", "event_id", _mu(F.col("dist")).alias("dist_mu"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 RANGE_BBOX = (-30.0, 10.0, 45.0, 55.0)
 
 
@@ -430,6 +443,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "cos_mu", F.col("rank").cast("long").alias("rank"))
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans inverted lists) ANN — centroids not SQL-derivable →
+    rows-only driver check; recall vs brute force pinned in pytest."""
+    from .operators import similarity as sim
+
+    em = _embs(spark, sf_dir)
+    out = sim.ivf_ann_topk(em, em.filter(F.col("vec_id") < 16), k=10)
+    return out.select("query_id", "vec_id", "cos_mu", F.col("rank").cast("long").alias("rank"))
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(_embs(spark, sf_dir), threshold_mu=950_000)
 
@@ -504,6 +527,22 @@ def q_image_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = img.generate_images(spark, n)
     out = tiling.tile_counts(df, [6], point_id="image_id")
     return out.select(F.col("level").cast("long").alias("level"), "tile_x", "tile_y", "n_images")
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize pipeline (decode → NN-resize → re-encode) with a
+    deterministic integer fingerprint per output (rows-only check)."""
+    from .functions import multimodal as mm
+    from .sources import images as img
+
+    df = img.generate_images(spark, 200)
+    out = mm.resize_images(df, 16, 12)
+    return out.select(
+        "image_id",
+        F.col("w").cast("long").alias("w"),
+        F.col("h").cast("long").alias("h"),
+        F.crc32(F.col("bytes")).alias("bytes_crc"),
+    )
 
 
 def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -587,6 +626,19 @@ def _oracle_knn() -> str:
         "r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, event_id ASC) AS rank FROM flt) "
         f"SELECT query_id, event_id, {sql_mu('dist')} AS dist_mu, CAST(rank AS BIGINT) AS rank "
         "FROM r WHERE rank <= 5"
+    )
+
+
+def _oracle_knn_adaptive(k: int = 7, nq: int = 12) -> str:
+    return (
+        f"WITH {EV_CTE}, "
+        f"q AS (SELECT event_id AS query_id, lon AS qlon, lat AS qlat FROM ev WHERE event_id < {nq}), "
+        "cand AS (SELECT q.query_id, e.event_id, "
+        "sqrt((e.lon - q.qlon) * (e.lon - q.qlon) + (e.lat - q.qlat) * (e.lat - q.qlat)) AS dist "
+        "FROM ev e CROSS JOIN q), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, event_id ASC) AS rank FROM cand) "
+        f"SELECT query_id, event_id, {sql_mu('dist')} AS dist_mu, CAST(rank AS BIGINT) AS rank "
+        f"FROM r WHERE rank <= {k}"
     )
 
 
@@ -913,6 +965,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dwithin_join": q_dwithin_join,
     "extent_join_tiered": q_extent_join,
     "knn_join": q_knn_join,
+    "knn_adaptive": q_knn_adaptive,
     "range_query": q_range_query,
     "st_range_query": q_st_range,
     "st_join": q_st_join,
@@ -935,6 +988,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_fingerprint,
     "ann_cosine_topk": q_ann_topk,
     "ann_lsh_bucketed": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "dedup_embedding_cosine": q_embed_neardup,
     "agg_pricing_summary": q_pricing_summary,
     "window_topk_orders": q_window_topk,
@@ -943,6 +997,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_hulls": q_kmeans_hulls,
     "image_tile_counts": q_image_tile_counts,
     "image_decode_stats": q_image_decode_stats,
+    "image_resize": q_image_resize,
 }
 
 
@@ -954,6 +1009,7 @@ def build_oracles() -> dict[str, str]:
         "dwithin_join": _oracle_dwithin(),
         "extent_join_tiered": _oracle_extent_join(),
         "knn_join": _oracle_knn(),
+        "knn_adaptive": _oracle_knn_adaptive(),
         "range_query": _oracle_range(),
         "st_range_query": _oracle_st_range(),
         "st_join": _oracle_st_join(),

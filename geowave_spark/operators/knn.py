@@ -144,6 +144,62 @@ def knn_join(
     )
 
 
+def knn_adaptive(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    point_id: str = "image_id",
+    query_id: str = "query_id",
+    q_lon: str = "lon",
+    q_lat: str = "lat",
+    p_lon: str = "lon",
+    p_lat: str = "lat",
+    init_distance: float = 0.5,
+    max_distance: float = 403.0,  # > planar diameter of the lon/lat plane
+) -> DataFrame:
+    """True k-nearest (no fixed radius): iterative ring growth.
+
+    The reference's NNProcessor semantics when maxNeighbors dominates:
+    per round, run the within-distance candidate join at radius d for the
+    still-unfilled queries; a query is COMPLETE once it has >= k neighbors
+    with dist <= d (the ring provably covers radius d, so no unseen point
+    can be closer); otherwise d *= 4 and only the unfilled queries rejoin —
+    the driver-side loop touches only the tiny query side, the point table
+    is re-scanned per round (bounded by O(log(max/init)) rounds).
+
+    Output: (query_id, point_id, dist, rank) with rank <= k, ties by id.
+    """
+    remaining = queries.select(F.col(query_id), F.col(q_lon), F.col(q_lat))
+    results = None
+    d = float(init_distance)
+    while True:
+        q = remaining.withColumn("max_distance", F.lit(d))
+        cand = distance_candidates(
+            points, q, point_id, query_id, "max_distance", q_lon, q_lat, p_lon, p_lat
+        )
+        w = Window.partitionBy(query_id).orderBy(F.col("dist").asc(), F.col(point_id).asc())
+        topk = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+        counts = topk.groupBy(query_id).agg(F.count(F.lit(1)).alias("_n"))
+        done_ids = [
+            r[0] for r in counts.filter(F.col("_n") >= k).select(query_id).collect()
+        ]
+        done = topk.join(
+            counts.filter(F.col("_n") >= k).select(query_id), query_id, "left_semi"
+        ).select(query_id, point_id, "dist", "rank")
+        results = done if results is None else results.unionByName(done)
+        remaining = remaining.filter(~F.col(query_id).isin(done_ids)) if done_ids else remaining
+        if d >= max_distance or remaining.limit(1).count() == 0:
+            # at the cap: emit whatever the final round found for leftovers
+            if d >= max_distance:
+                leftovers = topk.join(
+                    counts.filter(F.col("_n") >= k).select(query_id), query_id, "left_anti"
+                ).select(query_id, point_id, "dist", "rank")
+                results = results.unionByName(leftovers)
+            break
+        d = min(d * 4.0, float(max_distance))
+    return results
+
+
 def knn_oracle_numpy(
     p_ids: np.ndarray,
     p_lon: np.ndarray,

@@ -138,6 +138,73 @@ def lsh_ann_topk(
     )
 
 
+def ivf_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: KMeans inverted lists + multi-probe.
+
+    The scale path: vectors are bucketed by nearest centroid (the inverted
+    list — at cluster scale this is the table's partition key); each query
+    probes its n_probe nearest lists and ranks candidates by exact cosine.
+    Deterministic (fixed KMeans seed); recall vs brute force is pinned in
+    tests rather than an oracle (the centroids are not SQL-derivable).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    feats = v.withColumn("_fv", array_to_vector(F.col("_v")))
+    model = KMeans(k=n_lists, seed=seed, featuresCol="_fv").fit(feats)
+    assigned = model.transform(feats).select(id_col, "_v", F.col("prediction").alias("list_id"))
+
+    centers = [c.tolist() for c in model.clusterCenters()]
+    centers_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("list_id"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+            )
+            for i, c in enumerate(centers)
+        ]
+    )
+    q = queries.select(F.col(id_col).alias(query_id), _as_double(F.col(vec_col)).alias("_qv"))
+    qc = (
+        q.withColumn("_c", F.explode(centers_arr))
+        .withColumn(
+            "_d2",
+            F.aggregate(
+                F.zip_with(F.col("_qv"), F.col("_c.c"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("_d2").asc(), F.col("_c.list_id").asc())
+    probes = (
+        qc.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_probe)
+        .select(query_id, "_qv", F.col("_c.list_id").alias("list_id"))
+    )
+
+    cand = assigned.join(F.broadcast(probes), "list_id").withColumn(
+        "cos_mu", cosine_mu(F.col("_qv"), F.col("_v"))
+    )
+    w2 = Window.partitionBy(query_id).orderBy(F.col("cos_mu").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "cos_mu", "rank")
+    )
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     threshold_mu: int = 950_000,

@@ -47,6 +47,11 @@ from pyspark.sql import functions as F
 from .. import cells, sqlcells
 from ..functions import geo_udfs
 
+# broadcast the polygon side when it has at most this many rows (each
+# polygon explodes to <= 80 covering cells; 100k x ~100B cells ~ 1GB upper
+# bound, comfortably under executor broadcast budgets at default configs)
+BROADCAST_MAX_POLYGONS = 100_000
+
 
 def add_point_cols(
     df: DataFrame,
@@ -192,7 +197,11 @@ def tiered_spatial_join(
     buffer = radius if predicate == "dwithin" else 0.0
     pts = add_point_cols(points, lon_col, lat_col)
     if broadcast_polygons is None:
-        broadcast_polygons = True  # caller disables for huge polygon sets
+        # build-side selection (JoinOptions.BuildSide analog): broadcast
+        # when the polygon side is provably small — probe with a limit so
+        # huge polygon tables never fully count here
+        probe = polygons.limit(BROADCAST_MAX_POLYGONS + 1).count()
+        broadcast_polygons = probe <= BROADCAST_MAX_POLYGONS
 
     if broadcast_polygons:
         return _broadcast_join(
