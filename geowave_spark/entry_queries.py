@@ -268,14 +268,7 @@ def q_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_extent_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General tiered join: derived per-event extents × polygon workload."""
-    ev = _events(spark, sf_dir)
-    ex = ev.select(
-        F.col("event_id").alias("extent_id"),
-        F.col("lon").alias("x0"),
-        F.col("lat").alias("y0"),
-        F.least(F.col("lon") + (F.lit(0.1) + F.col("value") / F.lit(25.0)), F.lit(180.0)).alias("x1"),
-        F.least(F.col("lat") + (F.lit(0.1) + F.col("value") / F.lit(50.0)), F.lit(90.0)).alias("y1"),
-    )
+    ex = _event_extents(spark, sf_dir).withColumnRenamed("event_id", "extent_id")
     return spatial_join.tiered_extent_join(ex, _poly_df(spark, PIP_POLYGONS))
 
 
@@ -347,6 +340,35 @@ def q_st_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(ST_EPOCH_2024_US) + F.col("_i") * F.lit(1_500_000_000_000)).alias("t1_us"),
     )
     return st.st_join(ev, pwt, point_id="event_id")
+
+
+CMP_BOX = (-20.0, -10.0, 40.0, 35.0)
+
+
+def _event_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        F.col("event_id"),
+        F.col("lon").alias("x0"),
+        F.col("lat").alias("y0"),
+        F.least(F.col("lon") + (F.lit(0.1) + F.col("value") / F.lit(25.0)), F.lit(180.0)).alias("x1"),
+        F.least(F.col("lat") + (F.lit(0.1) + F.col("value") / F.lit(50.0)), F.lit(90.0)).alias("y1"),
+    )
+
+
+def q_interval_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BasicQueryFilter's 8 compare operators over event extents vs a
+    fixed query box — one 0/1 column per operator."""
+    from .functions import compare
+
+    ex = _event_extents(spark, sf_dir)
+    cols = [
+        compare.bbox_compare(op, F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"), *CMP_BOX)
+        .cast("long")
+        .alias(op.lower())
+        for op in compare.OPS
+    ]
+    return ex.select("event_id", *cols)
 
 
 def q_cell_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -520,11 +542,18 @@ def q_kmeans_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans.cluster_hulls(kmeans.kmeans_clusters(ev, k=8))
 
 
-def q_image_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+_IMG_CACHE_ROOT = "/tmp/geowave_fixture_cache"
+
+
+def _cached_images(spark: SparkSession, n: int) -> DataFrame:
     from .sources import images as img
 
+    return spark.read.parquet(img.ensure_images(spark, n, root=_IMG_CACHE_ROOT))
+
+
+def q_image_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = 2000 if "0.1" in sf_dir.rstrip("/").rsplit("sf", 1)[-1] else 500
-    df = img.generate_images(spark, n)
+    df = _cached_images(spark, n)
     out = tiling.tile_counts(df, [6], point_id="image_id")
     return out.select(F.col("level").cast("long").alias("level"), "tile_x", "tile_y", "n_images")
 
@@ -533,9 +562,8 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize pipeline (decode → NN-resize → re-encode) with a
     deterministic integer fingerprint per output (rows-only check)."""
     from .functions import multimodal as mm
-    from .sources import images as img
 
-    df = img.generate_images(spark, 200)
+    df = _cached_images(spark, 200)
     out = mm.resize_images(df, 16, 12)
     return out.select(
         "image_id",
@@ -547,9 +575,8 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import geo_udfs
-    from .sources import images as img
 
-    df = img.generate_images(spark, 300)
+    df = _cached_images(spark, 300)
     means = df.mapInPandas(
         geo_udfs.decode_mean_pixel,
         "image_id string, mean_r double, mean_g double, mean_b double",
@@ -679,6 +706,56 @@ def _oracle_st_join() -> str:
         f"SELECT e.event_id, p.polygon_id FROM ev e JOIN p ON {_SQL_PIP_PRED} "
         "AND epoch_us(e.ts) >= p.t0_us AND epoch_us(e.ts) < p.t1_us"
     )
+
+
+_SQL_EX_CTE = (
+    "ex AS (SELECT event_id, lon AS x0, lat AS y0, "
+    "least(lon + (CAST(0.1 AS DOUBLE) + value / CAST(25.0 AS DOUBLE)), CAST(180.0 AS DOUBLE)) AS x1, "
+    "least(lat + (CAST(0.1 AS DOUBLE) + value / CAST(50.0 AS DOUBLE)), CAST(90.0 AS DOUBLE)) AS y1 FROM ev)"
+)
+
+
+def _oracle_interval_compare() -> str:
+    qx0, qy0, qx1, qy1 = (f"CAST({v!r} AS DOUBLE)" for v in CMP_BOX)
+
+    def dim(op, lo, hi, qlo, qhi):
+        if op == "INTERSECTS":
+            return f"({lo} <= {qhi} AND {hi} >= {qlo})"
+        if op == "CONTAINS":
+            return f"({lo} <= {qlo} AND {hi} >= {qhi})"
+        if op == "WITHIN":
+            return f"({lo} >= {qlo} AND {hi} <= {qhi})"
+        if op == "EQUALS":
+            return f"({lo} = {qlo} AND {hi} = {qhi})"
+        raise ValueError(op)
+
+    def all_dims(op):
+        return f"({dim(op, 'x0', 'x1', qx0, qx1)} AND {dim(op, 'y0', 'y1', qy0, qy1)})"
+
+    inter = all_dims("INTERSECTS")
+    exprs = {
+        "intersects": inter,
+        "disjoint": f"(NOT {inter})",
+        "contains": all_dims("CONTAINS"),
+        "within": all_dims("WITHIN"),
+        "equals": all_dims("EQUALS"),
+        "overlaps": (
+            f"({dim('INTERSECTS', 'x0', 'x1', qx0, qx1)} AND NOT {dim('CONTAINS', 'x0', 'x1', qx0, qx1)} "
+            f"AND NOT {dim('WITHIN', 'x0', 'x1', qx0, qx1)} "
+            f"AND {dim('INTERSECTS', 'y0', 'y1', qy0, qy1)} AND NOT {dim('CONTAINS', 'y0', 'y1', qy0, qy1)} "
+            f"AND NOT {dim('WITHIN', 'y0', 'y1', qy0, qy1)})"
+        ),
+        "touches": (
+            f"({inter} AND (x1 = {qx0} OR x0 = {qx1} OR y1 = {qy0} OR y0 = {qy1}))"
+        ),
+        "crosses": (
+            f"({inter} AND NOT {all_dims('WITHIN')} AND "
+            f"((x0 < {qx0} AND x1 > {qx0}) OR (x0 < {qx1} AND x1 > {qx1}) OR "
+            f"(y0 < {qy0} AND y1 > {qy0}) OR (y0 < {qy1} AND y1 > {qy1})))"
+        ),
+    }
+    sel = ", ".join(f"CAST({e} AS BIGINT) AS {name}" for name, e in exprs.items())
+    return f"WITH {EV_CTE}, {_SQL_EX_CTE} SELECT event_id, {sel} FROM ex"
 
 
 def _oracle_cell_ids() -> str:
@@ -969,6 +1046,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_query": q_range_query,
     "st_range_query": q_st_range,
     "st_join": q_st_join,
+    "interval_compare": q_interval_compare,
     "cell_ids": q_cell_ids,
     "subsample_cells": q_subsample,
     "tile_assignment": q_tile_assignment,
@@ -1013,6 +1091,7 @@ def build_oracles() -> dict[str, str]:
         "range_query": _oracle_range(),
         "st_range_query": _oracle_st_range(),
         "st_join": _oracle_st_join(),
+        "interval_compare": _oracle_interval_compare(),
         "cell_ids": _oracle_cell_ids(),
         "subsample_cells": _oracle_subsample(),
         "tile_assignment": _oracle_tiles([4, 8, 12]),
