@@ -78,7 +78,17 @@ _TILE_SCHEMA = T.StructType(
 )
 
 
-def _assemble(tile_px: int):
+MERGE_STRATEGIES = ("mean", "max", "overwrite")
+
+
+def _assemble(tile_px: int, merge: str = "mean"):
+    """Per-tile mosaic with pluggable merge strategy — the
+    RasterDataAdapter merge-strategy family (NoDataMergeStrategy etc.,
+    extensions/adapters/raster/.../adapter/merge/): 'mean' averages
+    contributions, 'max' keeps the brightest, 'overwrite' keeps the last
+    by image_id order (NoData semantics: untouched pixels stay 0)."""
+    if merge not in MERGE_STRATEGIES:
+        raise ValueError(f"merge must be one of {MERGE_STRATEGIES}")
     from ..functions import imagecodec as codec
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -86,15 +96,27 @@ def _assemble(tile_px: int):
         nx, ny = 1 << (level + 1), 1 << level
         lon0, lon1 = tx / nx * 360.0 - 180.0, (tx + 1) / nx * 360.0 - 180.0
         lat0, lat1 = ty / ny * 180.0 - 90.0, (ty + 1) / ny * 180.0 - 90.0
+        pdf = pdf.sort_values("image_id")  # deterministic overwrite order
         acc = np.zeros((tile_px, tile_px, 3), np.float64)
         cnt = np.zeros((tile_px, tile_px, 1), np.float64)
         px = np.clip(((pdf["lon"] - lon0) / (lon1 - lon0) * tile_px).astype(int), 0, tile_px - 1)
         py = np.clip(((pdf["lat"] - lat0) / (lat1 - lat0) * tile_px).astype(int), 0, tile_px - 1)
         for j, (b, f) in enumerate(zip(pdf["bytes"], pdf["fmt"])):
             mean = codec.decode_image(bytes(b), f).reshape(-1, 3).mean(axis=0)
-            acc[py.iloc[j], px.iloc[j]] += mean
-            cnt[py.iloc[j], px.iloc[j]] += 1.0
-        tile = np.where(cnt > 0, acc / np.maximum(cnt, 1.0), 0.0)  # nodata stays 0
+            yj, xj = py.iloc[j], px.iloc[j]
+            if merge == "mean":
+                acc[yj, xj] += mean
+                cnt[yj, xj] += 1.0
+            elif merge == "max":
+                acc[yj, xj] = np.maximum(acc[yj, xj], mean)
+                cnt[yj, xj] = 1.0
+            else:  # overwrite
+                acc[yj, xj] = mean
+                cnt[yj, xj] = 1.0
+        if merge == "mean":
+            tile = np.where(cnt > 0, acc / np.maximum(cnt, 1.0), 0.0)  # nodata stays 0
+        else:
+            tile = acc
         png = codec.encode_png(np.clip(np.round(tile), 0, 255).astype(np.uint8))
         return pd.DataFrame(
             [
@@ -117,6 +139,7 @@ def assemble_tiles(
     tile_px: int = 64,
     lon_col: str = "lon",
     lat_col: str = "lat",
+    merge: str = "mean",
 ) -> DataFrame:
     """Mosaic per (level, tile): decode member images, mean-color raster.
 
@@ -128,7 +151,7 @@ def assemble_tiles(
         "tile_x", sqlcells.tile_x_expr(F.col(lon_col), level)
     ).withColumn("tile_y", sqlcells.tile_y_expr(F.col(lat_col), level))
     return pts.groupBy("level", "tile_x", "tile_y").applyInPandas(
-        _assemble(tile_px), _TILE_SCHEMA
+        _assemble(tile_px, merge), _TILE_SCHEMA
     )
 
 

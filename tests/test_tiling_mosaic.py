@@ -51,3 +51,17 @@ def test_retile_rollup_equals_direct(spark):
         for r in tiling.tile_counts(imgs, [4], point_id="image_id").collect()
     }
     assert rolled == direct
+
+
+def test_merge_strategies_differ_and_are_deterministic(spark):
+    imgs = src.generate_images(spark, 200)
+    outs = {}
+    for merge in tiling.MERGE_STRATEGIES:
+        rows = tiling.assemble_tiles(imgs, 2, tile_px=8, merge=merge).collect()
+        outs[merge] = {
+            (r["tile_x"], r["tile_y"]): bytes(r["tile_png"]) for r in rows
+        }
+        again = tiling.assemble_tiles(imgs, 2, tile_px=8, merge=merge).collect()
+        assert outs[merge] == {(r["tile_x"], r["tile_y"]): bytes(r["tile_png"]) for r in again}
+    # strategies genuinely differ where tiles have >1 member per pixel
+    assert outs["mean"] != outs["max"]
