@@ -1,0 +1,94 @@
+"""Spark SQL geometry-function registry + spatial SQL runner.
+
+The reference registers its geometry UDFs into Spark SQL
+(GeomFunctionRegistry.registerGeometryFunctions,
+analytics/spark/.../udf/GeomFunctionRegistry.java:26-42) so users write
+
+    SELECT ... FROM points, polys WHERE GeomContains(poly, point)
+
+and its SqlQueryRunner swaps the naive cross-join plan for the tiered join
+(SqlQueryRunner.java:90-303 — via logical-plan regex surgery).  Our
+equivalents:
+
+* :func:`register_sql_udfs` — the predicate family as named SQL functions
+  over (wkt, lon, lat), so any Spark SQL string can use them (the honest
+  cross-join path — correct, O(n·m), the test oracle);
+* :func:`spatial_join_sql` — the structured fast path: the caller names
+  the two views and the predicate and gets the tiered-join plan, instead
+  of regex-rewriting SQL text (which the reference itself documents as
+  fragile: it rejects subqueries and compound WHERE clauses).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators import spatial_join
+
+SQL_UDFS = {
+    "st_contains_point": "boolean",
+    "st_distance_point": "double",
+    "st_dwithin_point": "boolean",
+}
+
+
+def register_sql_udfs(spark: SparkSession) -> None:
+    """Register the geometry predicate family for SQL use.
+
+    Names mirror the reference's registry semantics for the point workload:
+    st_contains_point(wkt, lon, lat), st_distance_point(wkt, lon, lat),
+    st_dwithin_point(wkt, lon, lat, radius).
+    """
+    from . import geo_udfs
+
+    @F.pandas_udf(T.BooleanType())
+    def _contains(wkt: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(
+            geo_udfs._eval_per_polygon(wkt, lon, lat, lambda p, x, y: p.contains(x, y)).astype(bool)
+        )
+
+    @F.pandas_udf(T.DoubleType())
+    def _distance(wkt: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(
+            geo_udfs._eval_per_polygon(wkt, lon, lat, lambda p, x, y: p.distance(x, y))
+        )
+
+    @F.pandas_udf(T.BooleanType())
+    def _dwithin(wkt: pd.Series, lon: pd.Series, lat: pd.Series, radius: pd.Series) -> pd.Series:
+        d = geo_udfs._eval_per_polygon(wkt, lon, lat, lambda p, x, y: p.distance(x, y))
+        return pd.Series(d <= radius.to_numpy())
+
+    spark.udf.register("st_contains_point", _contains)
+    spark.udf.register("st_distance_point", _distance)
+    spark.udf.register("st_dwithin_point", _dwithin)
+
+
+def spatial_join_sql(
+    spark: SparkSession,
+    points_view: str,
+    polygons_view: str,
+    predicate: str = "intersects",
+    radius: float = 0.0,
+    point_id: str = "event_id",
+    polygon_id: str = "polygon_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    result_view: str | None = None,
+) -> DataFrame:
+    """SqlQueryRunner equivalent: run the tiered join between two
+    registered temp views and (optionally) register the matched pairs as a
+    view for follow-up SQL — the reference's replace-views-and-rerun step
+    (SqlQueryRunner.java:285-302) without plan surgery."""
+    pts = spark.table(points_view)
+    polys = spark.table(polygons_view)
+    pairs = spatial_join.tiered_spatial_join(
+        pts, polys, predicate=predicate, radius=radius,
+        point_id=point_id, polygon_id=polygon_id,
+        lon_col=lon_col, lat_col=lat_col,
+    )
+    if result_view:
+        pairs.createOrReplaceTempView(result_view)
+    return pairs
