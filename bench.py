@@ -27,11 +27,14 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 HEADLINE = [
     "pip_join_tiered",
     "dwithin_join",
+    "extent_join_tiered",
     "knn_join",
     "tile_assignment",
     "tile_counts_l8",
     "kde_l6",
     "range_query",
+    "st_range_query",
+    "st_join",
     "subsample_cells",
 ]
 # ... plus the training-data-pipeline set
@@ -40,6 +43,7 @@ PIPELINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "simhash64",
+    "dedup_simhash_pairs",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "text_quality",

@@ -66,6 +66,70 @@ def register_sql_udfs(spark: SparkSession) -> None:
     spark.udf.register("st_dwithin_point", _dwithin)
 
 
+_SPATIAL_SQL_RE = (
+    r"st_(?P<fn>contains_point|dwithin_point)\(\s*"
+    r"(?P<g>\w+)\.(?P<wkt>\w+)\s*,\s*"
+    r"(?P<p>\w+)\.(?P<lon>\w+)\s*,\s*"
+    r"(?P=p)\.(?P<lat>\w+)\s*"
+    r"(?:,\s*(?P<radius>[\d.eE+-]+)\s*)?\)"
+)
+
+
+def run_spatial_sql(spark: SparkSession, sql: str) -> DataFrame:
+    """SqlQueryRunner.run() equivalent: detect a single geometry predicate
+    in a two-table SQL query and execute it via the tiered join instead of
+    the naive cross join, then re-run the original SQL against the matched
+    subsets (SqlQueryRunner.java:90-303).
+
+    Faithfully restricted like the reference (:98-109,166-190): exactly one
+    st_* predicate, two FROM relations, no subqueries — anything else runs
+    unmodified through spark.sql (correct, just not accelerated).
+    """
+    import re
+
+    m = re.search(_SPATIAL_SQL_RE, sql, re.IGNORECASE)
+    frm = re.search(
+        r"FROM\s+(\w+)\s+(?:AS\s+)?(\w+)\s*,\s*(\w+)\s+(?:AS\s+)?(\w+)", sql, re.IGNORECASE
+    )
+    if not m or not frm or sql.upper().count("SELECT") > 1:
+        return spark.sql(sql)
+
+    t1, a1, t2, a2 = frm.groups()
+    alias_to_table = {a1: t1, a2: t2}
+    p_table = alias_to_table.get(m.group("p"))
+    g_table = alias_to_table.get(m.group("g"))
+    if not p_table or not g_table:
+        return spark.sql(sql)
+
+    pts = spark.table(p_table)
+    polys = spark.table(g_table)
+    predicate = "dwithin" if m.group("fn") == "dwithin_point" else "intersects"
+    radius = float(m.group("radius")) if m.group("radius") else 0.0
+    # semi-join each side down to its matched subset, re-register under
+    # shadow names, re-run the original SQL with the predicate removed
+    id_p = pts.columns[0]
+    id_g = polys.columns[0]
+    pairs = spatial_join.tiered_spatial_join(
+        pts, polys, predicate=predicate, radius=radius,
+        point_id=id_p, polygon_id=id_g,
+        lon_col=m.group("lon"), lat_col=m.group("lat"), wkt_col=m.group("wkt"),
+    )
+    pairs.createOrReplaceTempView("_spatial_pairs")
+    p_alias = m.group("p")
+    g_alias = m.group("g")
+    rewritten = re.sub(_SPATIAL_SQL_RE, "(1=1)", sql, count=1, flags=re.IGNORECASE)
+    rewritten = re.sub(
+        rf"FROM\s+{t1}\s+(?:AS\s+)?{a1}\s*,\s*{t2}\s+(?:AS\s+)?{a2}",
+        f"FROM _spatial_pairs _sp "
+        f"JOIN {p_table} {p_alias} ON _sp.{id_p} = {p_alias}.{id_p} "
+        f"JOIN {g_table} {g_alias} ON _sp.{id_g} = {g_alias}.{id_g}",
+        rewritten,
+        count=1,
+        flags=re.IGNORECASE,
+    )
+    return spark.sql(rewritten)
+
+
 def spatial_join_sql(
     spark: SparkSession,
     points_view: str,

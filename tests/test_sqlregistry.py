@@ -48,3 +48,31 @@ def test_sql_dwithin_udf(spark, sf_dir):
         ev, polys, predicate="dwithin", radius=eq.DWITHIN_RADIUS, point_id="event_id"
     )
     assert sorted(map(tuple, naive.collect())) == sorted(map(tuple, fast.collect()))
+
+
+def test_run_spatial_sql_rewrites_to_tiered(spark, sf_dir):
+    """run_spatial_sql: same rows as the naive SQL, no CartesianProduct."""
+    sqlregistry.register_sql_udfs(spark)
+    ev = eq._events(spark, sf_dir)
+    polys = eq._poly_df(spark, [p for p in eq.PIP_POLYGONS if p[0].startswith("mid")])
+    ev.createOrReplaceTempView("rs_pts")
+    polys.createOrReplaceTempView("rs_polys")
+    sql = (
+        "SELECT p.event_id, g.polygon_id, p.value FROM rs_pts p, rs_polys g "
+        "WHERE st_contains_point(g.wkt, p.lon, p.lat)"
+    )
+    naive = spark.sql(sql)
+    fast = sqlregistry.run_spatial_sql(spark, sql)
+    assert sorted(map(tuple, naive.collect())) == sorted(map(tuple, fast.collect()))
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_run_spatial_sql_falls_back_on_unsupported(spark, sf_dir):
+    """Subquery shape: runs unmodified (the reference rejects these too)."""
+    sqlregistry.register_sql_udfs(spark)
+    eq._events(spark, sf_dir).createOrReplaceTempView("rs_pts3")
+    out = sqlregistry.run_spatial_sql(
+        spark, "SELECT count(*) AS n FROM (SELECT * FROM rs_pts3 WHERE event_id < 10)"
+    )
+    assert out.collect()[0]["n"] == 10
