@@ -106,13 +106,26 @@ class CheckpointedPipeline:
         df.write.mode("overwrite").parquet(data)
         wall = time.monotonic() - t0
         out = self.spark.read.parquet(data)
-        # post-write metrics from the checkpoint itself (cheap columnar count);
-        # per-partition progress during the write is visible in the Spark UI /
-        # task metrics — no row-level accumulator in the hot path
-        rows = out.count()
-        # written-layout partition count = part files (read-side split counts
-        # vary with maxPartitionBytes / AQE coalescing)
-        partitions = len([f for f in os.listdir(data) if f.startswith("part-")])
+        # per-partition (per written file) metrics from one cheap columnar
+        # aggregation over the checkpoint — the lineage record shows row
+        # balance so skewed stages are visible without the Spark UI
+        from pyspark.sql import functions as FF
+
+        per_file = {
+            os.path.basename(r["_f"]): r["n"]
+            for r in out.withColumn("_f", FF.input_file_name())
+            .groupBy("_f")
+            .agg(FF.count(FF.lit(1)).alias("n"))
+            .collect()
+        }
+        rows = int(sum(per_file.values()))
+        partitions = len(per_file)
+        counts = sorted(per_file.values())
+        partition_stats = {
+            "min_rows": counts[0] if counts else 0,
+            "max_rows": counts[-1] if counts else 0,
+            "files": len(counts),
+        }
         with open(self._manifest_path(name), "w") as f:
             json.dump(
                 {
@@ -121,6 +134,7 @@ class CheckpointedPipeline:
                     "upstream": upstream,
                     "rows": rows,
                     "partitions": partitions,
+                    "partition_stats": partition_stats,
                     "wall_s": round(wall, 3),
                     "written_at": time.time(),
                 },

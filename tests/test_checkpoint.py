@@ -105,3 +105,19 @@ def test_stats_persist_and_merge(spark, tmp_path, sf_dir):
     p = str(tmp_path / "stats.parquet")
     stats.write_stats_table(ev, p)
     assert sorted(map(tuple, spark.read.parquet(p).collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_manifest_has_per_partition_stats(spark, tmp_path):
+    import json as _json
+
+    p = CheckpointedPipeline(spark, str(tmp_path), "run5")
+    p.stage(
+        "s",
+        lambda: spark.range(0, 5000, 1, 4).withColumn("v", F.col("id") * 3),
+        fingerprint="pp",
+    )
+    man = _json.load(open(f"{tmp_path}/run5/s.manifest.json"))
+    ps = man["partition_stats"]
+    assert ps["files"] >= 1
+    assert 0 < ps["min_rows"] <= ps["max_rows"] <= 5000
+    assert man["rows"] == 5000
