@@ -437,6 +437,13 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup clustering (LSH candidates → Jaccard verify →
+    connected components) — iterative, rows-only; union-find equality
+    pinned in tests/test_dedup_clusters.py."""
+    return dedup.dedup_clusters(_docs(spark, sf_dir), threshold=0.5)
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.text_quality(_docs(spark, sf_dir))
 
@@ -1058,6 +1065,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_clusters": q_dedup_clusters,
     "simhash64": q_simhash,
     "dedup_simhash_pairs": q_simhash_pairs,
     "text_quality": q_text_quality,

@@ -248,6 +248,81 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_perm: int = 16,
+    bands: int = 4,
+    w: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """End-to-end near-dup clustering: (doc_id, canonical_id).
+
+    The production corpus-dedup pipeline shape:
+      1. MinHash+LSH candidate pairs (band-bucket equi-join — never a
+         cross join);
+      2. exact Jaccard verify on candidates only;
+      3. connected components over verified pairs (iterative min-label
+         propagation, localCheckpoint per round);
+      4. canonical = min doc_id per component; singletons map to
+         themselves.
+
+    Deterministic; exact equality with a local union-find oracle is
+    pinned in tests.
+    """
+    cands = minhash_lsh_pairs(docs, n_perm, bands, w, text_col, id_col)
+    sh = _doc_shingle_hashes(docs, text_col, id_col, w).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        cands.join(a, cands.doc_a == F.col("a.doc_id"))
+        .join(b, (cands.doc_b == F.col("b.doc_id")) & (F.col("a.h") == F.col("b.h")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    verified = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .filter(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")) >= F.lit(threshold))
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+
+    labels = docs.select(F.col(id_col).alias("doc_id")).withColumn("label", F.col("doc_id"))
+    edges = verified.unionByName(
+        verified.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("label", "_nl"), "doc_b")
+            .groupBy("doc_a")
+            .agg(F.min("_nl").alias("_minl"))
+            .withColumnRenamed("doc_a", "doc_id")
+        )
+        new_labels = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("_minl"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("doc_id").alias(id_col), F.col("label").alias("canonical_id"))
+
+
 def simhash64(docs: DataFrame, bits: int = 60, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, simhash): per-bit majority vote over distinct-token h60s."""
     toks = (

@@ -27,6 +27,27 @@ from .. import sqlcells
 from .spatial_join import add_point_cols
 
 
+def pyramid_levels_for_resolution(
+    deg_per_px: float, tile_px: int = 256, build_pyramid: bool = True, max_level: int = 24
+) -> list[int]:
+    """Pyramid level selection — RasterDataAdapter.convertToIndex's rule
+    (:514-553): choose the level whose tile resolution ratio to the source
+    resolution is closest to 1 FROM BELOW (never upsample), plus every
+    coarser level when building the full pyramid.
+
+    Level ℓ tile spans 360/2^(ℓ+1) degrees over tile_px pixels →
+    level resolution r(ℓ) = 360 / (2^(ℓ+1) · tile_px) deg/px.
+    """
+    best = 0
+    for lvl in range(max_level + 1):
+        r = 360.0 / ((1 << (lvl + 1)) * tile_px)
+        if r >= deg_per_px:
+            best = lvl
+        else:
+            break
+    return list(range(0, best + 1)) if build_pyramid else [best]
+
+
 def assign_tiles(
     points: DataFrame,
     levels: list[int],

@@ -1,0 +1,55 @@
+"""End-to-end dedup clustering: exact match vs a local union-find oracle
+over the same candidate-verify pipeline semantics."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from geowave_spark.operators import dedup
+
+
+def _oracle_clusters(pairs: list[tuple[int, int]], all_ids: list[int]) -> dict[int, int]:
+    parent = {i: i for i in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict[int, int] = {}
+    for i in all_ids:
+        r = find(i)
+        comp_min.setdefault(r, i if r == i else min(i, r))
+    out = {}
+    for i in all_ids:
+        r = find(i)
+        out[i] = min(j for j in all_ids if find(j) == r)
+    return out
+
+
+def test_dedup_clusters_match_union_find(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["doc_id"]: r["canonical_id"] for r in dedup.dedup_clusters(docs, threshold=0.5).collect()
+    }
+    # oracle: union-find over the engine's OWN verified pair semantics
+    # (LSH candidates filtered by exact jaccard >= 0.5)
+    cands = dedup.minhash_lsh_pairs(docs)
+    jacc = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    cand_set = {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
+    verified = [
+        (r["doc_a"], r["doc_b"]) for r in jacc.collect() if (r["doc_a"], r["doc_b"]) in cand_set
+    ]
+    all_ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    want = _oracle_clusters(verified, all_ids)
+    assert got == want
+    # sanity: at least one nontrivial cluster exists in the corpus
+    assert any(k != v for k, v in got.items())

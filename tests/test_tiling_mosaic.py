@@ -65,3 +65,18 @@ def test_merge_strategies_differ_and_are_deterministic(spark):
         assert outs[merge] == {(r["tile_x"], r["tile_y"]): bytes(r["tile_png"]) for r in again}
     # strategies genuinely differ where tiles have >1 member per pixel
     assert outs["mean"] != outs["max"]
+
+
+def test_pyramid_level_selection_rule():
+    """Level resolution ratio closest to 1 from below (never upsample)."""
+    # a source at exactly level-5 resolution selects level 5
+    r5 = 360.0 / ((1 << 6) * 256)
+    assert tiling.pyramid_levels_for_resolution(r5, 256, build_pyramid=False) == [5]
+    # slightly finer source (smaller deg/px) → still level 5, never
+    # upsample to level 6
+    assert tiling.pyramid_levels_for_resolution(r5 * 0.99, 256, build_pyramid=False) == [5]
+    # slightly coarser source → level 5 would upsample → level 4
+    assert tiling.pyramid_levels_for_resolution(r5 * 1.01, 256, build_pyramid=False) == [4]
+    assert tiling.pyramid_levels_for_resolution(r5 * 2.0, 256, build_pyramid=False) == [4]
+    # full pyramid includes every coarser level
+    assert tiling.pyramid_levels_for_resolution(r5, 256) == [0, 1, 2, 3, 4, 5]
