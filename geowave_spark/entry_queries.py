@@ -403,6 +403,23 @@ def q_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kde.kde_exact(_events(spark, sf_dir), level=6)
 
 
+def q_id_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact / range / prefix id lookups (InsertionIdQueryFilter /
+    DataIdRangeQueryFilter / PrefixIdQueryFilter family)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.filter(
+        (F.col("event_id") == 7)
+        | F.col("event_id").between(100, 120)
+        | ((F.col("event_id") < 500) & F.col("event_type").startswith("cl"))
+    ).select("event_id", "event_type", _cents(F.col("value")).alias("value_c"))
+
+
+def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL/CMS sketch statistics (approximate by design → rows-only)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return stats.approx_stats(ev, "user_id")
+
+
 def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.table_stats(_events(spark, sf_dir))
 
@@ -821,6 +838,14 @@ def _oracle_kde(level: int = 6) -> str:
     )
 
 
+def _oracle_id_lookup() -> str:
+    return (
+        f"SELECT event_id, event_type, {sql_cents('value')} AS value_c FROM events "
+        "WHERE event_id = 7 OR event_id BETWEEN 100 AND 120 "
+        "OR (event_id < 500 AND event_type LIKE 'cl%')"
+    )
+
+
 def _oracle_stats_summary() -> str:
     return (
         f"WITH {EV_CTE} SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
@@ -1060,6 +1085,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_counts_l8": q_tile_counts,
     "tile_pyramid_rollup": q_tile_pyramid,
     "kde_l6": q_kde,
+    "id_lookup": q_id_lookup,
+    "sketch_stats": q_sketch_stats,
     "stats_summary": q_stats_summary,
     "histogram_value": q_histogram,
     "dedup_exact": q_dedup_exact,
@@ -1106,6 +1133,7 @@ def build_oracles() -> dict[str, str]:
         "tile_counts_l8": _oracle_tile_counts(8),
         "tile_pyramid_rollup": _oracle_tile_counts(5),
         "kde_l6": _oracle_kde(6),
+        "id_lookup": _oracle_id_lookup(),
         "stats_summary": _oracle_stats_summary(),
         "histogram_value": _oracle_histogram(),
         "dedup_exact": _oracle_dedup_exact(),

@@ -154,6 +154,7 @@ def kde_exact(
     lat_col: str = "lat",
     radius: int = RADIUS,
     sigma: float = SIGMA,
+    scalable_percentile: bool = False,
 ) -> DataFrame:
     """Integer-exact KDE: (level, x, y, weight_mu, norm_mu, pct_mu).
 
@@ -189,12 +190,17 @@ def kde_exact(
         .filter((F.col("y") >= 0) & (F.col("y") < ny))
     )
     agg = smeared.groupBy("x", "y").agg(F.sum("w").alias("weight_mu"))
-    w_all = Window.partitionBy()
-    w_rank = Window.partitionBy().orderBy(F.col("weight_mu").asc())
-    mu = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
-    return (
-        agg.withColumn("level", F.lit(level).cast("long"))
-        .withColumn("norm_mu", mu(F.col("weight_mu") / F.max("weight_mu").over(w_all)))
-        .withColumn("pct_mu", mu(F.percent_rank().over(w_rank)))
-        .select("level", "x", "y", "weight_mu", "norm_mu", "pct_mu")
+    if scalable_percentile:
+        # identical values (tested), no single-partition window — the
+        # 100 TB path
+        out = add_percentile_scalable(agg)
+    else:
+        w_all = Window.partitionBy()
+        w_rank = Window.partitionBy().orderBy(F.col("weight_mu").asc())
+        mu = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
+        out = agg.withColumn(
+            "norm_mu", mu(F.col("weight_mu") / F.max("weight_mu").over(w_all))
+        ).withColumn("pct_mu", mu(F.percent_rank().over(w_rank)))
+    return out.withColumn("level", F.lit(level).cast("long")).select(
+        "level", "x", "y", "weight_mu", "norm_mu", "pct_mu"
     )
