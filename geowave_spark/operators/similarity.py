@@ -21,8 +21,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import h60
-
 DIM = 64  # embedding dimensionality of the input tables
 
 

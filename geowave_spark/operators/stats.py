@@ -21,7 +21,6 @@ Spark twins of the reference's ingest-maintained statistics and query paths:
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
