@@ -99,3 +99,18 @@ def test_loose_mode_is_cover_superset(spark, tables):
     e = {tuple(r) for r in exact.collect()}
     l = {tuple(r) for r in loose.collect()}
     assert e <= l
+
+
+def test_empty_polygon_side(spark, tables):
+    imgs, _ = tables
+    empty = spark.createDataFrame([], "polygon_id string, wkt string")
+    out = sj.tiered_spatial_join(imgs, empty)
+    assert out.count() == 0
+    assert set(out.columns) == {"image_id", "polygon_id"}
+
+
+def test_empty_point_side(spark, tables):
+    _, polys = tables
+    empty_pts = spark.createDataFrame([], "image_id string, phash long")
+    out = sj.tiered_spatial_join(empty_pts, polys.select("polygon_id", "wkt"))
+    assert out.count() == 0
