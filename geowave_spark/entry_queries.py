@@ -272,6 +272,24 @@ def q_extent_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_join.tiered_extent_join(ex, _poly_df(spark, PIP_POLYGONS))
 
 
+def q_extent_join_bigbig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIG×BIG extent join (shuffle path, neither side broadcast)."""
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0).select(
+        F.col("event_id").alias("left_id"),
+        F.col("lon").alias("x0"), F.col("lat").alias("y0"),
+        F.least(F.col("lon") + (F.lit(0.5) + F.col("value") / F.lit(20.0)), F.lit(180.0)).alias("x1"),
+        F.least(F.col("lat") + (F.lit(0.3) + F.col("value") / F.lit(40.0)), F.lit(90.0)).alias("y1"),
+    )
+    right = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1).select(
+        F.col("event_id").alias("right_id"),
+        F.col("lon").alias("x0"), F.col("lat").alias("y0"),
+        F.least(F.col("lon") + F.lit(2.0), F.lit(180.0)).alias("x1"),
+        F.least(F.col("lat") + F.lit(1.0), F.lit(90.0)).alias("y1"),
+    )
+    return spatial_join.tiered_extent_join_shuffle(left, right)
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     qs = (
@@ -354,6 +372,13 @@ def _event_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("lon") + (F.lit(0.1) + F.col("value") / F.lit(25.0)), F.lit(180.0)).alias("x1"),
         F.least(F.col("lat") + (F.lit(0.1) + F.col("value") / F.lit(50.0)), F.lit(90.0)).alias("y1"),
     )
+
+
+def q_st_binned_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(day-bin, tier-6 cell) rollup — DAY periodicity binning."""
+    from .operators import spatiotemporal as st
+
+    return st.time_binned_counts(_events(spark, sf_dir), unit="day", tier=6)
 
 
 def q_interval_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -666,6 +691,22 @@ def _oracle_extent_join() -> str:
     )
 
 
+def _oracle_extent_join_bigbig() -> str:
+    return (
+        f"WITH {EV_CTE}, "
+        "l AS (SELECT event_id AS left_id, lon AS x0, lat AS y0, "
+        "least(lon + (CAST(0.5 AS DOUBLE) + value / CAST(20.0 AS DOUBLE)), CAST(180.0 AS DOUBLE)) AS x1, "
+        "least(lat + (CAST(0.3 AS DOUBLE) + value / CAST(40.0 AS DOUBLE)), CAST(90.0 AS DOUBLE)) AS y1 "
+        "FROM ev WHERE event_id % 2 = 0), "
+        "r AS (SELECT event_id AS right_id, lon AS rx0, lat AS ry0, "
+        "least(lon + CAST(2.0 AS DOUBLE), CAST(180.0 AS DOUBLE)) AS rx1, "
+        "least(lat + CAST(1.0 AS DOUBLE), CAST(90.0 AS DOUBLE)) AS ry1 "
+        "FROM ev WHERE event_id % 2 = 1) "
+        "SELECT l.left_id, r.right_id FROM l JOIN r ON "
+        "l.x0 <= r.rx1 AND l.x1 >= r.rx0 AND l.y0 <= r.ry1 AND l.y1 >= r.ry0"
+    )
+
+
 def _oracle_knn() -> str:
     return (
         f"WITH {EV_CTE}, "
@@ -835,6 +876,17 @@ def _oracle_kde(level: int = 6) -> str:
         f"SELECT CAST({level} AS BIGINT) AS level, x, y, weight_mu, "
         f"{sql_mu('weight_mu / max(weight_mu) OVER ()')} AS norm_mu, "
         f"{sql_mu('percent_rank() OVER (ORDER BY weight_mu ASC)')} AS pct_mu FROM agg"
+    )
+
+
+def _oracle_st_binned_counts(tier: int = 6) -> str:
+    inner, outer = sql_cell_select(tier, "cell")
+    return (
+        f"WITH {EV_CTE}, "
+        "b AS (SELECT ((CAST(year(ts) AS BIGINT) * 100 + CAST(month(ts) AS BIGINT)) * 100 "
+        f"+ CAST(day(ts) AS BIGINT)) AS bin, {inner} FROM ev), "
+        f"c AS (SELECT bin, {outer} FROM b) "
+        "SELECT bin, cell, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY bin, cell"
     )
 
 
@@ -1073,11 +1125,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pip_join_anti": q_pip_anti,
     "dwithin_join": q_dwithin_join,
     "extent_join_tiered": q_extent_join,
+    "extent_join_bigbig": q_extent_join_bigbig,
     "knn_join": q_knn_join,
     "knn_adaptive": q_knn_adaptive,
     "range_query": q_range_query,
     "st_range_query": q_st_range,
     "st_join": q_st_join,
+    "st_binned_counts": q_st_binned_counts,
     "interval_compare": q_interval_compare,
     "cell_ids": q_cell_ids,
     "subsample_cells": q_subsample,
@@ -1121,11 +1175,13 @@ def build_oracles() -> dict[str, str]:
         "pip_join_anti": _oracle_pip_anti(),
         "dwithin_join": _oracle_dwithin(),
         "extent_join_tiered": _oracle_extent_join(),
+        "extent_join_bigbig": _oracle_extent_join_bigbig(),
         "knn_join": _oracle_knn(),
         "knn_adaptive": _oracle_knn_adaptive(),
         "range_query": _oracle_range(),
         "st_range_query": _oracle_st_range(),
         "st_join": _oracle_st_join(),
+        "st_binned_counts": _oracle_st_binned_counts(),
         "interval_compare": _oracle_interval_compare(),
         "cell_ids": _oracle_cell_ids(),
         "subsample_cells": _oracle_subsample(),

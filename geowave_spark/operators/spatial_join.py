@@ -431,6 +431,93 @@ def tiered_extent_join(
     return j.filter(refine).select(extent_id, polygon_id).dropDuplicates([extent_id, polygon_id])
 
 
+def _extent_cells(
+    df: DataFrame, id_col: str, x0: str, y0: str, x1: str, y1: str
+) -> DataFrame:
+    """Extent rows → (id, x0..y1, _te, _cell) at the span-based adaptive
+    tier (<= 4 cells per row) — pure Column math shared by both extent-join
+    paths."""
+    sx = (F.col(x1) - F.col(x0)) / F.lit(360.0)
+    sy = (F.col(y1) - F.col(y0)) / F.lit(180.0)
+    span = F.greatest(sx, sy, F.lit(0.0))
+    te = (
+        F.when(span <= 0.0, F.lit(cells.MAX_TIER))
+        .otherwise(
+            F.least(F.greatest(F.floor(-F.log2(span)).cast("int"), F.lit(0)), F.lit(cells.MAX_TIER))
+        )
+    )
+    ex = df.withColumn("_te", te)
+    ex = ex.withColumn("_r", F.pow(F.lit(2.0), F.col("_te").cast("double")).cast("long"))
+    rl = F.col("_r").cast("double")
+    gx0 = F.least(F.greatest(F.floor(sqlcells.norm_lon(F.col(x0)) * rl), F.lit(0)), F.col("_r") - 1).cast("long")
+    gy0 = F.least(F.greatest(F.floor(sqlcells.norm_lat(F.col(y0)) * rl), F.lit(0)), F.col("_r") - 1).cast("long")
+    gx1 = F.least(F.greatest(F.floor(sqlcells.norm_lon_upper(F.col(x1)) * rl), gx0), F.col("_r") - 1).cast("long")
+    gy1 = F.least(F.greatest(F.floor(sqlcells.norm_lat(F.col(y1)) * rl), gy0), F.col("_r") - 1).cast("long")
+    return (
+        ex.withColumn("_gx0", gx0).withColumn("_gx1", gx1)
+        .withColumn("_gy0", gy0).withColumn("_gy1", gy1)
+        .withColumn("_gx", F.explode(F.sequence(F.col("_gx0"), F.col("_gx1"))))
+        .withColumn("_gy", F.explode(F.sequence(F.col("_gy0"), F.col("_gy1"))))
+        .withColumn("_cell", sqlcells.interleave(F.col("_gx"), F.col("_gy")))
+        .select(id_col, x0, y0, x1, y1, "_te", "_cell")
+    )
+
+
+def _extent_keys(ex_cells: DataFrame, partner_tiers: list[int]) -> DataFrame:
+    """Keys = own-tier cell + truncations to each coarser partner tier."""
+    offs = F.array(*[F.lit(int(o)) for o in cells.TIER_OFFSETS[: cells.MAX_TIER + 1]])
+    own_key = F.element_at(offs, F.col("_te") + 1) + F.col("_cell")
+    trunc = [
+        F.when(
+            F.col("_te") > t,
+            F.lit(int(cells.TIER_OFFSETS[t])) + F.expr(f"shiftrightunsigned(_cell, 2 * (_te - {t}))"),
+        )
+        for t in sorted(partner_tiers)
+    ]
+    keys = F.array_compact(F.array(own_key.cast("long"), *[k.cast("long") for k in trunc]))
+    return ex_cells.withColumn("key", F.explode(keys)).drop("_te", "_cell")
+
+
+def tiered_extent_join_shuffle(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    lcols: tuple[str, str, str, str] = ("x0", "y0", "x1", "y1"),
+    rcols: tuple[str, str, str, str] = ("x0", "y0", "x1", "y1"),
+) -> DataFrame:
+    """BIG×BIG extent join: both sides adaptively tiered + duplicated, met
+    at min(tier) via symmetric truncation, shuffle equi-join on the packed
+    key — the reference's full TieredSpatialJoin shape where neither side
+    broadcasts (per-tier cogroups folded into one equi-join).
+
+    Tier discovery runs on BOTH sides (two tiny distinct aggregates —
+    TieredSpatialJoin.java:173-207 does the same with collectAsync), then
+    each side emits its own-tier cells plus truncations to every coarser
+    tier PRESENT ON THE PARTNER side.  Output (left_id, right_id), deduped
+    (DedupeFilter semantics — extents legitimately meet in multiple cells).
+    """
+    lx0, ly0, lx1, ly1 = lcols
+    rx0, ry0, rx1, ry1 = rcols
+    lc = _extent_cells(left, left_id, *lcols).persist()
+    rc = _extent_cells(right, right_id, *rcols).persist()
+    l_tiers = sorted(r[0] for r in lc.select("_te").distinct().collect())
+    r_tiers = sorted(r[0] for r in rc.select("_te").distinct().collect())
+    if not l_tiers or not r_tiers:
+        return left.select(left_id).limit(0).crossJoin(right.select(right_id).limit(0))
+
+    lk = _extent_keys(lc, r_tiers).withColumnRenamed(lx0, "_lx0").withColumnRenamed(
+        ly0, "_ly0").withColumnRenamed(lx1, "_lx1").withColumnRenamed(ly1, "_ly1")
+    rk = _extent_keys(rc, l_tiers).withColumnRenamed(rx0, "_rx0").withColumnRenamed(
+        ry0, "_ry0").withColumnRenamed(rx1, "_rx1").withColumnRenamed(ry1, "_ry1")
+    j = lk.join(rk, "key")
+    refine = (
+        (F.col("_lx0") <= F.col("_rx1")) & (F.col("_lx1") >= F.col("_rx0"))
+        & (F.col("_ly0") <= F.col("_ry1")) & (F.col("_ly1") >= F.col("_ry0"))
+    )
+    return j.filter(refine).select(left_id, right_id).dropDuplicates([left_id, right_id])
+
+
 def semi_join_matches(points: DataFrame, pairs: DataFrame, point_id: str = "image_id") -> DataFrame:
     """Matched point rows (left_semi back to base table,
     TieredSpatialJoin.java:364-372).  left_semi tolerates duplicate keys on

@@ -32,20 +32,61 @@ def epoch_us_expr(ts_col: str) -> Column:
     return F.expr(f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, {ts_col})")
 
 
-def year_bin_expr(ts_col: str) -> Column:
-    """Calendar-year bin id (TemporalBinningStrategy YEAR periodicity).
+BIN_UNITS = ("year", "month", "day", "hour")
 
-    DuckDB twin: ``CAST(year(ts) AS BIGINT)`` — both engines read the same
-    NTZ timestamp, so the calendar split is identical.
+
+def time_bin_expr(ts_col: str, unit: str = "year") -> Column:
+    """Calendar bin id for any TemporalBinningStrategy periodicity
+    (YEAR default, SpatialTemporalOptions.java:18; MONTH/DAY/HOUR are the
+    other units the reference's binning strategy enumerates).
+
+    Bin ids nest lexicographically: year*1 | year*100+month | ... so a
+    coarser range maps to a contiguous id range at any unit.  DuckDB twin:
+    same arithmetic over year()/month()/day()/hour() on the identical NTZ
+    timestamp — calendar splits are engine-independent.
     """
-    return F.year(F.col(ts_col)).cast("long")
+    if unit not in BIN_UNITS:
+        raise ValueError(f"unit must be one of {BIN_UNITS}")
+    y = F.year(F.col(ts_col)).cast("long")
+    if unit == "year":
+        return y
+    m = y * 100 + F.month(F.col(ts_col)).cast("long")
+    if unit == "month":
+        return m
+    d = m * 100 + F.dayofmonth(F.col(ts_col)).cast("long")
+    if unit == "day":
+        return d
+    return d * 100 + F.hour(F.col(ts_col)).cast("long")
+
+
+def year_bin_expr(ts_col: str) -> Column:
+    """Calendar-year bin id (TemporalBinningStrategy YEAR periodicity)."""
+    return time_bin_expr(ts_col, "year")
 
 
 def add_st_cols(
-    df: DataFrame, ts_col: str = "ts", lon_col: str = "lon", lat_col: str = "lat"
+    df: DataFrame, ts_col: str = "ts", lon_col: str = "lon", lat_col: str = "lat",
+    unit: str = "year",
 ) -> DataFrame:
     """Add (_bin, _cell31) — the spatial-temporal key columns."""
-    return add_point_cols(df, lon_col, lat_col).withColumn("_bin", year_bin_expr(ts_col))
+    return add_point_cols(df, lon_col, lat_col).withColumn("_bin", time_bin_expr(ts_col, unit))
+
+
+def time_binned_counts(
+    points: DataFrame, unit: str, tier: int = 6, ts_col: str = "ts",
+    lon_col: str = "lon", lat_col: str = "lat",
+) -> DataFrame:
+    """Per-(time-bin, coarse-cell) counts — the spatio-temporal rollup
+    (bin + cell is exactly the reference's [bin | sfc] key prefix order)."""
+    from .. import sqlcells
+
+    df = add_st_cols(points, ts_col, lon_col, lat_col, unit)
+    cell = sqlcells.cell_at_tier_expr(F.col("_cell31"), tier)
+    return (
+        df.select(F.col("_bin").alias("bin"), cell.alias("cell"))
+        .groupBy("bin", "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 def st_range_query(

@@ -114,3 +114,34 @@ def test_empty_point_side(spark, tables):
     empty_pts = spark.createDataFrame([], "image_id string, phash long")
     out = sj.tiered_spatial_join(empty_pts, polys.select("polygon_id", "wkt"))
     assert out.count() == 0
+
+
+def test_big_big_extent_join_matches_brute_force(spark):
+    """Shuffle extent×extent join (neither side broadcast) vs cross join."""
+    from geowave_spark import entry_queries as eq
+
+    ev = eq._events(spark, "/root/testdata/sf0.001")
+    left = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("left_id"),
+        F.col("lon").alias("x0"), F.col("lat").alias("y0"),
+        F.least(F.col("lon") + 0.5 + F.col("value") / 20.0, F.lit(180.0)).alias("x1"),
+        F.least(F.col("lat") + 0.3 + F.col("value") / 40.0, F.lit(90.0)).alias("y1"),
+    )
+    right = ev.filter(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("right_id"),
+        F.col("lon").alias("x0"), F.col("lat").alias("y0"),
+        F.least(F.col("lon") + 2.0, F.lit(180.0)).alias("x1"),
+        F.least(F.col("lat") + 1.0, F.lit(90.0)).alias("y1"),
+    )
+    got = sj.tiered_extent_join_shuffle(left, right)
+    l = left.select("left_id", F.col("x0").alias("lx0"), F.col("y0").alias("ly0"),
+                    F.col("x1").alias("lx1"), F.col("y1").alias("ly1"))
+    r = right.select("right_id", F.col("x0").alias("rx0"), F.col("y0").alias("ry0"),
+                     F.col("x1").alias("rx1"), F.col("y1").alias("ry1"))
+    want = l.crossJoin(r).filter(
+        (F.col("lx0") <= F.col("rx1")) & (F.col("lx1") >= F.col("rx0"))
+        & (F.col("ly0") <= F.col("ry1")) & (F.col("ly1") >= F.col("ry0"))
+    ).select("left_id", "right_id")
+    assert_same_pairs(got.withColumnRenamed("left_id", "image_id"),
+                      want.withColumnRenamed("left_id", "image_id"))
+    assert want.count() > 0
