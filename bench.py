@@ -28,6 +28,7 @@ HEADLINE = [
     "pip_join_tiered",
     "dwithin_join",
     "extent_join_tiered",
+    "extent_join_bigbig",
     "knn_join",
     "tile_assignment",
     "tile_counts_l8",
