@@ -145,3 +145,16 @@ def test_big_big_extent_join_matches_brute_force(spark):
     assert_same_pairs(got.withColumnRenamed("left_id", "image_id"),
                       want.withColumnRenamed("left_id", "image_id"))
     assert want.count() > 0
+
+
+@pytest.mark.parametrize("seed", [7, 123, 999])
+def test_join_fuzz_random_workloads(spark, seed):
+    """Randomized polygon workloads (all six fixture classes, fresh seeds)
+    vs brute force — the randomized flavor of the oracle IT."""
+    imgs = src.generate_images(spark, 600, seed=seed).select("image_id", "phash")
+    polys = spark.createDataFrame(
+        __import__("pandas").DataFrame([src.polygon_row(j, seed) for j in range(18)])
+    ).select("polygon_id", "wkt")
+    got = sj.tiered_spatial_join(imgs, polys)
+    want = sj.brute_force_join(imgs, polys)
+    assert_same_pairs(got, want)
