@@ -445,6 +445,11 @@ def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.approx_stats(ev, "user_id")
 
 
+def q_kde_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KDE over a pyramid of levels (per-level normalize/percentile)."""
+    return kde.kde_pyramid(_events(spark, sf_dir), levels=[4, 6])
+
+
 def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.table_stats(_events(spark, sf_dir))
 
@@ -1139,6 +1144,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_counts_l8": q_tile_counts,
     "tile_pyramid_rollup": q_tile_pyramid,
     "kde_l6": q_kde,
+    "kde_pyramid": q_kde_pyramid,
     "id_lookup": q_id_lookup,
     "sketch_stats": q_sketch_stats,
     "stats_summary": q_stats_summary,
@@ -1189,6 +1195,9 @@ def build_oracles() -> dict[str, str]:
         "tile_counts_l8": _oracle_tile_counts(8),
         "tile_pyramid_rollup": _oracle_tile_counts(5),
         "kde_l6": _oracle_kde(6),
+        "kde_pyramid": (
+            f"SELECT * FROM ({_oracle_kde(4)}) UNION ALL SELECT * FROM ({_oracle_kde(6)})"
+        ),
         "id_lookup": _oracle_id_lookup(),
         "stats_summary": _oracle_stats_summary(),
         "histogram_value": _oracle_histogram(),

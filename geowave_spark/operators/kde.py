@@ -138,6 +138,25 @@ def add_percentile_scalable(agg: DataFrame, weight_col: str = "weight_mu") -> Da
     )
 
 
+def kde_pyramid(
+    points: DataFrame,
+    levels: list[int],
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    scalable_percentile: bool = False,
+) -> DataFrame:
+    """KDE across a pyramid of levels in one frame — the reference's KDE
+    loops level ∈ [minLevel, maxLevel] emitting one raster per level
+    (KDERunner.java:234-316); here the levels union into a single
+    (level, x, y, weight_mu, norm_mu, pct_mu) result, normalization and
+    percentile computed PER LEVEL like the reference."""
+    out = None
+    for lvl in levels:
+        part = kde_exact(points, lvl, lon_col, lat_col, scalable_percentile=scalable_percentile)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def gaussian_offsets_mu(radius: int = RADIUS, sigma: float = SIGMA) -> list[tuple[int, int, int]]:
     """Kernel weights as exact integer micro-units — makes the per-cell sums
     order-independent bigint arithmetic, bit-identical across engines."""

@@ -27,14 +27,27 @@ def kmeans_clusters(
     lat_col: str = "lat",
     id_col: str = "event_id",
     seed: int = 42,
+    ts_col: str | None = None,
+    time_scale: float = 1.0,
 ) -> DataFrame:
-    """(id, cluster) assignments via pyspark.ml KMeans."""
+    """(id, cluster) assignments via pyspark.ml KMeans.
+
+    With ``ts_col`` set, time joins the feature vector scaled into degree
+    units (the reference's optional ScaledTemporalRange dimension,
+    KMeansRunner.java:201-230): scaled_t = epoch_days * time_scale.
+    """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.feature import VectorAssembler
 
-    feats = VectorAssembler(inputCols=[lon_col, lat_col], outputCol="_features").transform(
-        points.select(id_col, lon_col, lat_col)
-    )
+    sel = points.select(id_col, lon_col, lat_col, *([ts_col] if ts_col else []))
+    feat_cols = [lon_col, lat_col]
+    if ts_col:
+        epoch_us = F.expr(
+            f"timestampdiff(MICROSECOND, CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), {ts_col})"
+        )
+        sel = sel.withColumn("_t_scaled", epoch_us / F.lit(86_400_000_000.0) * F.lit(float(time_scale)))
+        feat_cols.append("_t_scaled")
+    feats = VectorAssembler(inputCols=feat_cols, outputCol="_features").transform(sel)
     model = KMeans(k=k, maxIter=max_iter, seed=seed, featuresCol="_features").fit(feats)
     return (
         model.transform(feats)

@@ -40,3 +40,14 @@ def test_cluster_hulls_contain_members(spark, sf_dir):
         assert bool(
             poly.contains(np.array([r["lon"]]), np.array([r["lat"]]))[0]
         ), f"point outside its cluster hull: {r}"
+
+
+def test_kmeans_with_time_dimension(spark, sf_dir):
+    """ScaledTemporalRange analog: adding time changes clusterings but
+    stays deterministic."""
+    ev = eq._events(spark, sf_dir).limit(300)
+    spatial = kmeans.kmeans_clusters(ev, k=4)
+    st = kmeans.kmeans_clusters(ev, k=4, ts_col="ts", time_scale=5.0)
+    assert st.count() == spatial.count()
+    again = kmeans.kmeans_clusters(ev, k=4, ts_col="ts", time_scale=5.0)
+    assert sorted(map(tuple, st.collect())) == sorted(map(tuple, again.collect()))
