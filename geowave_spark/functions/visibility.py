@@ -1,0 +1,83 @@
+"""Row-level visibility filtering — ClientVisibilityFilter semantics.
+
+The reference tags rows with boolean label expressions ("a&b", "(a|b)&c")
+and filters scans by the caller's authorization set
+(core/store/.../query/filter/ClientVisibilityFilter.java,
+util/VisibilityExpression.java).  Scale shape: visibility strings are
+low-cardinality, so evaluate each DISTINCT expression once on the driver
+against the auth set and push the result down as a sargable
+``visibility IN (granted...)`` filter — dictionary/min-max prunable at the
+parquet scan, zero per-row expression evaluation.
+
+Expression grammar (the reference's): labels, ``&``, ``|``, parentheses;
+empty/NULL visibility is readable by everyone.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TOKEN = re.compile(r"\s*([()&|]|[A-Za-z0-9_.-]+)")
+
+
+def evaluate_expression(expr: str, auths: set[str]) -> bool:
+    """Evaluate a visibility expression against an authorization set."""
+    if not expr or not expr.strip():
+        return True
+    pos = 0
+    tokens: list[str] = []
+    while pos < len(expr):
+        m = _TOKEN.match(expr, pos)
+        if not m:
+            raise ValueError(f"bad visibility expression {expr!r} at {pos}")
+        tokens.append(m.group(1))
+        pos = m.end()
+
+    def parse_or(i: int) -> tuple[bool, int]:
+        v, i = parse_and(i)
+        while i < len(tokens) and tokens[i] == "|":
+            rhs, i = parse_and(i + 1)
+            v = v or rhs
+        return v, i
+
+    def parse_and(i: int) -> tuple[bool, int]:
+        v, i = parse_atom(i)
+        while i < len(tokens) and tokens[i] == "&":
+            rhs, i = parse_atom(i + 1)
+            v = v and rhs
+        return v, i
+
+    def parse_atom(i: int) -> tuple[bool, int]:
+        if i >= len(tokens):
+            raise ValueError(f"truncated visibility expression {expr!r}")
+        if tokens[i] == "(":
+            v, i = parse_or(i + 1)
+            if i >= len(tokens) or tokens[i] != ")":
+                raise ValueError(f"unbalanced parens in {expr!r}")
+            return v, i + 1
+        return tokens[i] in auths, i + 1
+
+    v, i = parse_or(0)
+    if i != len(tokens):
+        raise ValueError(f"trailing tokens in {expr!r}")
+    return v
+
+
+def visibility_filter(
+    df: DataFrame, authorizations: set[str] | list[str], vis_col: str = "visibility"
+) -> DataFrame:
+    """Keep rows whose visibility expression the auth set satisfies.
+
+    Distinct expressions are evaluated driver-side (one tiny aggregate),
+    then pushed as an IN filter — the scan-prunable form.
+    """
+    auths = set(authorizations)
+    distinct = [r[0] for r in df.select(vis_col).distinct().collect()]
+    granted = [v for v in distinct if v is not None and evaluate_expression(v, auths)]
+    open_rows = F.col(vis_col).isNull() | (F.trim(F.col(vis_col)) == "")
+    if any(v is not None and (not v.strip()) for v in distinct) or None in distinct:
+        return df.filter(open_rows | F.col(vis_col).isin(granted))
+    return df.filter(F.col(vis_col).isin(granted))
