@@ -165,3 +165,23 @@ def test_phash_lonlat_bounds():
     lon, lat = cells.phash_to_lonlat(ph)
     assert (lon >= -180).all() and (lon < 180).all()
     assert (lat >= -90).all() and (lat < 90).all()
+
+
+def test_exact_fit_query_ranges_single_value():
+    """Query ranges for an exact-fit tier cell: exactly one single-value
+    range at that tier (TieredSFCIndexStrategyTest.java:191-226)."""
+    import numpy as np
+
+    from geowave_spark import cells
+
+    t, gx, gy = 6, 13, 27
+    r = 1 << t
+    bbox = (gx / r * 360 - 180, gy / r * 180 - 90, (gx + 1) / r * 360 - 180, (gy + 1) / r * 180 - 90)
+    tier, cover = cells.cells_for_bbox(bbox, max_dup=1)
+    assert tier == t and cover.size == 1
+    rngs = cells.ranges_for_cover(cover)
+    assert rngs == [(int(cover[0]), int(cover[0]))]
+    # default budget: one tier finer, 2x2 block → ONE contiguous z-range
+    tier4, cover4 = cells.cells_for_bbox(bbox)
+    assert tier4 == t + 1 and cover4.size == 4
+    assert len(cells.ranges_for_cover(cover4)) == 1
