@@ -21,8 +21,10 @@ Spark twins of the reference's ingest-maintained statistics and query paths:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .. import cells, sqlcells
 from .spatial_join import add_point_cols
@@ -169,6 +171,25 @@ def merge_stats(a: DataFrame, b: DataFrame, group_col: str = "event_type") -> Da
             *[F.max(c).alias(c) for c in maxs],
         )
         .select(*a.columns)
+    )
+
+
+def custom_bbox_agg(points: DataFrame, group_col: str = "event_type",
+                    lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """The custom-UDAF extension point (Aggregation SPI analog,
+    core/store/.../api/Aggregation.java: aggregate/merge contract):
+    a grouped-agg pandas UDF computing the bbox area per group — Spark
+    runs it partial-per-batch + merge, exactly the SPI's split.  Built-ins
+    cover this particular statistic; the function exists to pin the
+    extension surface (scalar pandas_udf + grouped-map applyInPandas +
+    grouped-agg pandas_udf are the three custom-operator shapes)."""
+    @F.pandas_udf(T.DoubleType())
+    def bbox_area(lon: pd.Series, lat: pd.Series) -> float:
+        return float((lon.max() - lon.min()) * (lat.max() - lat.min()))
+
+    return points.groupBy(group_col).agg(
+        _micros(bbox_area(F.col(lon_col), F.col(lat_col))).alias("bbox_area_mu"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 

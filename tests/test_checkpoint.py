@@ -121,3 +121,19 @@ def test_manifest_has_per_partition_stats(spark, tmp_path):
     assert ps["files"] >= 1
     assert 0 < ps["min_rows"] <= ps["max_rows"] <= 5000
     assert man["rows"] == 5000
+
+
+def test_custom_udaf_bbox_area(spark, sf_dir):
+    """Grouped-agg pandas UDAF equals the built-in formulation."""
+    from geowave_spark import entry_queries as eq
+    from geowave_spark.operators import stats
+
+    ev = eq._events(spark, sf_dir)
+    got = stats.custom_bbox_agg(ev)
+    want = ev.groupBy("event_type").agg(
+        F.floor(
+            (F.max("lon") - F.min("lon")) * (F.max("lat") - F.min("lat")) * 1e6 + F.lit(0.5)
+        ).cast("long").alias("bbox_area_mu"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
