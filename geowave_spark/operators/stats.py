@@ -187,9 +187,15 @@ def custom_bbox_agg(points: DataFrame, group_col: str = "event_type",
     def bbox_area(lon: pd.Series, lat: pd.Series) -> float:
         return float((lon.max() - lon.min()) * (lat.max() - lat.min()))
 
+    # group-agg pandas UDFs cannot mix with non-pandas aggregates in one
+    # agg — the row count is a second pandas UDAF
+    @F.pandas_udf(T.LongType())
+    def row_count(lon: pd.Series) -> int:
+        return int(len(lon))
+
     return points.groupBy(group_col).agg(
         _micros(bbox_area(F.col(lon_col), F.col(lat_col))).alias("bbox_area_mu"),
-        F.count(F.lit(1)).alias("n"),
+        row_count(F.col(lon_col)).alias("n"),
     )
 
 
