@@ -6,11 +6,16 @@ Delight" / Wikipedia's Hilbert-curve article) — NOT a port of the
 reference's uzaygezen-based HilbertSFC; only the curve definition is
 shared, which is public mathematics.
 
-The engine defaults to Z-order (sqlcells.py) because it is expressible as
-Column bit math with the tier-prefix property the join relies on; Hilbert
-is provided as the locality-optimized alternative for stored layouts
-(`sources/indexed.write_indexed(curve="hilbert")`): better range locality
-on disk, same query semantics (ranges are computed on the same curve).
+The engine's JOIN path defaults to Z-order (sqlcells.py: expressible as
+Column bit math with the tier-prefix property the join relies on); Hilbert
+is the locality-optimized STORED-LAYOUT curve, fully wired:
+`sources/indexed.write_indexed_hilbert` sorts files by Hilbert distance and
+`hilbert_range_lookup` pushes budgeted d-range decompositions
+(:func:`hilbert_query_ranges` — quadtree cover using block-corner entry
+points for the contiguous subtree ranges) to the parquet scan.  Tests pin
+bijectivity, unit-step adjacency, query recall, and that Hilbert needs no
+more ranges than Z-order for the same bbox (why it is the reference's
+default curve).
 """
 
 from __future__ import annotations
@@ -72,3 +77,68 @@ def latlon_to_hilbert(lon: np.ndarray, lat: np.ndarray, tier: int) -> np.ndarray
     gx = cells.grid_coord(cells.norm_lon(lon), tier)
     gy = cells.grid_coord(cells.norm_lat(lat), tier)
     return xy2d(gx, gy, tier)
+
+
+def _block_d_range(x0: int, y0: int, size: int, tier: int) -> tuple[int, int]:
+    """Inclusive Hilbert d-range of the grid block [x0, x0+size)².
+
+    A quadtree-aligned block is a contiguous run of the curve, entered and
+    exited at block corners — so d_min is the min of the corner distances
+    and the run length is size² (the uzaygezen BacktrackingQueryBuilder
+    exploits the same contiguity).
+    """
+    cs = np.array([x0, x0 + size - 1, x0, x0 + size - 1], dtype=np.int64)
+    rs = np.array([y0, y0, y0 + size - 1, y0 + size - 1], dtype=np.int64)
+    d = xy2d(cs, rs, tier)
+    lo = int(d.min())
+    return lo, lo + size * size - 1
+
+
+def hilbert_query_ranges(
+    bbox: tuple[float, float, float, float],
+    tier: int,
+    max_ranges: int | None = 64,
+) -> list[tuple[int, int]]:
+    """Geographic bbox → inclusive Hilbert d-ranges at `tier` (recall-exact;
+    refine restores precision), with the reference's range-decomposition
+    budget via depth capping (HilbertSFC.decomposeRange /
+    maxFilteredIndexedRanges semantics, PrimitiveHilbertSFCOperations.java:
+    279-382)."""
+    gx0 = int(cells.grid_coord(cells.norm_lon(np.float64(bbox[0])), tier))
+    gx1 = int(np.clip(np.floor(cells.norm_lon_upper(bbox[2]) * (1 << tier)), gx0, (1 << tier) - 1))
+    gy0 = int(cells.grid_coord(cells.norm_lat(np.float64(bbox[1])), tier))
+    gy1 = int(cells.grid_coord(cells.norm_lat(np.float64(bbox[3])), tier))
+
+    def ranges_at_cap(cap: int) -> list[tuple[int, int]]:
+        out: list[tuple[int, int]] = []
+
+        def rec(x0: int, y0: int, size: int, depth: int):
+            if x0 > gx1 or x0 + size - 1 < gx0 or y0 > gy1 or y0 + size - 1 < gy0:
+                return
+            inside = x0 >= gx0 and x0 + size - 1 <= gx1 and y0 >= gy0 and y0 + size - 1 <= gy1
+            if inside or size == 1 or depth == cap:
+                out.append(_block_d_range(x0, y0, size, tier))
+                return
+            h = size // 2
+            for dx, dy in ((0, 0), (h, 0), (0, h), (h, h)):
+                rec(x0 + dx, y0 + dy, h, depth + 1)
+
+        rec(0, 0, 1 << tier, 0)
+        out.sort()
+        merged: list[tuple[int, int]] = []
+        for lo, hi in out:
+            if merged and lo <= merged[-1][1] + 1:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+            else:
+                merged.append((lo, hi))
+        return merged
+
+    if max_ranges is None:
+        return ranges_at_cap(tier)
+    best = ranges_at_cap(0)
+    for cap in range(1, tier + 1):
+        cand = ranges_at_cap(cap)
+        if len(cand) > max_ranges:
+            break
+        best = cand
+    return best

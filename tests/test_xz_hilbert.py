@@ -141,3 +141,66 @@ def test_xz_indexed_extent_lookup_end_to_end(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    lon=st.floats(min_value=-180.0, max_value=179.99, allow_nan=False),
+    lat=st.floats(min_value=-90.0, max_value=89.99, allow_nan=False),
+    qx0=st.floats(min_value=-180.0, max_value=170.0, allow_nan=False),
+    qy0=st.floats(min_value=-90.0, max_value=80.0, allow_nan=False),
+    qw=st.floats(min_value=0.5, max_value=120.0, allow_nan=False),
+    qh=st.floats(min_value=0.5, max_value=60.0, allow_nan=False),
+)
+def test_hilbert_range_recall(lon, lat, qx0, qy0, qw, qh):
+    """Any point inside the query bbox has its Hilbert d inside some range
+    (budgeted decomposition keeps recall)."""
+    qx1, qy1 = min(qx0 + qw, 180.0), min(qy0 + qh, 90.0)
+    if not (qx0 <= lon <= qx1 and qy0 <= lat <= qy1):
+        return
+    tier = 12
+    d = int(hilbert.latlon_to_hilbert(np.array([lon]), np.array([lat]), tier)[0])
+    ranges = hilbert.hilbert_query_ranges((qx0, qy0, qx1, qy1), tier, max_ranges=32)
+    assert any(lo <= d <= hi for lo, hi in ranges), (d, len(ranges))
+
+
+def test_hilbert_ranges_denser_than_zorder():
+    """Hilbert locality: same bbox needs no more uncapped ranges than
+    Z-order's cover merge (the reason it is the reference's default)."""
+    from geowave_spark import cells
+
+    tier = 10
+    bbox = (-10.0, 20.0, 25.0, 45.0)
+    h_ranges = hilbert.hilbert_query_ranges(bbox, tier, max_ranges=None)
+    z_cover = cells.cells_for_bbox_at_tier(bbox, tier)
+    z_ranges = cells.ranges_for_cover(z_cover)
+    assert len(h_ranges) <= len(z_ranges)
+
+
+def test_hilbert_indexed_lookup_end_to_end(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from geowave_spark import entry_queries as eq
+    from geowave_spark.sources import indexed
+
+    ev = eq._events(spark, "/root/testdata/sf0.001")
+    path = str(tmp_path / "ev_hilbert.parquet")
+    indexed.write_indexed_hilbert(ev, path, n_files=8, phash_col=None)
+    bbox = (-30.0, 10.0, 45.0, 55.0)
+    got = sorted(r["event_id"] for r in indexed.hilbert_range_lookup(spark, path, bbox).collect())
+    want = sorted(
+        r["event_id"]
+        for r in ev.filter(
+            (F.col("lon") >= bbox[0]) & (F.col("lon") <= bbox[2])
+            & (F.col("lat") >= bbox[1]) & (F.col("lat") <= bbox[3])
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    # ranges reach the scan as pushed filters
+    df = indexed.hilbert_range_lookup(spark, path, bbox)
+    df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    try:
+        full = df._jdf.queryExecution().toString()
+    finally:
+        df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "100")
+    assert "PushedFilters: [" in full and "hd" in full.split("PushedFilters: [", 1)[1][:4000]
