@@ -122,7 +122,8 @@ def range_lookup(
     (exponential optimizer blowup — observed, not hypothetical).
     """
     pts = add_point_cols(points, lon_col, lat_col)
-    if "cell" in points.columns:
+    has_index = "cell" in points.columns
+    if has_index:
         tier = cells.tier_for_bbox(bbox, max_dup=max_cells)
         cover = cells.cells_for_bbox_at_tier(bbox, tier)
         shift = 2 * (cells.MAX_TIER - tier)
@@ -130,7 +131,10 @@ def range_lookup(
         for lo, hi in cells.ranges_for_cover(cover):
             pred = pred | F.col("cell").between(lo << shift, ((hi + 1) << shift) - 1)
         pts = pts.filter(pred)
-    if not loose:
+    # loose (IndexOnlySpatialQuery) skips only the EXACT refine — it still
+    # requires an index pre-filter; without a stored cell column the bbox
+    # filter IS the scan filter and must apply regardless
+    if not loose or not has_index:
         lon0, lat0, lon1, lat1 = bbox
         refine = (F.col(lat_col) >= lat0) & (F.col(lat_col) <= lat1)
         if lon0 <= lon1 and lon1 <= 180.0:

@@ -117,3 +117,24 @@ def test_broadcast_threshold_respected_for_shuffle_path(spark, sf_dir):
         ev, polys, point_id="event_id", broadcast_polygons=False
     )
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+
+
+def test_loose_range_lookup_semantics(spark, sf_dir, tmp_path):
+    """loose=True skips only the exact refine: on the indexed layout it
+    returns the cell-cover superset; without an index it still filters."""
+    from geowave_spark.operators import stats
+
+    ev = eq._events(spark, sf_dir)
+    bbox = (-30.0, 10.0, 45.0, 55.0)
+    exact = stats.range_lookup(ev, bbox).count()
+    # unindexed table: loose must NOT return the whole table
+    loose_unindexed = stats.range_lookup(ev, bbox, loose=True).count()
+    assert loose_unindexed == exact
+    # indexed layout: loose is a cover superset of exact
+    path = str(tmp_path / "ev_idx.parquet")
+    indexed.write_indexed(ev, path, n_files=8, phash_col=None)
+    stored = spark.read.parquet(path)
+    exact_idx = stats.range_lookup(stored, bbox).count()
+    loose_idx = stats.range_lookup(stored, bbox, loose=True).count()
+    assert exact_idx == exact
+    assert loose_idx >= exact_idx
