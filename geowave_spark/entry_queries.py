@@ -348,15 +348,22 @@ def q_st_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import spatiotemporal as st
 
     ev = _events(spark, sf_dir)
-    polys = _poly_df(spark, [p for p in PIP_POLYGONS if p[0].startswith(("big", "mid", "band"))])
-    # deterministic staggered windows per polygon
-    w = Window.orderBy("polygon_id")
-    pwt = polys.withColumn("_i", F.row_number().over(w)).select(
-        "polygon_id",
-        "wkt",
-        (F.lit(ST_EPOCH_2024_US) + F.col("_i") * F.lit(200_000_000_000)).alias("t0_us"),
-        (F.lit(ST_EPOCH_2024_US) + F.col("_i") * F.lit(1_500_000_000_000)).alias("t1_us"),
+    # deterministic staggered windows per polygon — index assigned
+    # driver-side (19 rows), not via a no-partition window
+    sel = sorted(
+        (p for p in PIP_POLYGONS if p[0].startswith(("big", "mid", "band"))),
+        key=lambda p: p[0],
     )
+    rows = [
+        (
+            pid,
+            box_wkt(x0, y0, x1, y1),
+            ST_EPOCH_2024_US + (i + 1) * 200_000_000_000,
+            ST_EPOCH_2024_US + (i + 1) * 1_500_000_000_000,
+        )
+        for i, (pid, x0, y0, x1, y1) in enumerate(sel)
+    ]
+    pwt = spark.createDataFrame(rows, "polygon_id string, wkt string, t0_us long, t1_us long")
     return st.st_join(ev, pwt, point_id="event_id")
 
 

@@ -56,19 +56,27 @@ def dbscan(
     max_iter: int = 50,
 ) -> DataFrame:
     """(id, cluster, is_core) — cluster NULL for noise."""
-    pairs = neighbor_pairs(points, eps, id_col, lon_col, lat_col).persist()
+    # localCheckpoint (not persist): each frame feeds several plan branches
+    # and the loop below; blocks are ContextCleaner-reclaimed on GC instead
+    # of pinning executor storage for the session lifetime
+    pairs = neighbor_pairs(points, eps, id_col, lon_col, lat_col).localCheckpoint()
     counts = pairs.groupBy("id_a").agg(F.count(F.lit(1)).alias("n_nb"))
-    core = counts.filter(F.col("n_nb") >= min_pts).select(F.col("id_a").alias("id")).persist()
+    core = (
+        counts.filter(F.col("n_nb") >= min_pts)
+        .select(F.col("id_a").alias("id"))
+        .localCheckpoint()
+    )
 
     # core-core edges only (border points never merge clusters)
     cc = (
         pairs.join(core.withColumnRenamed("id", "id_a"), "id_a")
         .join(core.withColumnRenamed("id", "id_b"), "id_b")
         .select("id_a", "id_b")
-        .persist()
+        .localCheckpoint()
     )
 
     labels = core.withColumn("label", F.col("id"))
+    changed = 0
     for _ in range(max_iter):
         prop = (
             cc.join(labels.withColumnRenamed("id", "id_b").withColumnRenamed("label", "_nl"), "id_b")
@@ -91,6 +99,11 @@ def dbscan(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"dbscan: label propagation did not converge in {max_iter} rounds "
+            "(component hop-diameter exceeds max_iter); raise max_iter"
+        )
 
     core_labels = labels.withColumnRenamed("label", "cluster")
     border = (

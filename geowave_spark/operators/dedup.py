@@ -135,17 +135,30 @@ def ngram_jaccard_pairs(
     w: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact Jaccard over w-token shingles.
 
     Classic token-join: shingle-level self-equi-join → per-pair intersection
     counts → |A∩B| / (|A|+|B|−|A∩B|).  Output (doc_a, doc_b, jaccard_mu)
     with jaccard in exact integer micro-units.
+
+    ``max_df``: drop shingles whose document frequency exceeds it BEFORE the
+    self-join (sizes and intersections both computed on the capped shingle
+    sets, so the Jaccard stays internally consistent).  A boilerplate shingle
+    shared by 10^6 docs would otherwise create a 10^12-row join group while
+    carrying ~zero Jaccard signal — the standard stop-shingle cap for
+    corpus-scale dedup.  None = exact, uncapped.
     """
-    # sh feeds three plan branches (sizes + both self-join sides) — persist
-    # once, like the reference's MEMORY_ONLY_SER reuse of reindexed RDDs
-    # (TieredSpatialJoin.java:346-353)
-    sh = _doc_shingle_hashes(docs, text_col, id_col, w).persist()
+    # sh feeds three plan branches (sizes + both self-join sides) —
+    # materialize once (the reference's MEMORY_ONLY_SER reuse of reindexed
+    # RDDs, TieredSpatialJoin.java:346-353); localCheckpoint so the blocks
+    # are ContextCleaner-reclaimed instead of pinned for the session
+    sh = _doc_shingle_hashes(docs, text_col, id_col, w)
+    if max_df is not None:
+        df_counts = sh.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+        sh = sh.join(df_counts.filter(F.col("_df") <= max_df).select("h"), "h", "left_semi")
+    sh = sh.localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -212,12 +225,19 @@ def minhash_lsh_pairs(
     w: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >=1 LSH band bucket.
 
     Band bucket = h60 of the band's signature values joined in perm order —
     the band-hash → bucket-equi-join plan; a banded self-join shuffles only
     (band, bucket) keys, never the corpus text.
+
+    ``max_bucket_size``: drop (band, bucket) groups larger than the cap
+    before the self-join — a degenerate bucket of n docs otherwise emits
+    n² candidate rows.  Recall semantics only (candidates lost from giant
+    buckets are overwhelmingly re-found via their other bands); the number
+    of dropped buckets is logged.  None = uncapped.
     """
     rows_per_band = n_perm // bands
     sig = minhash_signatures(docs, n_perm, w, text_col, id_col)
@@ -236,8 +256,24 @@ def minhash_lsh_pairs(
         .withColumn("bucket", h60(F.col("_bandsig")))
         .select("doc_id", "band", "bucket")
     )
-    # both self-join sides would recompute the full signature pipeline
-    buckets = buckets_base.persist()
+    # both self-join sides would recompute the full signature pipeline —
+    # materialize once; ContextCleaner reclaims the blocks on GC
+    buckets = buckets_base.localCheckpoint()
+    if max_bucket_size is not None:
+        bsizes = buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+        n_dropped = bsizes.filter(F.col("_n") > max_bucket_size).count()
+        if n_dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash_lsh_pairs: dropping %d hot buckets (> %d members)",
+                n_dropped, max_bucket_size,
+            )
+        buckets = buckets.join(
+            bsizes.filter(F.col("_n") <= max_bucket_size).select("band", "bucket"),
+            ["band", "bucket"],
+            "left_semi",
+        )
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -273,7 +309,7 @@ def dedup_clusters(
     pinned in tests.
     """
     cands = minhash_lsh_pairs(docs, n_perm, bands, w, text_col, id_col)
-    sh = _doc_shingle_hashes(docs, text_col, id_col, w).persist()
+    sh = _doc_shingle_hashes(docs, text_col, id_col, w).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -295,6 +331,7 @@ def dedup_clusters(
     edges = verified.unionByName(
         verified.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
+    changed = 0
     for _ in range(max_iter):
         prop = (
             edges.join(labels.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("label", "_nl"), "doc_b")
@@ -320,6 +357,17 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # a chain-shaped component deeper than max_iter hops did not
+        # converge — surface it rather than silently mislabel
+        raise RuntimeError(
+            f"dedup_clusters: label propagation did not converge in {max_iter} "
+            "rounds (component hop-diameter exceeds max_iter); raise max_iter"
+        )
+    # labels is localCheckpoint-materialized — the cached build frames are
+    # no longer reachable from the result; release them deterministically
+    for frame in (verified, edges, sh):
+        frame.unpersist()
     return labels.select(F.col("doc_id").alias(id_col), F.col("label").alias("canonical_id"))
 
 
@@ -353,12 +401,17 @@ def simhash_pairs(
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     Candidate generation by chunk-equality banding (pigeonhole: <= 3 bit
     errors across 4 chunks guarantee one equal 15-bit chunk), then exact
     hamming verify via bit_count(xor) — never a full cross join.
+
+    ``max_bucket_size`` caps a (band, chunk) group before the self-join
+    (same hot-bucket guard as minhash_lsh_pairs — recall-only semantics,
+    drops logged).
     """
     chunk_bits = bits // bands
     sh = simhash64(docs, bits, text_col, id_col)
@@ -370,8 +423,23 @@ def simhash_pairs(
                 F.lit((1 << chunk_bits) - 1)
             ),
         )
-        .persist()  # reused by both self-join sides
+        .localCheckpoint()  # reused by both self-join sides; GC-reclaimed
     )
+    if max_bucket_size is not None:
+        bsizes = chunks.groupBy("band", "chunk").agg(F.count(F.lit(1)).alias("_n"))
+        n_dropped = bsizes.filter(F.col("_n") > max_bucket_size).count()
+        if n_dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "simhash_pairs: dropping %d hot buckets (> %d members)",
+                n_dropped, max_bucket_size,
+            )
+        chunks = chunks.join(
+            bsizes.filter(F.col("_n") <= max_bucket_size).select("band", "chunk"),
+            ["band", "chunk"],
+            "left_semi",
+        )
     a = chunks.alias("a")
     b = chunks.alias("b")
     cand = (

@@ -104,37 +104,50 @@ def add_percentile_scalable(agg: DataFrame, weight_col: str = "weight_mu") -> Da
     Returns agg plus ``pct_mu`` and ``norm_mu`` (normalized uses a scalar
     max — broadcast literal, not a window).
     """
-    from pyspark.sql import functions as FF
-
-    n = agg.count()
+    stats_row = agg.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(weight_col).alias("mn"),
+        F.max(weight_col).alias("mx"),
+    ).collect()[0]
+    n, min_w, max_w = stats_row["n"], stats_row["mn"], stats_row["mx"]
     if n == 0:
         return agg.withColumn("norm_mu", F.lit(0).cast("long")).withColumn(
             "pct_mu", F.lit(0).cast("long")
         )
-    max_w = agg.agg(F.max(weight_col)).collect()[0][0]
-    n_parts = max(agg.sparkSession.sparkContext.defaultParallelism, 2)
-    ranged = agg.repartitionByRange(n_parts, F.col(weight_col))
-    ranged = ranged.withColumn("_pid", FF.spark_partition_id())
-    counts = {r["_pid"]: r["n"] for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()}
-    offsets = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    # value-range bucketing: bucket is a PURE FUNCTION of the weight (no
+    # sampling, no partition-id coupling between jobs — fully deterministic
+    # across re-executions, unlike repartitionByRange whose layout is only
+    # per-plan-execution stable).  Equal weights always share a bucket, so
+    # min-rank tie semantics are local to one bucket's window.
+    n_buckets = max(agg.sparkSession.sparkContext.defaultParallelism * 4, 8)
+    span = float(max_w - min_w) or 1.0
+    bucket = F.least(
+        F.floor((F.col(weight_col) - F.lit(min_w)).cast("double") / F.lit(span) * n_buckets),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    bucketed = agg.withColumn("_bkt", bucket)
+    counts = {
+        r["_bkt"]: r["n"]
+        for r in bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
     off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-    w_local = Window.partitionBy("_pid").orderBy(F.col(weight_col).asc())
-    indexed = ranged.withColumn(
-        "_idx", off_map[F.col("_pid")] + F.row_number().over(w_local) - 1
+    # rank() - 1 within the bucket = count of strictly-smaller rows in the
+    # bucket (percent_rank's min-rank tie handling, per-bucket parallel
+    # windows — never a single global partition)
+    w_local = Window.partitionBy("_bkt").orderBy(F.col(weight_col).asc())
+    indexed = bucketed.withColumn(
+        "_minidx", off_map[F.col("_bkt")] + F.rank().over(w_local) - 1
     )
-    # percent_rank ties: every row of a tie group gets the group's MIN index
-    w_tie = Window.partitionBy(weight_col)
-    indexed = indexed.withColumn("_minidx", F.min("_idx").over(w_tie))
     mu = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
     denom = float(max(n - 1, 1))
     return (
         indexed.withColumn("norm_mu", mu(F.col(weight_col) / F.lit(float(max_w))))
         .withColumn("pct_mu", mu(F.col("_minidx").cast("double") / F.lit(denom)))
-        .drop("_pid", "_idx", "_minidx")
+        .drop("_bkt", "_minidx")
     )
 
 
@@ -143,7 +156,7 @@ def kde_pyramid(
     levels: list[int],
     lon_col: str = "lon",
     lat_col: str = "lat",
-    scalable_percentile: bool = False,
+    scalable_percentile: bool = True,
 ) -> DataFrame:
     """KDE across a pyramid of levels in one frame — the reference's KDE
     loops level ∈ [minLevel, maxLevel] emitting one raster per level
@@ -173,9 +186,16 @@ def kde_exact(
     lat_col: str = "lat",
     radius: int = RADIUS,
     sigma: float = SIGMA,
-    scalable_percentile: bool = False,
+    scalable_percentile: bool = True,
 ) -> DataFrame:
     """Integer-exact KDE: (level, x, y, weight_mu, norm_mu, pct_mu).
+
+    ``scalable_percentile=True`` (the default) computes the global
+    rank/percentile via :func:`add_percentile_scalable` — a distributed
+    range sort with NO single-partition window, the plan that survives
+    100 TB.  ``False`` keeps the small-data shortcut
+    (``percent_rank() OVER (ORDER BY w)``) whose output it is
+    equality-tested against.
 
     Identical plan to :func:`kde`, but kernel weights are integer
     micro-units so the groupBy sum is exact bigint math, and the two

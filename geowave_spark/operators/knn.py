@@ -180,14 +180,14 @@ def knn_adaptive(
         w = Window.partitionBy(query_id).orderBy(F.col("dist").asc(), F.col(point_id).asc())
         topk = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
         counts = topk.groupBy(query_id).agg(F.count(F.lit(1)).alias("_n"))
-        done_ids = [
-            r[0] for r in counts.filter(F.col("_n") >= k).select(query_id).collect()
-        ]
-        done = topk.join(
-            counts.filter(F.col("_n") >= k).select(query_id), query_id, "left_semi"
-        ).select(query_id, point_id, "dist", "rank")
+        done_qids = counts.filter(F.col("_n") >= k).select(query_id)
+        done = topk.join(done_qids, query_id, "left_semi").select(
+            query_id, point_id, "dist", "rank"
+        )
         results = done if results is None else results.unionByName(done)
-        remaining = remaining.filter(~F.col(query_id).isin(done_ids)) if done_ids else remaining
+        # completed queries drop out via anti-join — no driver round-trip of
+        # ids, and localCheckpoint truncates the per-round lineage growth
+        remaining = remaining.join(done_qids, query_id, "left_anti").localCheckpoint()
         if d >= max_distance or remaining.limit(1).count() == 0:
             # at the cap: emit whatever the final round found for leftovers
             if d >= max_distance:

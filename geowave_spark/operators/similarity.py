@@ -220,7 +220,7 @@ def embedding_neardup_pairs(
     v = (
         vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
         .withColumn("bucket", lsh_bucket(F.col("_v"), planes))
-        .persist()  # reused by both self-join sides
+        .localCheckpoint()  # reused by both self-join sides; GC-reclaimed
     )
     a = v.alias("a")
     b = v.alias("b")

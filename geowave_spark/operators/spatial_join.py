@@ -51,6 +51,9 @@ from ..functions import geo_udfs
 # polygon explodes to <= 80 covering cells; 100k x ~100B cells ~ 1GB upper
 # bound, comfortably under executor broadcast budgets at default configs)
 BROADCAST_MAX_POLYGONS = 100_000
+# ...and at most this many total WKT bytes (WKT is broadcast ONCE per
+# polygon, never per covering cell, so this is the actual payload bound)
+BROADCAST_MAX_WKT_BYTES = 256 << 20
 
 
 def add_point_cols(
@@ -135,10 +138,6 @@ def polygon_cover_local(
     return out, sorted(tiers)
 
 
-_CELLS_SCHEMA = (
-    "key long, polygon_id string, wkt string, "
-    "x0 double, y0 double, x1 double, y1 double, is_box boolean"
-)
 
 
 def _box_contains_pred(lon: Column, lat: Column) -> Column:
@@ -199,9 +198,21 @@ def tiered_spatial_join(
     if broadcast_polygons is None:
         # build-side selection (JoinOptions.BuildSide analog): broadcast
         # when the polygon side is provably small — probe with a limit so
-        # huge polygon tables never fully count here
-        probe = polygons.limit(BROADCAST_MAX_POLYGONS + 1).count()
-        broadcast_polygons = probe <= BROADCAST_MAX_POLYGONS
+        # huge polygon tables never fully count here; sized on BOTH row
+        # count and total WKT bytes (a 50k-row side of multi-MB coastline
+        # WKTs must not be collected to the driver)
+        probe = (
+            polygons.limit(BROADCAST_MAX_POLYGONS + 1)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.length(F.col(wkt_col))).alias("b"),
+            )
+            .collect()[0]
+        )
+        broadcast_polygons = (
+            probe["n"] <= BROADCAST_MAX_POLYGONS
+            and (probe["b"] or 0) <= BROADCAST_MAX_WKT_BYTES
+        )
 
     if broadcast_polygons:
         return _broadcast_join(
@@ -256,21 +267,38 @@ def _broadcast_join(
     box_rows = [r for r in cell_rows if r[7]]
     gen_rows = [r for r in cell_rows if not r[7]]
     parts = []
-    for subset, is_box in ((box_rows, True), (gen_rows, False)):
-        if not subset:
-            continue
+    if box_rows:
+        # box refine needs only the bbox — no WKT in the broadcast at all
         right = F.broadcast(
-            spark.createDataFrame(subset, _CELLS_SCHEMA)
-            .withColumnRenamed("polygon_id", polygon_id)
-            .withColumnRenamed("wkt", wkt_col)
+            spark.createDataFrame(
+                [(k, pid, x0, y0, x1, y1) for k, pid, _w, x0, y0, x1, y1, _b in box_rows],
+                "key long, polygon_id string, x0 double, y0 double, x1 double, y1 double",
+            ).withColumnRenamed("polygon_id", polygon_id)
         )
         j = pt_keys.join(right, "key")
         if not loose:
-            j = (
-                _refine_box(j, predicate, radius, lon_col, lat_col)
-                if is_box
-                else _refine_general(j, predicate, radius, lon_col, lat_col, wkt_col)
+            j = _refine_box(j, predicate, radius, lon_col, lat_col)
+        parts.append(j.select(point_id, polygon_id))
+    if gen_rows:
+        # WKT is broadcast ONCE per polygon (joined by id after the cell
+        # match), never duplicated into the per-cell rows — keeps the
+        # broadcast payload at sum(len(wkt)), not 80x that
+        cells_bc = F.broadcast(
+            spark.createDataFrame(
+                [(k, pid) for k, pid, *_ in gen_rows], "key long, polygon_id string"
+            ).withColumnRenamed("polygon_id", polygon_id)
+        )
+        wkts_bc = F.broadcast(
+            spark.createDataFrame(
+                sorted({(pid, w) for _k, pid, w, *_ in gen_rows}),
+                "polygon_id string, wkt string",
             )
+            .withColumnRenamed("polygon_id", polygon_id)
+            .withColumnRenamed("wkt", wkt_col)
+        )
+        j = pt_keys.join(cells_bc, "key").join(wkts_bc, polygon_id)
+        if not loose:
+            j = _refine_general(j, predicate, radius, lon_col, lat_col, wkt_col)
         parts.append(j.select(point_id, polygon_id))
     out = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
     # DedupeFilter semantics hold BY CONSTRUCTION for point joins: a point
@@ -290,13 +318,20 @@ def _shuffle_join(
     """Large polygon side: distributed pandas-UDF cover + shuffle equi-join
     on the packed key, with optional polygon-replication salting on top of
     AQE skew-join splitting."""
-    poly_cells = polygon_cover(polygons, wkt_col, polygon_id, max_cells, buffer)
+    # materialize the cover ONCE (tier discovery + join both consume it);
+    # localCheckpoint stores MEMORY_AND_DISK and the blocks are reclaimed by
+    # the ContextCleaner when the frame is GC'd — no session-lifetime pin
+    poly_cells = polygon_cover(polygons, wkt_col, polygon_id, max_cells, buffer).localCheckpoint()
 
-    # tier discovery from the polygon side only (TieredSpatialJoin.java:173-207)
-    import numpy as np
-
-    keys = np.array([r[0] for r in poly_cells.select("key").distinct().collect()], dtype=np.int64)
-    tiers = sorted(set(cells.unpack_key(keys)[0].tolist())) if keys.size else []
+    # tier discovery from the polygon side only (TieredSpatialJoin.java:173-207):
+    # collect distinct TIERS (<= 32 rows after map-side partial agg), never the
+    # distinct keys — the key set on a big polygon side can be 10^8+ rows
+    tiers = sorted(
+        r[0]
+        for r in poly_cells.select(sqlcells.tier_of_key(F.col("key")).alias("t"))
+        .distinct()
+        .collect()
+    )
     if not tiers:
         return pts.select(point_id).limit(0).crossJoin(polygons.select(polygon_id).limit(0))
 
@@ -499,8 +534,11 @@ def tiered_extent_join_shuffle(
     """
     lx0, ly0, lx1, ly1 = lcols
     rx0, ry0, rx1, ry1 = rcols
-    lc = _extent_cells(left, left_id, *lcols).persist()
-    rc = _extent_cells(right, right_id, *rcols).persist()
+    # localCheckpoint (MEMORY_AND_DISK, ContextCleaner-reclaimed): each side's
+    # explode computes once, serves both tier discovery and the join, and the
+    # blocks don't pin storage for the session lifetime
+    lc = _extent_cells(left, left_id, *lcols).localCheckpoint()
+    rc = _extent_cells(right, right_id, *rcols).localCheckpoint()
     l_tiers = sorted(r[0] for r in lc.select("_te").distinct().collect())
     r_tiers = sorted(r[0] for r in rc.select("_te").distinct().collect())
     if not l_tiers or not r_tiers:

@@ -115,6 +115,20 @@ def cell_at_tier_expr(cell31: Column, to_tier: int, from_tier: int = MAX_TIER) -
     return F.shiftrightunsigned(cell31, 2 * (from_tier - to_tier))
 
 
+def tier_of_key(key: Column) -> Column:
+    """Tier of a packed key (Column twin of cells.unpack_key's tier part).
+
+    Exact integer when-chain over the 32 tier offsets — used for
+    distributed tier discovery without collecting keys to the driver
+    (TieredSpatialJoin.java:173-207's tier pre-pass)."""
+    from .cells import TIER_OFFSETS
+
+    expr = F.lit(0)
+    for t in range(1, MAX_TIER + 1):
+        expr = F.when(key >= F.lit(int(TIER_OFFSETS[t])), F.lit(t)).otherwise(expr)
+    return expr
+
+
 # ---------------------------------------------------------------------------
 # phash → deterministic lon/lat (FIXTURES.md §1), JVM-side
 # ---------------------------------------------------------------------------
