@@ -135,14 +135,7 @@ def range_lookup(
     # requires an index pre-filter; without a stored cell column the bbox
     # filter IS the scan filter and must apply regardless
     if not loose or not has_index:
-        lon0, lat0, lon1, lat1 = bbox
-        refine = (F.col(lat_col) >= lat0) & (F.col(lat_col) <= lat1)
-        if lon0 <= lon1 and lon1 <= 180.0:
-            refine &= (F.col(lon_col) >= lon0) & (F.col(lon_col) <= lon1)
-        else:  # antimeridian (unwrapped lon1 > 180 or wrapped lon0 > lon1)
-            hi = lon1 - 360.0 if lon1 > 180.0 else lon1
-            refine &= (F.col(lon_col) >= lon0) | (F.col(lon_col) <= hi)
-        pts = pts.filter(refine)
+        pts = pts.filter(sqlcells.bbox_refine_pred(F.col(lon_col), F.col(lat_col), bbox))
     return pts
 
 

@@ -123,21 +123,28 @@ def hilbert_range_lookup(
     loose: bool = False,
 ) -> DataFrame:
     """Range query on the Hilbert layout: driver-side d-range decomposition
-    (budgeted) pushed to the scan + exact bbox refine."""
+    (budgeted) pushed to the scan + exact bbox refine.
+
+    Antimeridian-crossing bboxes (wrapped or unwrapped) are split into
+    per-hemisphere sub-boxes BEFORE decomposition (LongitudeDefinition
+    wrap semantics) and the refine uses the wrap-aware predicate — a
+    wrapped bbox fed straight to the d-range decomposition would clamp
+    away one side and silently miss rows.
+    """
     from .. import hilbert
 
-    ranges = hilbert.hilbert_query_ranges(bbox, tier)
+    ranges = [
+        r
+        for b in cells.split_bbox_antimeridian(bbox)
+        for r in hilbert.hilbert_query_ranges(b, tier)
+    ]
     df = spark.read.parquet(path)
     pred = F.lit(False)
     for lo, hi in ranges:
         pred = pred | F.col("hd").between(lo, hi)
     out = df.filter(pred)
     if not loose:
-        x0, y0, x1, y1 = bbox
-        out = out.filter(
-            (F.col(lon_col) >= x0) & (F.col(lon_col) <= x1)
-            & (F.col(lat_col) >= y0) & (F.col(lat_col) <= y1)
-        )
+        out = out.filter(sqlcells.bbox_refine_pred(F.col(lon_col), F.col(lat_col), bbox))
     return out
 
 
@@ -189,25 +196,32 @@ def xz_range_lookup(
     loose: bool = False,
 ) -> DataFrame:
     """Extent range query on the XZ layout: code-range pushdown + exact
-    bbox-intersects refine (XZOrderSFC query semantics)."""
+    bbox-intersects refine (XZOrderSFC query semantics).
+
+    Wrapped/unwrapped antimeridian bboxes split into sub-boxes before the
+    code-range decomposition, and the refine ORs the per-sub-box
+    intersects tests (LongitudeDefinition wrap semantics)."""
     import numpy as np
 
     from .. import cells_xz
 
-    qx0 = float(cells.norm_lon(np.float64(bbox[0])))
-    qx1 = cells.norm_lon_upper(bbox[2])
-    qy0 = float(cells.norm_lat(np.float64(bbox[1])))
-    qy1 = float(cells.norm_lat(np.float64(bbox[3])))
-    ranges = cells_xz.xz_query_ranges(qx0, qy0, qx1, qy1, max_ranges=64)
+    ranges = []
+    for b in cells.split_bbox_antimeridian(bbox):
+        qx0 = float(cells.norm_lon(np.float64(b[0])))
+        qx1 = cells.norm_lon_upper(b[2])
+        qy0 = float(cells.norm_lat(np.float64(b[1])))
+        qy1 = float(cells.norm_lat(np.float64(b[3])))
+        ranges.extend(cells_xz.xz_query_ranges(qx0, qy0, qx1, qy1, max_ranges=64))
     df = spark.read.parquet(path)
     pred = F.lit(False)
     for lo, hi in ranges:
         pred = pred | F.col("xz").between(lo, hi)
     out = df.filter(pred)
     if not loose:
-        bx0, by0, bx1, by1 = bbox
         out = out.filter(
-            (F.col(x0) <= bx1) & (F.col(x1) >= bx0) & (F.col(y0) <= by1) & (F.col(y1) >= by0)
+            sqlcells.extent_intersects_pred(
+                F.col(x0), F.col(y0), F.col(x1), F.col(y1), bbox
+            )
         )
     return out
 
@@ -227,11 +241,5 @@ def range_lookup_indexed(
     pred, _ = cell_range_predicate(bbox)
     out = df.filter(pred)
     if not loose:
-        lon0, lat0, lon1, lat1 = bbox
-        out = out.filter(
-            (F.col(lat_col) >= lat0)
-            & (F.col(lat_col) <= lat1)
-            & (F.col(lon_col) >= lon0)
-            & (F.col(lon_col) <= lon1)
-        )
+        out = out.filter(sqlcells.bbox_refine_pred(F.col(lon_col), F.col(lat_col), bbox))
     return out

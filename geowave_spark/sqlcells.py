@@ -115,6 +115,41 @@ def cell_at_tier_expr(cell31: Column, to_tier: int, from_tier: int = MAX_TIER) -
     return F.shiftrightunsigned(cell31, 2 * (from_tier - to_tier))
 
 
+def bbox_refine_pred(lon: Column, lat: Column, bbox) -> Column:
+    """Boundary-inclusive point-in-bbox predicate, antimeridian-aware.
+
+    Accepts every bbox form split_bbox_antimeridian does (reference
+    LongitudeDefinition.java:52-67): plain, wrapped (lon0 > lon1),
+    unwrapped above (lon1 > 180), unwrapped below (lon0 < -180), and
+    full-wrap (span >= 360).
+    """
+    lon0, lat0, lon1, lat1 = (float(v) for v in bbox)
+    pred = (lat >= F.lit(lat0)) & (lat <= F.lit(lat1))
+    if lon1 - lon0 >= 360.0:
+        return pred
+    if lon1 > 180.0:  # unwrapped above, e.g. (170, .., 190)
+        return pred & ((lon >= F.lit(lon0)) | (lon <= F.lit(lon1 - 360.0)))
+    if lon0 < -180.0:  # unwrapped below, e.g. buffered box at -180
+        return pred & ((lon <= F.lit(lon1)) | (lon >= F.lit(lon0 + 360.0)))
+    if lon0 > lon1:  # wrapped representation, e.g. (170, .., -170)
+        return pred & ((lon >= F.lit(lon0)) | (lon <= F.lit(lon1)))
+    return pred & (lon >= F.lit(lon0)) & (lon <= F.lit(lon1))
+
+
+def extent_intersects_pred(x0: Column, y0: Column, x1: Column, y1: Column, bbox) -> Column:
+    """Boundary-inclusive bbox-intersects predicate for stored extents
+    (x0 <= x1 normalized), antimeridian-aware via the same sub-box split
+    the cover generation uses (cells.split_bbox_antimeridian)."""
+    from .cells import split_bbox_antimeridian
+
+    pred = F.lit(False)
+    for bx0, by0, bx1, by1 in split_bbox_antimeridian(tuple(float(v) for v in bbox)):
+        pred = pred | (
+            (x0 <= F.lit(bx1)) & (x1 >= F.lit(bx0)) & (y0 <= F.lit(by1)) & (y1 >= F.lit(by0))
+        )
+    return pred
+
+
 def tier_of_key(key: Column) -> Column:
     """Tier of a packed key (Column twin of cells.unpack_key's tier part).
 

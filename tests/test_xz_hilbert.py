@@ -204,3 +204,95 @@ def test_hilbert_indexed_lookup_end_to_end(spark, tmp_path):
     finally:
         df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "100")
     assert "PushedFilters: [" in full and "hd" in full.split("PushedFilters: [", 1)[1][:4000]
+
+
+# --- antimeridian lookups ---------------------------------------------------
+
+
+def _wrap_pred_py(lon, lat, bbox):
+    """Python twin of sqlcells.bbox_refine_pred for the brute-force oracle."""
+    lon0, lat0, lon1, lat1 = bbox
+    if not (lat0 <= lat <= lat1):
+        return False
+    if lon1 - lon0 >= 360.0:
+        return True
+    if lon1 > 180.0:
+        return lon >= lon0 or lon <= lon1 - 360.0
+    if lon0 < -180.0:
+        return lon <= lon1 or lon >= lon0 + 360.0
+    if lon0 > lon1:
+        return lon >= lon0 or lon <= lon1
+    return lon0 <= lon <= lon1
+
+
+AM_BBOXES = [
+    (170.0, -10.0, -170.0, 10.0),   # wrapped representation
+    (176.5, -20.0, 183.5, -10.0),   # unwrapped above (workload's am_east)
+    (-183.5, 50.0, -176.5, 60.0),   # unwrapped below (buffered at -180)
+]
+
+
+def test_indexed_lookups_antimeridian(spark, tmp_path):
+    """All three indexed lookups return the exact wrap-aware match set for
+    antimeridian-crossing bboxes (ADVICE r01: ranges used to clamp away one
+    side and the refine used plain lon0<=lon<=lon1)."""
+    from pyspark.sql import functions as F
+
+    from geowave_spark import entry_queries as eq
+    from geowave_spark.sources import indexed
+
+    ev = eq._events(spark, "/root/testdata/sf0.001")
+    rows = ev.select("event_id", "lon", "lat").collect()
+
+    zpath = str(tmp_path / "ev_cell.parquet")
+    hpath = str(tmp_path / "ev_hilbert.parquet")
+    indexed.write_indexed(ev, zpath, n_files=8, phash_col=None)
+    indexed.write_indexed_hilbert(ev, hpath, n_files=8, phash_col=None)
+
+    for bbox in AM_BBOXES:
+        want = sorted(r["event_id"] for r in rows if _wrap_pred_py(r["lon"], r["lat"], bbox))
+        assert want, f"fixture has no points in {bbox}"  # meaningful test
+        got_z = sorted(
+            r["event_id"] for r in indexed.range_lookup_indexed(spark, zpath, bbox).collect()
+        )
+        got_h = sorted(
+            r["event_id"] for r in indexed.hilbert_range_lookup(spark, hpath, bbox).collect()
+        )
+        assert got_z == want, f"zorder {bbox}"
+        assert got_h == want, f"hilbert {bbox}"
+
+
+def test_xz_lookup_antimeridian(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from geowave_spark import entry_queries as eq
+    from geowave_spark.sources import indexed
+
+    ev = eq._events(spark, "/root/testdata/sf0.001")
+    ex = ev.select(
+        F.col("event_id").alias("extent_id"),
+        F.col("lon").alias("x0"),
+        F.col("lat").alias("y0"),
+        F.least(F.col("lon") + 0.8, F.lit(180.0)).alias("x1"),
+        F.least(F.col("lat") + 0.8, F.lit(90.0)).alias("y1"),
+    )
+    path = str(tmp_path / "extents_xz_am.parquet")
+    indexed.write_indexed_extents(ex, path, n_files=8)
+    ex_rows = ex.collect()
+    from geowave_spark import cells
+
+    for bbox in AM_BBOXES:
+        subs = cells.split_bbox_antimeridian(bbox)
+        want = sorted(
+            r["extent_id"]
+            for r in ex_rows
+            if any(
+                r["x0"] <= b[2] and r["x1"] >= b[0] and r["y0"] <= b[3] and r["y1"] >= b[1]
+                for b in subs
+            )
+        )
+        assert want, f"fixture has no extents touching {bbox}"
+        got = sorted(
+            r["extent_id"] for r in indexed.xz_range_lookup(spark, path, bbox).collect()
+        )
+        assert got == want, f"xz {bbox}"
