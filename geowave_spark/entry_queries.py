@@ -163,6 +163,68 @@ DWITHIN_POLYGONS = [p for p in PIP_POLYGONS if p[0].startswith(("small_", "tiny_
 DWITHIN_RADIUS = 1.5
 
 
+def _make_line_tracks() -> list[tuple[str, list[tuple[float, float]]]]:
+    """Deterministic polyline 'tornado tracks' — the reference's flagship
+    spark-join IT joins hail points × tornado-track LINESTRINGs
+    (GeoWaveSparkSpatialJoinIT.java:97-175); these are its synthetic stand-in.
+    Coordinates rounded to 4 decimals so WKT repr round-trips exactly into
+    both engines."""
+    import numpy as _np
+
+    rng = _np.random.RandomState(77)
+    tracks = []
+    for i in range(14):
+        n = 3 + (i % 4)
+        x = float(rng.uniform(-170, 150))
+        y = float(rng.uniform(-75, 60))
+        pts = [(round(x, 4), round(y, 4))]
+        for _ in range(n - 1):
+            x = min(x + float(rng.uniform(1.0, 14.0)), 179.9)
+            y = float(_np.clip(y + float(rng.uniform(-7.0, 7.0)), -89.9, 89.9))
+            pts.append((round(x, 4), round(y, 4)))
+        tracks.append((f"track_{i:02d}", pts))
+    return tracks
+
+
+LINE_TRACKS = _make_line_tracks()
+LINE_RADIUS = 2.0
+
+# polygon workload for the general geometry join: boxes (as WKT), a polygon
+# with a hole, and a multipolygon — no antimeridian-unwrapped members (the
+# pairwise kernel expects geometries in [-180, 180]; wrapped inputs are
+# split upstream, reference LongitudeDefinition semantics)
+GEOM_POLYGONS: list[tuple[str, str]] = [
+    (pid, box_wkt(x0, y0, x1, y1))
+    for pid, x0, y0, x1, y1 in PIP_POLYGONS
+    if pid.startswith(("big_", "mid_", "small_"))
+] + [
+    ("hole_sa", "POLYGON ((-75.0 -35.0, -40.0 -35.0, -40.0 0.0, -75.0 0.0, -75.0 -35.0), "
+                "(-65.0 -25.0, -50.0 -25.0, -50.0 -10.0, -65.0 -10.0, -65.0 -25.0))"),
+    ("mpoly_two", "MULTIPOLYGON (((95.0 15.0, 125.0 15.0, 125.0 40.0, 95.0 40.0, 95.0 15.0)), "
+                  "((-15.0 -65.0, 25.0 -65.0, 25.0 -45.0, -15.0 -45.0, -15.0 -65.0)))"),
+]
+
+
+def _tracks_df(spark: SparkSession) -> DataFrame:
+    rows = [
+        (tid, "LINESTRING (" + ", ".join(f"{px!r} {py!r}" for px, py in pts) + ")")
+        for tid, pts in LINE_TRACKS
+    ]
+    return spark.createDataFrame(rows, ["polygon_id", "wkt"])
+
+
+def _sql_track_segments() -> str:
+    """Track polylines → seg(track_id, ax, ay, bx, by) VALUES CTE."""
+    vals = []
+    for tid, pts in LINE_TRACKS:
+        for (ax, ay), (bx, by) in zip(pts[:-1], pts[1:]):
+            vals.append(
+                f"('{tid}', CAST({ax!r} AS DOUBLE), CAST({ay!r} AS DOUBLE), "
+                f"CAST({bx!r} AS DOUBLE), CAST({by!r} AS DOUBLE))"
+            )
+    return f"seg(track_id, ax, ay, bx, by) AS (VALUES {', '.join(vals)})"
+
+
 def _poly_df(spark: SparkSession, polys) -> DataFrame:
     rows = [(pid, box_wkt(x0, y0, x1, y1)) for pid, x0, y0, x1, y1 in polys]
     return spark.createDataFrame(rows, ["polygon_id", "wkt"])
@@ -263,6 +325,69 @@ def q_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         predicate="dwithin",
         radius=DWITHIN_RADIUS,
         point_id="event_id",
+    )
+
+
+def q_line_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Points × LINESTRING tracks within distance — the reference's own
+    flagship IT shape (hail points × tornado tracks,
+    GeoWaveSparkSpatialJoinIT.java:97-175)."""
+    ev = _events(spark, sf_dir)
+    return spatial_join.tiered_spatial_join(
+        ev, _tracks_df(spark), predicate="dwithin", radius=LINE_RADIUS,
+        point_id="event_id",
+    )
+
+
+def _event_seg_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events → short LINESTRING segments (the big geometry side)."""
+    ev = _events(spark, sf_dir)
+    x2 = F.least(F.col("lon") + F.lit(3.0), F.lit(179.9))
+    y2 = F.least(F.col("lat") + F.lit(1.5), F.lit(89.9))
+    return ev.select(
+        "event_id",
+        F.concat(
+            F.lit("LINESTRING ("),
+            F.col("lon"), F.lit(" "), F.col("lat"), F.lit(", "),
+            x2, F.lit(" "), y2, F.lit(")"),
+        ).alias("wkt"),
+    )
+
+
+def q_line_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINESTRING × LINESTRING intersects via the general geometry join."""
+    segs = _event_seg_df(spark, sf_dir)
+    return spatial_join.geometry_join(
+        segs, _tracks_df(spark), predicate="intersects",
+        left_id="event_id", right_id="polygon_id",
+    )
+
+
+def _event_box_wkt_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived event extents as POLYGON box WKTs (mirrors _event_extents)."""
+    ev = _events(spark, sf_dir)
+    x0, y0 = F.col("lon"), F.col("lat")
+    x1 = F.least(F.col("lon") + (F.lit(0.1) + F.col("value") / F.lit(25.0)), F.lit(180.0))
+    y1 = F.least(F.col("lat") + (F.lit(0.1) + F.col("value") / F.lit(50.0)), F.lit(90.0))
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        x0, F.lit(" "), y0, F.lit(", "),
+        x1, F.lit(" "), y0, F.lit(", "),
+        x1, F.lit(" "), y1, F.lit(", "),
+        x0, F.lit(" "), y1, F.lit(", "),
+        x0, F.lit(" "), y0, F.lit("))"),
+    )
+    return ev.select("event_id", wkt.alias("wkt"))
+
+
+def q_poly_poly_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYGON × POLYGON intersects (boxes, a polygon with a hole, a
+    multipolygon) via the general geometry join."""
+    ext = _event_box_wkt_df(spark, sf_dir)
+    polys = spark.createDataFrame(GEOM_POLYGONS, ["polygon_id", "wkt"])
+    return spatial_join.geometry_join(
+        ext, polys, predicate="intersects",
+        left_id="event_id", right_id="polygon_id",
     )
 
 
@@ -681,6 +806,111 @@ def _oracle_dwithin() -> str:
         f"WITH {EV_CTE}, {_sql_poly_values(DWITHIN_POLYGONS)} "
         f"SELECT e.event_id, p.polygon_id FROM ev e JOIN p ON "
         f"{_SQL_BOX_DIST} <= CAST({DWITHIN_RADIUS!r} AS DOUBLE)"
+    )
+
+
+def _oracle_line_dwithin() -> str:
+    """Point-to-polyline distance in pure SQL: per-segment clamped
+    projection (the EXACT op sequence of geom._dist_to_ring, so doubles
+    agree bit-for-bit), any segment within radius → pair."""
+    t_raw = (
+        "((lon - ax) * (bx - ax) + (lat - ay) * (by - ay)) / "
+        "((bx - ax) * (bx - ax) + (by - ay) * (by - ay))"
+    )
+    return (
+        f"WITH {EV_CTE}, {_sql_track_segments()}, "
+        "cand AS (SELECT e.event_id, s.track_id, e.lon, e.lat, s.ax, s.ay, s.bx, s.by, "
+        f"least(greatest({t_raw}, CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) AS t "
+        "FROM ev e CROSS JOIN seg s), "
+        "d AS (SELECT event_id, track_id, "
+        "sqrt((lon - (ax + t * (bx - ax))) * (lon - (ax + t * (bx - ax))) + "
+        "(lat - (ay + t * (by - ay))) * (lat - (ay + t * (by - ay)))) AS dist FROM cand) "
+        "SELECT DISTINCT event_id, track_id AS polygon_id FROM d "
+        f"WHERE dist <= CAST({LINE_RADIUS!r} AS DOUBLE)"
+    )
+
+
+def _sql_cross(ox, oy, px, py, qx, qy) -> str:
+    """sign of the orientation cross product — the exact formula of
+    geom._orient_sign (same operand order → identical IEEE doubles)."""
+    return (
+        f"sign(({px} - {ox}) * ({qy} - {oy}) - ({py} - {oy}) * ({qx} - {ox}))"
+    )
+
+
+def _sql_on_seg(px, py, q1x, q1y, q2x, q2y) -> str:
+    """Point-on-segment, exact (geom._on_segment_exact)."""
+    return (
+        f"({_sql_cross(q1x, q1y, q2x, q2y, px, py)} = 0 "
+        f"AND {px} >= least({q1x}, {q2x}) AND {px} <= greatest({q1x}, {q2x}) "
+        f"AND {py} >= least({q1y}, {q2y}) AND {py} <= greatest({q1y}, {q2y}))"
+    )
+
+
+def _sql_seg_touch(a, b) -> str:
+    """Segment-touches-or-crosses-segment (geom._segments_touch_any for a
+    single pair): proper orientation crossing OR any endpoint on the other
+    segment (covers touches and collinear overlap)."""
+    o1 = _sql_cross(a[0], a[1], a[2], a[3], b[0], b[1])
+    o2 = _sql_cross(a[0], a[1], a[2], a[3], b[2], b[3])
+    o3 = _sql_cross(b[0], b[1], b[2], b[3], a[0], a[1])
+    o4 = _sql_cross(b[0], b[1], b[2], b[3], a[2], a[3])
+    return (
+        f"(({o1} <> {o2} AND {o3} <> {o4}) "
+        f"OR {_sql_on_seg(b[0], b[1], a[0], a[1], a[2], a[3])} "
+        f"OR {_sql_on_seg(b[2], b[3], a[0], a[1], a[2], a[3])} "
+        f"OR {_sql_on_seg(a[0], a[1], b[0], b[1], b[2], b[3])} "
+        f"OR {_sql_on_seg(a[2], a[3], b[0], b[1], b[2], b[3])})"
+    )
+
+
+def _oracle_line_intersects() -> str:
+    touch = _sql_seg_touch(
+        ("es.ax1", "es.ay1", "es.ax2", "es.ay2"),
+        ("s.ax", "s.ay", "s.bx", "s.by"),
+    )
+    return (
+        f"WITH {EV_CTE}, {_sql_track_segments()}, "
+        "es AS (SELECT event_id, lon AS ax1, lat AS ay1, "
+        f"least(lon + CAST({3.0!r} AS DOUBLE), CAST({179.9!r} AS DOUBLE)) AS ax2, "
+        f"least(lat + CAST({1.5!r} AS DOUBLE), CAST({89.9!r} AS DOUBLE)) AS ay2 FROM ev) "
+        f"SELECT DISTINCT es.event_id, s.track_id AS polygon_id "
+        f"FROM es JOIN seg s ON {touch}"
+    )
+
+
+def _oracle_poly_poly() -> str:
+    """Box extents × {boxes, rect-with-rect-hole, multipolygon of boxes}:
+    each case reduces to exact interval algebra (boundary-inclusive
+    JTS-intersects), matching the pairwise kernel's outcome on this
+    workload."""
+    box_vals = ", ".join(
+        f"('{pid}', CAST({x0!r} AS DOUBLE), CAST({y0!r} AS DOUBLE), "
+        f"CAST({x1!r} AS DOUBLE), CAST({y1!r} AS DOUBLE))"
+        for pid, x0, y0, x1, y1 in PIP_POLYGONS
+        if pid.startswith(("big_", "mid_", "small_"))
+    )
+    overlap = "e.x0 <= {px1} AND e.x1 >= {px0} AND e.y0 <= {py1} AND e.y1 >= {py0}"
+    hole = (
+        "(" + overlap.format(px0="CAST(-75.0 AS DOUBLE)", py0="CAST(-35.0 AS DOUBLE)",
+                             px1="CAST(-40.0 AS DOUBLE)", py1="CAST(0.0 AS DOUBLE)")
+        + ") AND NOT (e.x0 > CAST(-65.0 AS DOUBLE) AND e.y0 > CAST(-25.0 AS DOUBLE) "
+        "AND e.x1 < CAST(-50.0 AS DOUBLE) AND e.y1 < CAST(-10.0 AS DOUBLE))"
+    )
+    mp1 = overlap.format(px0="CAST(95.0 AS DOUBLE)", py0="CAST(15.0 AS DOUBLE)",
+                         px1="CAST(125.0 AS DOUBLE)", py1="CAST(40.0 AS DOUBLE)")
+    mp2 = overlap.format(px0="CAST(-15.0 AS DOUBLE)", py0="CAST(-65.0 AS DOUBLE)",
+                         px1="CAST(25.0 AS DOUBLE)", py1="CAST(-45.0 AS DOUBLE)")
+    return (
+        f"WITH {EV_CTE}, "
+        "ex AS (SELECT event_id, lon AS x0, lat AS y0, "
+        "least(lon + (CAST(0.1 AS DOUBLE) + value / CAST(25.0 AS DOUBLE)), CAST(180.0 AS DOUBLE)) AS x1, "
+        "least(lat + (CAST(0.1 AS DOUBLE) + value / CAST(50.0 AS DOUBLE)), CAST(90.0 AS DOUBLE)) AS y1 FROM ev), "
+        f"pb(polygon_id, px0, py0, px1, py1) AS (VALUES {box_vals}) "
+        "SELECT e.event_id, p.polygon_id FROM ex e JOIN pb p ON "
+        + overlap.format(px0="p.px0", py0="p.py0", px1="p.px1", py1="p.py1")
+        + f" UNION ALL SELECT e.event_id, 'hole_sa' AS polygon_id FROM ex e WHERE {hole}"
+        + f" UNION ALL SELECT e.event_id, 'mpoly_two' AS polygon_id FROM ex e WHERE ({mp1}) OR ({mp2})"
     )
 
 
@@ -1136,6 +1366,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pip_join_semi": q_pip_semi,
     "pip_join_anti": q_pip_anti,
     "dwithin_join": q_dwithin_join,
+    "line_dwithin_join": q_line_dwithin,
+    "line_intersects_join": q_line_intersects,
+    "poly_poly_join": q_poly_poly_join,
     "extent_join_tiered": q_extent_join,
     "extent_join_bigbig": q_extent_join_bigbig,
     "knn_join": q_knn_join,
@@ -1187,6 +1420,9 @@ def build_oracles() -> dict[str, str]:
         "pip_join_semi": _oracle_pip_semi(),
         "pip_join_anti": _oracle_pip_anti(),
         "dwithin_join": _oracle_dwithin(),
+        "line_dwithin_join": _oracle_line_dwithin(),
+        "line_intersects_join": _oracle_line_intersects(),
+        "poly_poly_join": _oracle_poly_poly(),
         "extent_join_tiered": _oracle_extent_join(),
         "extent_join_bigbig": _oracle_extent_join_bigbig(),
         "knn_join": _oracle_knn(),

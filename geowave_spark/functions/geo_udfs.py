@@ -30,7 +30,7 @@ from pyspark.sql import types as T
 from .. import cells, geom
 
 
-def _ring_bbox(p: geom.Polygon, buffer: float) -> tuple[float, float, float, float]:
+def _ring_bbox(p, buffer: float) -> tuple[float, float, float, float]:
     x0, y0, x1, y1 = p.bbox
     if buffer:
         x0, y0, x1, y1 = x0 - buffer, y0 - buffer, x1 + buffer, y1 + buffer
@@ -43,10 +43,16 @@ def cover_keys(
     buffer: float = 0.0,
     trim: bool = True,
 ) -> pd.Series:
-    """WKT series → list[int64] packed covering keys (adaptive tier)."""
+    """WKT series → list[int64] packed covering keys (adaptive tier).
+
+    Accepts ANY supported geometry (POLYGON / LINESTRING / MULTI* / POINT):
+    cover = adaptive-tier cells of the bbox, trimmed to cells the true
+    geometry touches (RDDUtils.trimIndexIds:158-184) — for a diagonal
+    LINESTRING track the trim drops the off-diagonal bbox cells.
+    """
     out = []
     for wkt in wkts:
-        p = geom.polygon_from_wkt(wkt)
+        p = geom.geometry_from_wkt(wkt)
         bbox = _ring_bbox(p, buffer)
         tier, cs = cells.cells_for_bbox(bbox, max_dup=max_cells)
         if trim and not buffer and cs.size > 3:
@@ -77,7 +83,7 @@ def _eval_per_polygon(wkts: pd.Series, lon: pd.Series, lat: pd.Series, fn) -> np
     codes, uniques = pd.factorize(wkts)
     for u, w in enumerate(uniques):
         idx = np.nonzero(codes == u)[0]
-        p = geom.polygon_from_wkt(w)
+        p = geom.geometry_from_wkt(w)
         v = fn(p, lon_v[idx], lat_v[idx])
         if p.bbox[2] > 180.0:  # unwrapped antimeridian polygon
             v2 = fn(p, lon_v[idx] + 360.0, lat_v[idx])
@@ -96,6 +102,47 @@ def st_contains_point(wkts: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Ser
 def st_distance_point(wkts: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
     got = _eval_per_polygon(wkts, lon, lat, lambda p, x, y: p.distance(x, y))
     return pd.Series(got)
+
+
+# --- pairwise geometry × geometry (GeomFunctionRegistry.java:26-42) ---------
+
+def _eval_pairs(wkt_a: pd.Series, wkt_b: pd.Series, fn) -> list:
+    """Per-pair evaluation; geometries interned via geometry_from_wkt's
+    lru_cache, segment math vectorized inside each pair.  Runs only on the
+    candidate pairs that survive the cell equi-join — never the raw input."""
+    out = []
+    for wa, wb in zip(wkt_a, wkt_b):
+        ga = geom.geometry_from_wkt(wa)
+        gb = geom.geometry_from_wkt(wb)
+        out.append(fn(ga, gb))
+    return out
+
+
+@F.pandas_udf(T.BooleanType())
+def st_intersects_wkt(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
+    """JTS-intersects over two WKT columns (GeomIntersects.java:21)."""
+    return pd.Series(_eval_pairs(wkt_a, wkt_b, geom.intersects_pair), dtype=bool)
+
+
+@F.pandas_udf(T.DoubleType())
+def st_distance_wkt(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
+    """Planar JTS-distance over two WKT columns (GeomDistance.java:14-23)."""
+    return pd.Series(_eval_pairs(wkt_a, wkt_b, geom.distance_pair), dtype=np.float64)
+
+
+_BBOX_SCHEMA = T.StructType(
+    [T.StructField(c, T.DoubleType()) for c in ("x0", "y0", "x1", "y1")]
+)
+
+
+@F.pandas_udf(_BBOX_SCHEMA)
+def st_bbox(wkts: pd.Series) -> pd.DataFrame:
+    """WKT → bbox struct (x0, y0, x1, y1) — the envelope step of the
+    reference's per-geometry index insertion (GeometryUtils envelopes)."""
+    boxes = np.empty((len(wkts), 4), dtype=np.float64)
+    for i, w in enumerate(wkts):
+        boxes[i] = geom.geometry_from_wkt(w).bbox
+    return pd.DataFrame(boxes, columns=["x0", "y0", "x1", "y1"], index=wkts.index)
 
 
 # --- image payload UDFs (BASELINE.json invariants) --------------------------

@@ -1,4 +1,4 @@
-"""Planar geometry kernel (pure numpy) — WKT parse, point-in-polygon, distance.
+"""Planar geometry kernel (pure numpy) — WKT parse, predicates, distance.
 
 Replaces the reference's JTS usage in its Spark SQL geometry UDFs
 (analytics/spark/.../udf/GeomIntersects.java etc., SpatialQueryFilter.java:259-302)
@@ -6,11 +6,23 @@ with vectorized numpy, suitable for Arrow-batched pandas UDFs.  All math is
 PLANAR in degrees — deliberately matching the reference's JTS semantics
 (GeomDistance.java:14-23 uses planar `Geometry.distance`, not geodesic).
 
-Only the geometry types our workload needs: POINT, POLYGON (with holes),
-MULTIPOLYGON, and boxes.  The polygon predicate family maps to the
-reference's registered UDFs (GeomFunctionRegistry.java:26-42):
-contains / intersects / within / disjoint — expressed for the
-point-vs-polygon case that the image workload exercises.
+Geometry types: POINT, LINESTRING, MULTILINESTRING, POLYGON (with holes),
+MULTIPOLYGON.  Every type implements the same protocol the join engine
+consumes — ``bbox``, ``is_box()``, ``contains(lon, lat)`` (point
+intersects, vectorized), ``distance(lon, lat)`` (point distance,
+vectorized), ``intersects_boxes(x0, y0, x1, y1)`` (cell trim), and
+``segments()`` — so LINESTRING tracks drop into `tiered_spatial_join`
+as the indexed side with no structural change (the reference's own
+flagship IT joins hail POINTs × tornado-track LINEs,
+GeoWaveSparkSpatialJoinIT.java:97-175).
+
+Pairwise geometry×geometry predicates (`intersects_pair`,
+`distance_pair`) back the general joins, mapping to the reference's
+registered UDF family (GeomFunctionRegistry.java:26-42: GeomIntersects /
+GeomDistance / GeomWithinDistance over arbitrary JTS geometries).
+Orientation/on-segment tests use EXACT IEEE double comparisons (no
+epsilon) so a SQL oracle evaluating the same formulas on the same
+doubles reproduces results bit-for-bit.
 """
 
 from __future__ import annotations
@@ -189,6 +201,259 @@ def _segments_intersect(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
 
 
 # ---------------------------------------------------------------------------
+# Non-area geometries (same protocol as Polygon)
+# ---------------------------------------------------------------------------
+
+
+def _path_segments(path: np.ndarray) -> np.ndarray:
+    """(n,2) vertex array → (n-1,4) segment array [x1,y1,x2,y2]."""
+    if len(path) < 2:
+        p = path[0]
+        return np.array([[p[0], p[1], p[0], p[1]]], dtype=np.float64)
+    return np.hstack([path[:-1], path[1:]]).astype(np.float64)
+
+
+class LineString:
+    """Open polyline.  A line has measure-zero area: `contains` is the
+    on-line test (JTS point-intersects-line), `distance` the min segment
+    distance."""
+
+    __slots__ = ("coords", "bbox")
+
+    def __init__(self, coords: np.ndarray):
+        self.coords = np.asarray(coords, dtype=np.float64)
+        self.bbox = (
+            float(self.coords[:, 0].min()),
+            float(self.coords[:, 1].min()),
+            float(self.coords[:, 0].max()),
+            float(self.coords[:, 1].max()),
+        )
+
+    def is_box(self) -> bool:
+        return False
+
+    def contains(self, lon, lat) -> np.ndarray:
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        return _on_edges(self.coords, lon, lat)
+
+    def distance(self, lon, lat) -> np.ndarray:
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        return _dist_to_ring(self.coords, lon, lat)
+
+    def intersects_boxes(self, x0, y0, x1, y1) -> np.ndarray:
+        x0, y0, x1, y1 = (np.asarray(a, dtype=np.float64) for a in (x0, y0, x1, y1))
+        vx, vy = self.coords[:, 0], self.coords[:, 1]
+        vert_in = (
+            (vx[None, :] >= x0[:, None])
+            & (vx[None, :] <= x1[:, None])
+            & (vy[None, :] >= y0[:, None])
+            & (vy[None, :] <= y1[:, None])
+        ).any(axis=1)
+        return vert_in | _edges_cross_boxes(self.coords, x0, y0, x1, y1)
+
+    def segments(self) -> np.ndarray:
+        return _path_segments(self.coords)
+
+    def vertices(self) -> np.ndarray:
+        return self.coords
+
+
+class Point:
+    __slots__ = ("x", "y", "bbox")
+
+    def __init__(self, x: float, y: float):
+        self.x, self.y = float(x), float(y)
+        self.bbox = (self.x, self.y, self.x, self.y)
+
+    def is_box(self) -> bool:
+        return False
+
+    def contains(self, lon, lat) -> np.ndarray:
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        return (lon == self.x) & (lat == self.y)
+
+    def distance(self, lon, lat) -> np.ndarray:
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        return np.sqrt((lon - self.x) ** 2 + (lat - self.y) ** 2)
+
+    def intersects_boxes(self, x0, y0, x1, y1) -> np.ndarray:
+        x0, y0, x1, y1 = (np.asarray(a, dtype=np.float64) for a in (x0, y0, x1, y1))
+        return (self.x >= x0) & (self.x <= x1) & (self.y >= y0) & (self.y <= y1)
+
+    def segments(self) -> np.ndarray:
+        return np.array([[self.x, self.y, self.x, self.y]], dtype=np.float64)
+
+    def vertices(self) -> np.ndarray:
+        return np.array([[self.x, self.y]], dtype=np.float64)
+
+
+class MultiGeometry:
+    """Union of homogeneous parts (MULTIPOLYGON / MULTILINESTRING):
+    any/min over parts, one ConstraintSet per part like the reference
+    (GeometryUtils.basicConstraintsFromGeometry:154-213)."""
+
+    __slots__ = ("parts", "bbox")
+
+    def __init__(self, parts: list):
+        self.parts = parts
+        bs = np.array([p.bbox for p in parts], dtype=np.float64)
+        self.bbox = (
+            float(bs[:, 0].min()), float(bs[:, 1].min()),
+            float(bs[:, 2].max()), float(bs[:, 3].max()),
+        )
+
+    def is_box(self) -> bool:
+        return len(self.parts) == 1 and self.parts[0].is_box()
+
+    def contains(self, lon, lat) -> np.ndarray:
+        out = self.parts[0].contains(lon, lat)
+        for p in self.parts[1:]:
+            out = out | p.contains(lon, lat)
+        return out
+
+    def distance(self, lon, lat) -> np.ndarray:
+        out = self.parts[0].distance(lon, lat)
+        for p in self.parts[1:]:
+            out = np.minimum(out, p.distance(lon, lat))
+        return out
+
+    def intersects_boxes(self, x0, y0, x1, y1) -> np.ndarray:
+        out = self.parts[0].intersects_boxes(x0, y0, x1, y1)
+        for p in self.parts[1:]:
+            out = out | p.intersects_boxes(x0, y0, x1, y1)
+        return out
+
+    def segments(self) -> np.ndarray:
+        return np.vstack([p.segments() for p in self.parts])
+
+    def vertices(self) -> np.ndarray:
+        return np.vstack([p.vertices() for p in self.parts])
+
+
+# Polygon protocol completion: segment/vertex access for pairwise predicates
+def _polygon_segments(self: Polygon) -> np.ndarray:
+    return np.vstack([_path_segments(r) for r in self.rings])
+
+
+def _polygon_vertices(self: Polygon) -> np.ndarray:
+    # exterior-ring vertices suffice for A-inside-B detection: if A's
+    # exterior is wholly inside a hole of B, contains() correctly rejects
+    return self.rings[0][:-1]
+
+
+Polygon.segments = _polygon_segments
+Polygon.vertices = _polygon_vertices
+
+
+# ---------------------------------------------------------------------------
+# Pairwise geometry × geometry predicates
+# ---------------------------------------------------------------------------
+
+
+def _orient_sign(ox, oy, px, py, qx, qy):
+    return np.sign((px - ox) * (qy - oy) - (py - oy) * (qx - ox))
+
+
+def _on_segment_exact(px, py, sx1, sy1, sx2, sy2):
+    """Point exactly on segment (orientation==0 + within bbox), broadcast.
+    EXACT doubles — SQL-replicable."""
+    o = _orient_sign(sx1, sy1, sx2, sy2, px, py)
+    return (
+        (o == 0)
+        & (px >= np.minimum(sx1, sx2)) & (px <= np.maximum(sx1, sx2))
+        & (py >= np.minimum(sy1, sy2)) & (py <= np.maximum(sy1, sy2))
+    )
+
+
+def _segments_touch_any(A: np.ndarray, B: np.ndarray) -> bool:
+    """Any segment of A (n,4) touches/crosses any segment of B (m,4).
+
+    Boundary-inclusive: proper crossings via the orientation test, touches
+    and collinear overlaps via endpoint-on-segment tests (an endpoint of an
+    overlap always lies on the other segment).
+    """
+    ax1, ay1, ax2, ay2 = (A[:, i][:, None] for i in range(4))
+    bx1, by1, bx2, by2 = (B[:, i][None, :] for i in range(4))
+    o1 = _orient_sign(ax1, ay1, ax2, ay2, bx1, by1)
+    o2 = _orient_sign(ax1, ay1, ax2, ay2, bx2, by2)
+    o3 = _orient_sign(bx1, by1, bx2, by2, ax1, ay1)
+    o4 = _orient_sign(bx1, by1, bx2, by2, ax2, ay2)
+    proper = (o1 != o2) & (o3 != o4)
+    touch = (
+        _on_segment_exact(bx1, by1, ax1, ay1, ax2, ay2)
+        | _on_segment_exact(bx2, by2, ax1, ay1, ax2, ay2)
+        | _on_segment_exact(ax1, ay1, bx1, by1, bx2, by2)
+        | _on_segment_exact(ax2, ay2, bx1, by1, bx2, by2)
+    )
+    return bool((proper | touch).any())
+
+
+def _segments_min_dist(A: np.ndarray, B: np.ndarray) -> float:
+    """Min distance between non-crossing segment sets: attained at an
+    endpoint of one against the other (planar geometry fact)."""
+
+    def pt_to_segs(px, py, S):
+        sx1, sy1, sx2, sy2 = (S[:, i][None, :] for i in range(4))
+        dx, dy = sx2 - sx1, sy2 - sy1
+        seg2 = dx * dx + dy * dy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = ((px[:, None] - sx1) * dx + (py[:, None] - sy1) * dy) / seg2
+        t = np.where(seg2 == 0, 0.0, np.clip(t, 0.0, 1.0))
+        cx, cy = sx1 + t * dx, sy1 + t * dy
+        return np.sqrt((px[:, None] - cx) ** 2 + (py[:, None] - cy) ** 2).min()
+
+    d = pt_to_segs(A[:, 0], A[:, 1], B)
+    d = min(d, pt_to_segs(A[:, 2], A[:, 3], B))
+    d = min(d, pt_to_segs(B[:, 0], B[:, 1], A))
+    return min(d, pt_to_segs(B[:, 2], B[:, 3], A))
+
+
+def _has_area(g) -> bool:
+    if isinstance(g, Polygon):
+        return True
+    if isinstance(g, MultiGeometry):
+        return any(isinstance(p, Polygon) for p in g.parts)
+    return False
+
+
+def intersects_pair(ga, gb) -> bool:
+    """JTS-`intersects` for any geometry pair (boundary-inclusive)."""
+    ax0, ay0, ax1, ay1 = ga.bbox
+    bx0, by0, bx1, by1 = gb.bbox
+    if ax0 > bx1 or bx0 > ax1 or ay0 > by1 or by0 > ay1:
+        return False
+    if isinstance(ga, Point):
+        return bool(np.any(gb.contains(np.array([ga.x]), np.array([ga.y]))))
+    if isinstance(gb, Point):
+        return bool(np.any(ga.contains(np.array([gb.x]), np.array([gb.y]))))
+    # vertex containment catches X-fully-inside-area cases
+    if _has_area(gb):
+        va = ga.vertices()
+        if bool(np.any(gb.contains(va[:, 0], va[:, 1]))):
+            return True
+    if _has_area(ga):
+        vb = gb.vertices()
+        if bool(np.any(ga.contains(vb[:, 0], vb[:, 1]))):
+            return True
+    return _segments_touch_any(ga.segments(), gb.segments())
+
+
+def distance_pair(ga, gb) -> float:
+    """JTS-`distance` for any geometry pair (0 when intersecting)."""
+    if intersects_pair(ga, gb):
+        return 0.0
+    if isinstance(ga, Point):
+        return float(np.min(gb.distance(np.array([ga.x]), np.array([ga.y]))))
+    if isinstance(gb, Point):
+        return float(np.min(ga.distance(np.array([gb.x]), np.array([gb.y]))))
+    return _segments_min_dist(ga.segments(), gb.segments())
+
+
+# ---------------------------------------------------------------------------
 # WKT
 # ---------------------------------------------------------------------------
 
@@ -202,11 +467,8 @@ def _parse_ring(txt: str) -> np.ndarray:
 
 @lru_cache(maxsize=4096)
 def polygon_from_wkt(wkt: str) -> Polygon:
-    """Parse POLYGON / MULTIPOLYGON WKT (MULTIPOLYGON → exterior rings merged
-    into one multi-ring Polygon for predicate purposes is WRONG, so we keep
-    only POLYGON here; multipolygons are split upstream, mirroring the
-    reference's one-ConstraintSet-per-part handling,
-    GeometryUtils.basicConstraintsFromGeometry:154-213)."""
+    """Parse POLYGON WKT (kept strict for callers that rely on `.rings`;
+    the engine's general entry point is :func:`geometry_from_wkt`)."""
     w = wkt.strip()
     if not w.upper().startswith("POLYGON"):
         raise ValueError(f"unsupported WKT (POLYGON only): {w[:40]}")
@@ -215,6 +477,48 @@ def polygon_from_wkt(wkt: str) -> Polygon:
         for m in re.finditer(r"\(([^()]+)\)", w)
     ]
     return Polygon(rings)
+
+
+def _parse_path(txt: str) -> np.ndarray:
+    """Coordinate list → (n,2) array, NOT closed (for linestrings)."""
+    pts = re.findall(rf"({_NUM})\s+({_NUM})", txt)
+    return np.array(pts, dtype=np.float64)
+
+
+@lru_cache(maxsize=4096)
+def geometry_from_wkt(wkt: str):
+    """Parse any supported WKT: POINT, LINESTRING, MULTILINESTRING,
+    POLYGON (with holes), MULTIPOLYGON.
+
+    Multi-geometries become a :class:`MultiGeometry` of parts — the
+    reference's one-ConstraintSet-per-part handling
+    (GeometryUtils.basicConstraintsFromGeometry:154-213).  Interned via
+    lru_cache like the reference's prepared-geometry GeometryImage
+    interning (SpatialQueryFilter.java:353-367).
+    """
+    w = wkt.strip()
+    u = w.upper()
+    if u.startswith("POINT"):
+        pts = _parse_path(w)
+        return Point(pts[0, 0], pts[0, 1])
+    if u.startswith("MULTILINESTRING"):
+        parts = [
+            LineString(_parse_path(m.group(1)))
+            for m in re.finditer(r"\(([^()]+)\)", w)
+        ]
+        return MultiGeometry(parts)
+    if u.startswith("LINESTRING"):
+        return LineString(_parse_path(w))
+    if u.startswith("MULTIPOLYGON"):
+        # split on outer-level polygon groups: '((...), (...))' blocks
+        parts = [
+            Polygon([_parse_ring(rm.group(1)) for rm in re.finditer(r"\(([^()]+)\)", pg.group(0))])
+            for pg in re.finditer(r"\(\s*\([^)]*\)(?:\s*,\s*\([^)]*\))*\s*\)", w[len("MULTIPOLYGON"):])
+        ]
+        return MultiGeometry(parts)
+    if u.startswith("POLYGON"):
+        return polygon_from_wkt(w)
+    raise ValueError(f"unsupported WKT: {w[:40]}")
 
 
 def box_wkt(lon0: float, lat0: float, lon1: float, lat1: float) -> str:

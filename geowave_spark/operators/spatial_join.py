@@ -128,7 +128,7 @@ def polygon_cover_local(
     import numpy as np
 
     for (pid, wkt), keys in zip(rows, keys_per_poly):
-        p = geom.polygon_from_wkt(wkt)
+        p = geom.geometry_from_wkt(wkt)
         x0, y0, x1, y1 = p.bbox
         isb = p.is_box()
         for k in keys:
@@ -405,7 +405,7 @@ def tiered_extent_join(
     poly_rows: list[tuple] = []
     poly_tiers: set[int] = set()
     for pid, wkt in rows:
-        p = geom.polygon_from_wkt(wkt)
+        p = geom.geometry_from_wkt(wkt)
         bx0, by0, bx1, by1 = p.bbox
         tp, cover = cells.cells_for_bbox((bx0, by0, bx1, by1), max_dup=cells.JOIN_MAX_CELLS)
         poly_tiers.add(tp)
@@ -467,7 +467,8 @@ def tiered_extent_join(
 
 
 def _extent_cells(
-    df: DataFrame, id_col: str, x0: str, y0: str, x1: str, y1: str
+    df: DataFrame, id_col: str, x0: str, y0: str, x1: str, y1: str,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Extent rows → (id, x0..y1, _te, _cell) at the span-based adaptive
     tier (<= 4 cells per row) — pure Column math shared by both extent-join
@@ -494,7 +495,7 @@ def _extent_cells(
         .withColumn("_gx", F.explode(F.sequence(F.col("_gx0"), F.col("_gx1"))))
         .withColumn("_gy", F.explode(F.sequence(F.col("_gy0"), F.col("_gy1"))))
         .withColumn("_cell", sqlcells.interleave(F.col("_gx"), F.col("_gy")))
-        .select(id_col, x0, y0, x1, y1, "_te", "_cell")
+        .select(id_col, x0, y0, x1, y1, "_te", "_cell", *extra_cols)
     )
 
 
@@ -566,6 +567,176 @@ def semi_join_matches(points: DataFrame, pairs: DataFrame, point_id: str = "imag
 def anti_join_matches(points: DataFrame, pairs: DataFrame, point_id: str = "image_id") -> DataFrame:
     """Negative-predicate output (subtractByKey, TieredSpatialJoin.java:357-363)."""
     return points.join(pairs.select(point_id), point_id, "left_anti")
+
+
+def geometry_join(
+    left: DataFrame,
+    right: DataFrame,
+    predicate: str = "intersects",
+    radius: float = 0.0,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    left_wkt: str = "wkt",
+    right_wkt: str = "wkt",
+    max_cells: int = cells.JOIN_MAX_CELLS,
+) -> DataFrame:
+    """General geometry × geometry join — ANY supported WKT on both sides
+    (LINESTRING tracks, polygons with holes, multi-geometries, points).
+
+    The reference's full TieredSpatialJoin over arbitrary JTS geometries
+    (TieredSpatialJoin.java:75-377; its flagship IT is hail points ×
+    tornado-track LINESTRINGs, GeoWaveSparkSpatialJoinIT.java:97-175),
+    folded into one plan:
+
+    * right (broadcastable) side: driver-side adaptive-tier cover of each
+      geometry (trimmed to cells the true geometry touches; buffered by
+      `radius` for dwithin) + truncations to every coarser tier — the
+      reprojectToTier direction where the right side is coarser;
+    * left (big) side: bbox via one Arrow-batched UDF, span-based adaptive
+      tier (<= 4 cells, pure Column math), keys at its own tier plus
+      truncations to each coarser right-side tier;
+    * equi-join on the packed key → JVM bbox prefilter → exact pairwise
+      refine (st_intersects_wkt / st_distance_wkt, candidate pairs only)
+      → dedupe (DedupeFilter semantics — extents meet in multiple cells).
+
+    Output: (left_id, right_id) pairs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .. import geom
+
+    if predicate not in ("intersects", "dwithin"):
+        raise ValueError(f"unknown predicate {predicate!r}")
+    buffer = radius if predicate == "dwithin" else 0.0
+    spark = left.sparkSession
+    rows = [(r[0], r[1]) for r in right.select(right_id, right_wkt).collect()]
+    if not rows:
+        return left.select(left_id).limit(0).crossJoin(right.select(right_id).limit(0))
+
+    covers = geo_udfs.cover_keys(
+        pd.Series([w for _, w in rows]),
+        max_cells=max_cells, buffer=buffer, trim=not buffer,
+    )
+    cell_rows: list[tuple] = []
+    r_tiers: set[int] = set()
+    for (rid, wkt), keys in zip(rows, covers):
+        g = geom.geometry_from_wkt(wkt)
+        bx0, by0, bx1, by1 = g.bbox
+        keys = np.asarray(keys, dtype=np.int64)
+        if not keys.size:
+            continue
+        tp, cover = cells.unpack_key(keys)
+        tp = int(tp[0])
+        r_tiers.add(tp)
+        for t in range(tp, -1, -1):
+            tc = np.unique(cells.cell_at_tier(cover, tp, t))
+            for k in cells.pack_key(t, tc).tolist():
+                cell_rows.append(
+                    (int(k), rid, float(bx0 - buffer), float(by0 - buffer),
+                     float(bx1 + buffer), float(by1 + buffer))
+                )
+    if not r_tiers:
+        return left.select(left_id).limit(0).crossJoin(right.select(right_id).limit(0))
+
+    right_cells = F.broadcast(
+        spark.createDataFrame(
+            cell_rows, "key long, _rid string, _rx0 double, _ry0 double, _rx1 double, _ry1 double"
+        )
+    )
+    right_wkts = F.broadcast(
+        spark.createDataFrame(list(rows), "_rid string, _rwkt string")
+    )
+
+    lb = left.select(left_id, left_wkt).withColumn(
+        "_bb", geo_udfs.st_bbox(F.col(left_wkt))
+    ).select(
+        left_id,
+        F.col(left_wkt).alias("_lwkt"),
+        F.col("_bb.x0").alias("_lx0"), F.col("_bb.y0").alias("_ly0"),
+        F.col("_bb.x1").alias("_lx1"), F.col("_bb.y1").alias("_ly1"),
+    )
+    lc = _extent_cells(lb, left_id, "_lx0", "_ly0", "_lx1", "_ly1", extra_cols=("_lwkt",))
+    lk = _extent_keys(lc, sorted(r_tiers))
+
+    j = lk.join(right_cells, "key")
+    # JVM bbox prefilter (right bbox pre-buffered for dwithin); unwrapped
+    # antimeridian right geometries (x1 > 180) skip it — exactness comes
+    # from the pairwise refine which tests the +360 copy
+    prefilter = (
+        (F.col("_lx0") <= F.col("_rx1")) & (F.col("_lx1") >= F.col("_rx0"))
+        & (F.col("_ly0") <= F.col("_ry1")) & (F.col("_ly1") >= F.col("_ry0"))
+    ) | (F.col("_rx1") > 180.0)
+    j = j.filter(prefilter).join(right_wkts, "_rid")
+    if predicate == "intersects":
+        j = j.filter(geo_udfs.st_intersects_wkt(F.col("_lwkt"), F.col("_rwkt")))
+    else:
+        j = j.filter(
+            geo_udfs.st_distance_wkt(F.col("_lwkt"), F.col("_rwkt")) <= F.lit(float(radius))
+        )
+    return (
+        j.select(F.col(left_id), F.col("_rid").alias(right_id))
+        .dropDuplicates([left_id, right_id])
+    )
+
+
+def geometry_join_shuffle(
+    left: DataFrame,
+    right: DataFrame,
+    predicate: str = "intersects",
+    radius: float = 0.0,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    left_wkt: str = "wkt",
+    right_wkt: str = "wkt",
+) -> DataFrame:
+    """BIG × BIG geometry join: both sides bbox'd (one Arrow UDF each),
+    adaptively tiered + symmetrically truncated (tiered_extent_join_shuffle
+    machinery), met on the packed key, bbox-prefiltered JVM-side, then
+    exact pairwise refine on the surviving candidates only.
+
+    dwithin buffers the LEFT bbox by radius before tiering (sufficient:
+    any pair within r overlaps after one side's expansion)."""
+    if predicate not in ("intersects", "dwithin"):
+        raise ValueError(f"unknown predicate {predicate!r}")
+    buffer = radius if predicate == "dwithin" else 0.0
+
+    def bboxed(df, id_col, wkt_col, prefix, pad):
+        b = df.select(id_col, wkt_col).withColumn("_bb", geo_udfs.st_bbox(F.col(wkt_col)))
+        return b.select(
+            id_col,
+            F.col(wkt_col).alias(f"{prefix}wkt"),
+            (F.col("_bb.x0") - pad).alias(f"{prefix}x0"),
+            (F.col("_bb.y0") - pad).alias(f"{prefix}y0"),
+            (F.col("_bb.x1") + pad).alias(f"{prefix}x1"),
+            (F.col("_bb.y1") + pad).alias(f"{prefix}y1"),
+        )
+
+    lb = bboxed(left, left_id, left_wkt, "_l", buffer)
+    rb = bboxed(right, right_id, right_wkt, "_r", 0.0)
+    lc = _extent_cells(
+        lb, left_id, "_lx0", "_ly0", "_lx1", "_ly1", extra_cols=("_lwkt",)
+    ).localCheckpoint()
+    rc = _extent_cells(
+        rb, right_id, "_rx0", "_ry0", "_rx1", "_ry1", extra_cols=("_rwkt",)
+    ).localCheckpoint()
+    l_tiers = sorted(r[0] for r in lc.select("_te").distinct().collect())
+    r_tiers = sorted(r[0] for r in rc.select("_te").distinct().collect())
+    if not l_tiers or not r_tiers:
+        return left.select(left_id).limit(0).crossJoin(right.select(right_id).limit(0))
+    lk = _extent_keys(lc, r_tiers)
+    rk = _extent_keys(rc, l_tiers)
+    j = lk.join(rk, "key").filter(
+        (F.col("_lx0") <= F.col("_rx1")) & (F.col("_lx1") >= F.col("_rx0"))
+        & (F.col("_ly0") <= F.col("_ry1")) & (F.col("_ly1") >= F.col("_ry0"))
+    )
+    if predicate == "intersects":
+        j = j.filter(geo_udfs.st_intersects_wkt(F.col("_lwkt"), F.col("_rwkt")))
+    else:
+        j = j.filter(
+            geo_udfs.st_distance_wkt(F.col("_lwkt"), F.col("_rwkt")) <= F.lit(float(radius))
+        )
+    return j.select(left_id, right_id).dropDuplicates([left_id, right_id])
 
 
 def brute_force_join(
