@@ -12,6 +12,7 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra: dict | None = None,
+    iceberg_warehouse: str | None = None,
 ) -> SparkSession:
     """local[cpus] session with AQE + skew-join handling on.
 
@@ -19,6 +20,11 @@ def get_spark(
     (spark-submit provides it).  AQE skew-join is our first line of defense
     for hot cells (SURVEY.md §4 row 9); explicit salting in the operators is
     the second.
+
+    ``iceberg_warehouse``: configure the `geowave` Iceberg catalog rooted
+    there (sources/iceberg.ICEBERG_SESSION_CONF); requires the
+    iceberg-spark-runtime jar on the classpath — absent in this container,
+    in which case IndexedStore transparently uses the parquet layout.
     """
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(32, cpus)
@@ -36,6 +42,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if iceberg_warehouse:
+        from .sources.iceberg import CATALOG, ICEBERG_SESSION_CONF
+
+        for k, v in ICEBERG_SESSION_CONF.items():
+            b = b.config(k, v)
+        b = b.config(f"spark.sql.catalog.{CATALOG}.warehouse", iceberg_warehouse)
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
