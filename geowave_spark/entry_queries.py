@@ -730,6 +730,53 @@ def q_kmeans_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IMG_CACHE_ROOT = "/tmp/geowave_fixture_cache"
 
+HIER_BBOX = (-15.0, 0.0, 40.0, 42.0)
+
+
+def _hier_mixed_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed point+extent table from events: even ids are points (zero
+    span), odd ids are derived extents — the input shape the reference's
+    XZHierarchicalIndexStrategy serves with one index."""
+    ev = _events(spark, sf_dir)
+    is_pt = F.col("event_id") % 2 == 0
+    x1 = F.when(is_pt, F.col("lon")).otherwise(
+        F.least(F.col("lon") + (F.lit(0.4) + F.col("value") / F.lit(30.0)), F.lit(180.0))
+    )
+    y1 = F.when(is_pt, F.col("lat")).otherwise(
+        F.least(F.col("lat") + (F.lit(0.3) + F.col("value") / F.lit(60.0)), F.lit(90.0))
+    )
+    return ev.select(
+        "event_id",
+        F.col("lon").alias("x0"),
+        F.col("lat").alias("y0"),
+        x1.alias("x1"),
+        y1.alias("y1"),
+    )
+
+
+def _ensure_hier(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per sf) the composite-indexed copy of the mixed table."""
+    import os as _os
+
+    from .sources import indexed as _indexed
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"{_IMG_CACHE_ROOT}/hier_v1_{tag}.parquet"
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        _indexed.write_indexed_hier(_hier_mixed_df(spark, sf_dir), path, n_files=8)
+    return path
+
+
+def q_hier_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-index range query with fan-out over both curves
+    (XZHierarchicalIndexStrategy.java:100-218): point rows via Morton cell
+    ranges, extent rows via XZ code ranges, one stored table."""
+    from .sources import indexed as _indexed
+
+    path = _ensure_hier(spark, sf_dir)
+    out = _indexed.hier_range_lookup(spark, path, HIER_BBOX)
+    return out.select("event_id", F.col("kind").cast("long").alias("kind"))
+
 
 def _cached_images(spark: SparkSession, n: int) -> DataFrame:
     from .sources import images as img
@@ -806,6 +853,24 @@ def _oracle_dwithin() -> str:
         f"WITH {EV_CTE}, {_sql_poly_values(DWITHIN_POLYGONS)} "
         f"SELECT e.event_id, p.polygon_id FROM ev e JOIN p ON "
         f"{_SQL_BOX_DIST} <= CAST({DWITHIN_RADIUS!r} AS DOUBLE)"
+    )
+
+
+def _oracle_hier_range() -> str:
+    bx0, by0, bx1, by1 = HIER_BBOX
+    return (
+        f"WITH {EV_CTE}, "
+        "mx AS (SELECT event_id, lon AS x0, lat AS y0, "
+        "CASE WHEN event_id % 2 = 0 THEN lon ELSE "
+        "least(lon + (CAST(0.4 AS DOUBLE) + value / CAST(30.0 AS DOUBLE)), CAST(180.0 AS DOUBLE)) END AS x1, "
+        "CASE WHEN event_id % 2 = 0 THEN lat ELSE "
+        "least(lat + (CAST(0.3 AS DOUBLE) + value / CAST(60.0 AS DOUBLE)), CAST(90.0 AS DOUBLE)) END AS y1, "
+        "CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS kind FROM ev) "
+        "SELECT event_id, CAST(kind AS BIGINT) AS kind FROM mx WHERE "
+        f"(kind = 0 AND x0 >= CAST({bx0!r} AS DOUBLE) AND x0 <= CAST({bx1!r} AS DOUBLE) "
+        f"AND y0 >= CAST({by0!r} AS DOUBLE) AND y0 <= CAST({by1!r} AS DOUBLE)) "
+        f"OR (kind = 1 AND x0 <= CAST({bx1!r} AS DOUBLE) AND x1 >= CAST({bx0!r} AS DOUBLE) "
+        f"AND y0 <= CAST({by1!r} AS DOUBLE) AND y1 >= CAST({by0!r} AS DOUBLE))"
     )
 
 
@@ -1374,6 +1439,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_join": q_knn_join,
     "knn_adaptive": q_knn_adaptive,
     "range_query": q_range_query,
+    "hier_range_query": q_hier_range,
     "st_range_query": q_st_range,
     "st_join": q_st_join,
     "st_binned_counts": q_st_binned_counts,
@@ -1428,6 +1494,7 @@ def build_oracles() -> dict[str, str]:
         "knn_join": _oracle_knn(),
         "knn_adaptive": _oracle_knn_adaptive(),
         "range_query": _oracle_range(),
+        "hier_range_query": _oracle_hier_range(),
         "st_range_query": _oracle_st_range(),
         "st_join": _oracle_st_join(),
         "st_binned_counts": _oracle_st_binned_counts(),

@@ -56,7 +56,9 @@ def write_indexed(
     )
 
 
-def cell_range_predicate(bbox: tuple[float, float, float, float], max_cells: int = 64):
+def cell_range_predicate(
+    bbox: tuple[float, float, float, float], max_cells: int = 64, col: str = "cell"
+):
     """bbox → sargable predicate on the stored finest-tier cell column.
 
     Driver-side cover at an adaptive tier, each tier-t cell expanded to its
@@ -70,7 +72,7 @@ def cell_range_predicate(bbox: tuple[float, float, float, float], max_cells: int
     pred = None
     for c in cover.tolist():
         lo, hi = c << shift, ((c + 1) << shift) - 1
-        p = F.col("cell").between(lo, hi)
+        p = F.col(col).between(lo, hi)
         pred = p if pred is None else (pred | p)
     return pred, len(cover)
 
@@ -148,6 +150,21 @@ def hilbert_range_lookup(
     return out
 
 
+def xz_code_udf():
+    """Arrow-batched (x0, y0, x1, y1) → XZ code UDF (extent insert path)."""
+    from .. import cells_xz
+
+    @F.pandas_udf(T.LongType())
+    def _xz(ax0: pd.Series, ay0: pd.Series, ax1: pd.Series, ay1: pd.Series) -> pd.Series:
+        nx0 = cells.norm_lon(ax0.to_numpy())
+        nx1 = np.where(ax1.to_numpy() == 180.0, 1.0, cells.norm_lon(ax1.to_numpy()))
+        ny0 = cells.norm_lat(ay0.to_numpy())
+        ny1 = cells.norm_lat(ay1.to_numpy())
+        return pd.Series(cells_xz.xz_id(nx0, ny0, nx1, ny1))
+
+    return _xz
+
+
 def write_indexed_extents(
     df: DataFrame,
     path: str,
@@ -166,16 +183,7 @@ def write_indexed_extents(
     The XZ code is computed in an Arrow-batched pandas UDF (the extent
     side math needs the quadtree walk; still vectorized numpy per batch).
     """
-    from .. import cells_xz
-
-    @F.pandas_udf(T.LongType())
-    def _xz(ax0: pd.Series, ay0: pd.Series, ax1: pd.Series, ay1: pd.Series) -> pd.Series:
-        nx0 = cells.norm_lon(ax0.to_numpy())
-        nx1 = np.where(ax1.to_numpy() == 180.0, 1.0, cells.norm_lon(ax1.to_numpy()))
-        ny0 = cells.norm_lat(ay0.to_numpy())
-        ny1 = cells.norm_lat(ay1.to_numpy())
-        return pd.Series(cells_xz.xz_id(nx0, ny0, nx1, ny1))
-
+    _xz = xz_code_udf()
     out = df.withColumn("xz", _xz(F.col(x0), F.col(y0), F.col(x1), F.col(y1)))
     (
         out.repartitionByRange(n_files, F.col("xz"))
@@ -221,6 +229,93 @@ def xz_range_lookup(
         out = out.filter(
             sqlcells.extent_intersects_pred(
                 F.col(x0), F.col(y0), F.col(x1), F.col(y1), bbox
+            )
+        )
+    return out
+
+
+def _xz_ranges_pred(bbox: tuple[float, float, float, float], col: str = "xz"):
+    """bbox → sargable XZ code-range predicate (antimeridian-aware)."""
+    from .. import cells_xz
+
+    ranges = []
+    for b in cells.split_bbox_antimeridian(bbox):
+        qx0 = float(cells.norm_lon(np.float64(b[0])))
+        qx1 = cells.norm_lon_upper(b[2])
+        qy0 = float(cells.norm_lat(np.float64(b[1])))
+        qy1 = float(cells.norm_lat(np.float64(b[3])))
+        ranges.extend(cells_xz.xz_query_ranges(qx0, qy0, qx1, qy1, max_ranges=64))
+    pred = F.lit(False)
+    for lo, hi in ranges:
+        pred = pred | F.col(col).between(lo, hi)
+    return pred
+
+
+def write_indexed_hier(
+    df: DataFrame,
+    path: str,
+    n_files: int = 32,
+    x0: str = "x0",
+    y0: str = "y0",
+    x1: str = "x1",
+    y1: str = "y1",
+) -> None:
+    """Composite hierarchical layout for a MIXED point+extent table — the
+    columnar twin of the reference's default storage index
+    (XZHierarchicalIndexStrategy.java:100-218: points on the point curve,
+    extents on the XZ curve, one physical index).
+
+    A row with zero span (x0==x1, y0==y1) is a point: kind=0, code =
+    finest-tier Morton cell (pure Column math).  Extent rows: kind=1,
+    code = XZ id (Arrow-batched UDF).  Files are split by kind and
+    range-partitioned + sorted by code within kind, so BOTH curves get
+    min-max file/row-group pruning from one table.
+    """
+    is_point = (F.col(x0) == F.col(x1)) & (F.col(y0) == F.col(y1))
+    pt_code = sqlcells.cell_expr(F.col(x0), F.col(y0), cells.MAX_TIER)
+    xz_code = xz_code_udf()(F.col(x0), F.col(y0), F.col(x1), F.col(y1))
+    out = (
+        df.withColumn("kind", F.when(is_point, F.lit(0)).otherwise(F.lit(1)))
+        .withColumn("code", F.when(is_point, pt_code).otherwise(xz_code))
+    )
+    (
+        out.repartitionByRange(n_files, F.col("kind"), F.col("code"))
+        .sortWithinPartitions("kind", "code")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def hier_range_lookup(
+    spark: SparkSession,
+    path: str,
+    bbox: tuple[float, float, float, float],
+    x0: str = "x0",
+    y0: str = "y0",
+    x1: str = "x1",
+    y1: str = "y1",
+    loose: bool = False,
+) -> DataFrame:
+    """Range query against the composite layout with fan-out over BOTH
+    curves (XZHierarchicalIndexStrategy.getQueryRanges:163-218): point
+    rows via Morton cell ranges, extent rows via XZ code ranges — one scan,
+    one sargable OR-of-ranges predicate per kind, wrap-aware exact refine.
+    """
+    cell_pred, _ = cell_range_predicate(bbox, col="code")
+    xz_pred = _xz_ranges_pred(bbox, col="code")
+    df = spark.read.parquet(path)
+    out = df.filter(
+        ((F.col("kind") == 0) & cell_pred) | ((F.col("kind") == 1) & xz_pred)
+    )
+    if not loose:
+        out = out.filter(
+            F.when(
+                F.col("kind") == 0,
+                sqlcells.bbox_refine_pred(F.col(x0), F.col(y0), bbox),
+            ).otherwise(
+                sqlcells.extent_intersects_pred(
+                    F.col(x0), F.col(y0), F.col(x1), F.col(y1), bbox
+                )
             )
         )
     return out

@@ -296,3 +296,51 @@ def test_xz_lookup_antimeridian(spark, tmp_path):
             r["extent_id"] for r in indexed.xz_range_lookup(spark, path, bbox).collect()
         )
         assert got == want, f"xz {bbox}"
+
+
+# --- composite hierarchical index (point curve + XZ curve, one table) -------
+
+
+def test_hier_composite_lookup_end_to_end(spark, tmp_path):
+    """write_indexed_hier + hier_range_lookup equals brute force for a
+    mixed point+extent table, and the scan is pruned via PushedFilters on
+    the stored (kind, code) columns (XZHierarchicalIndexStrategy fan-out)."""
+    from pyspark.sql import functions as F
+
+    from geowave_spark import entry_queries as eq
+    from geowave_spark.sources import indexed
+
+    mixed = eq._hier_mixed_df(spark, "/root/testdata/sf0.001")
+    path = str(tmp_path / "hier.parquet")
+    indexed.write_indexed_hier(mixed, path, n_files=8)
+    rows = mixed.collect()
+
+    for bbox in [(-15.0, 0.0, 40.0, 42.0), (170.0, -10.0, -170.0, 10.0)]:
+        subs = cells_mod.split_bbox_antimeridian(bbox)
+        want = sorted(
+            r["event_id"]
+            for r in rows
+            if any(
+                r["x0"] <= b[2] and r["x1"] >= b[0] and r["y0"] <= b[3] and r["y1"] >= b[1]
+                for b in subs
+            )
+        )
+        got = sorted(
+            r["event_id"]
+            for r in indexed.hier_range_lookup(spark, path, bbox).collect()
+        )
+        assert got == want and len(got) > 0, bbox
+
+    df = indexed.hier_range_lookup(spark, path, (-15.0, 0.0, 40.0, 42.0))
+    spark.conf.set("spark.sql.maxMetadataStringLength", "200000")
+    try:
+        plan = df._jdf.queryExecution().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", "100")
+    pushed = plan.split("PushedFilters: [", 1)
+    assert len(pushed) == 2
+    head = pushed[1][:20000]
+    assert "code" in head and "kind" in head
+
+
+from geowave_spark import cells as cells_mod  # noqa: E402
