@@ -784,11 +784,34 @@ def _cached_images(spark: SparkSession, n: int) -> DataFrame:
     return spark.read.parquet(img.ensure_images(spark, n, root=_IMG_CACHE_ROOT))
 
 
+_IMG_N = 500  # fixed so the static SQL oracle regenerates the same fixture
+
+
 def q_image_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n = 2000 if "0.1" in sf_dir.rstrip("/").rsplit("sf", 1)[-1] else 500
-    df = _cached_images(spark, n)
+    df = _cached_images(spark, _IMG_N)
     out = tiling.tile_counts(df, [6], point_id="image_id")
     return out.select(F.col("level").cast("long").alias("level"), "tile_x", "tile_y", "n_images")
+
+
+def _oracle_image_tiles(level: int = 6) -> str:
+    """The image fixture's phash is sha256-derived (images.phash_for), so
+    DuckDB regenerates the identical lon/lat stream without reading the
+    engine-written parquet: lon from the high 32 bits (first 8 hex chars),
+    lat from the next 32 — the exact lon_from_phash/lat_from_phash ops."""
+    from .sources.images import SEED
+
+    nx, ny = 1 << (level + 1), 1 << level
+    h = f"sha256(CAST({SEED} AS VARCHAR) || ':' || CAST(i AS VARCHAR))"
+    lon = f"(('0x' || substr({h}, 1, 8))::BIGINT / CAST(4294967296.0 AS DOUBLE)) * CAST(360.0 AS DOUBLE) - CAST(180.0 AS DOUBLE)"
+    lat = f"(('0x' || substr({h}, 9, 8))::BIGINT / CAST(4294967296.0 AS DOUBLE)) * CAST(180.0 AS DOUBLE) - CAST(90.0 AS DOUBLE)"
+    tx = f"least(greatest(CAST(floor((lon + CAST(180.0 AS DOUBLE)) / CAST(360.0 AS DOUBLE) * CAST({float(nx)!r} AS DOUBLE)) AS BIGINT), 0), {nx - 1})"
+    ty = f"least(greatest(CAST(floor((lat + CAST(90.0 AS DOUBLE)) / CAST(180.0 AS DOUBLE) * CAST({float(ny)!r} AS DOUBLE)) AS BIGINT), 0), {ny - 1})"
+    return (
+        f"WITH pts AS (SELECT {lon} AS lon, {lat} AS lat FROM range({_IMG_N}) t(i)), "
+        f"tl AS (SELECT {tx} AS tile_x, {ty} AS tile_y FROM pts) "
+        f"SELECT CAST({level} AS BIGINT) AS level, tile_x, tile_y, "
+        "CAST(count(*) AS BIGINT) AS n_images FROM tl GROUP BY tile_x, tile_y"
+    )
 
 
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1267,6 +1290,39 @@ def _oracle_minhash(n_perm: int = 16, bands: int = 4) -> str:
     )
 
 
+def _oracle_dedup_clusters(threshold: float = 0.5, n_perm: int = 16, bands: int = 4) -> str:
+    """Full pipeline oracle: LSH candidates → exact-Jaccard verify →
+    connected components as a recursive transitive closure (min reachable
+    doc id == the engine's min-label propagation fixpoint)."""
+    rpb = n_perm // bands
+    coeffs = ", ".join(
+        f"({i}, {a}, {b}, {c})" for i, (a, b, c) in enumerate(dedup.perm_coeffs(n_perm))
+    )
+    hb = sql_h60("string_agg(CAST(sig AS VARCHAR), ',' ORDER BY perm)")
+    return (
+        f"WITH RECURSIVE {_SQL_DOC_SHINGLE_HASHES}, "
+        f"perms(perm, a, b, c) AS (VALUES {coeffs}), "
+        "sigs AS (SELECT doc_id, perm, "
+        f"min((a * (h >> 30) + b * (h & 1073741823) + c) % {dedup.P61}) AS sig "
+        "FROM sh CROSS JOIN perms GROUP BY doc_id, perm), "
+        f"bnd AS (SELECT doc_id, perm // {rpb} AS band, {hb} AS bucket FROM sigs GROUP BY doc_id, band), "
+        "cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bnd a "
+        "JOIN bnd b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), "
+        "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS i FROM cands c "
+        "JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h "
+        "GROUP BY c.doc_a, c.doc_b), "
+        "verified AS (SELECT doc_a, doc_b FROM inter "
+        "JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+        f"WHERE i / (sa.n_sh + sb.n_sh - i) >= CAST({threshold!r} AS DOUBLE)), "
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM verified "
+        "UNION ALL SELECT doc_b, doc_a FROM verified), "
+        "reach(doc_id, label) AS (SELECT doc_id, doc_id FROM documents "
+        "UNION SELECT e.u, r.label FROM reach r JOIN edges e ON e.v = r.doc_id) "
+        "SELECT doc_id, min(label) AS canonical_id FROM reach GROUP BY doc_id"
+    )
+
+
 _SQL_SIMHASH = (
     "toks AS (SELECT DISTINCT doc_id, tok FROM "
     f"(SELECT doc_id, unnest({SQL_TOKS}) AS tok FROM documents)), "
@@ -1514,6 +1570,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_exact": _oracle_dedup_exact(),
         "dedup_ngram_jaccard": _oracle_jaccard(),
         "dedup_minhash_lsh": _oracle_minhash(),
+        "dedup_clusters": _oracle_dedup_clusters(),
         "simhash64": _oracle_simhash(),
         "dedup_simhash_pairs": _oracle_simhash_pairs(),
         "text_quality": _oracle_text_quality(),
@@ -1526,5 +1583,6 @@ def build_oracles() -> dict[str, str]:
         "agg_pricing_summary": _oracle_pricing(),
         "window_topk_orders": _oracle_window_topk(),
         "set_except_customers": _oracle_set_except(),
-        # image_* : engine-generated fixture input → rows-only check
+        "image_tile_counts": _oracle_image_tiles(),
+        # image_resize / image_decode_stats: engine codec output → rows-only
     }

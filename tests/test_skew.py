@@ -47,3 +47,46 @@ def test_salted_join_matches_unsalted(spark):
         salt=skew.plan_shuffle_join_salt(pts, target_rows_per_task=1000),
     )
     assert sorted(map(tuple, base.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_dedup_hot_shingle_caps(spark):
+    """Pathological corpus: one boilerplate shingle in EVERY doc.  The
+    df-cap drops it before the self-join (bounded cost), and capped
+    Jaccard stays exact over the remaining shingles (VERDICT r01 #5)."""
+    from pyspark.sql import functions as F
+
+    from geowave_spark.operators import dedup
+
+    n = 300
+    rows = [
+        (i, f"common boiler plate tokens here doc{i} unique{i} text{i} alpha{i % 7} beta{i % 11}")
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # uncapped: the shared 'common boiler plate' shingles join n^2 rows;
+    # capped: those shingles are dropped, pairs come only from real overlap
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.2, max_df=50)
+    got = capped.count()
+    # every doc pair shares ONLY the boilerplate shingles -> after the cap
+    # no pair reaches the threshold
+    assert got == 0
+
+    # docs sharing real (rare) shingles still pair up under the cap
+    rows2 = rows + [(1000 + i, f"alpha special shared trigram seq{i % 2} end") for i in range(4)]
+    docs2 = spark.createDataFrame(rows2, ["doc_id", "text"])
+    capped2 = dedup.ngram_jaccard_pairs(docs2, threshold=0.2, max_df=50)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in capped2.collect()}
+    assert (1000, 1002) in pairs and (1001, 1003) in pairs
+
+    # LSH bucket cap: a degenerate corpus where every doc has an identical
+    # signature (same text) -> one bucket of n docs; the cap drops it
+    same = spark.createDataFrame(
+        [(i, "identical text content for everyone") for i in range(n)],
+        ["doc_id", "text"],
+    )
+    capped_lsh = dedup.minhash_lsh_pairs(same, max_bucket_size=20)
+    assert capped_lsh.count() == 0
+    # and simhash chunk-band cap
+    capped_sh = dedup.simhash_pairs(same, max_bucket_size=20)
+    assert capped_sh.count() == 0
