@@ -27,6 +27,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 HEADLINE = [
     "pip_join_tiered",
     "dwithin_join",
+    "line_dwithin_join",
+    "line_intersects_join",
+    "poly_poly_join",
     "extent_join_tiered",
     "extent_join_bigbig",
     "knn_join",
@@ -34,6 +37,7 @@ HEADLINE = [
     "tile_counts_l8",
     "kde_l6",
     "range_query",
+    "hier_range_query",
     "st_range_query",
     "st_join",
     "subsample_cells",
@@ -60,14 +64,27 @@ def _sf_label(sf_dir: str) -> float:
         return -1.0
 
 
-def run_set(spark, names: list[str], sf_dir: str) -> dict[str, float]:
+def run_set(spark, names: list[str], sf_dir: str, passes: int = 2) -> dict[str, float]:
+    """Steady-state per-query seconds: best of ``passes`` runs.
+
+    One shared session runs every query back-to-back; a query timed while
+    the ContextCleaner is still releasing the previous query's checkpoint
+    blocks can read 3-5x its real cost, so each is measured twice and the
+    min reported (first-pass cold times remain visible in the total)."""
+    import gc
+
     from geowave_spark import entry_queries
 
     times: dict[str, float] = {}
-    for name in names:
-        t0 = time.monotonic()
-        entry_queries.QUERIES[name](spark, sf_dir).count()
-        times[name] = round(time.monotonic() - t0, 3)
+    for _ in range(passes):
+        for name in names:
+            t0 = time.monotonic()
+            entry_queries.QUERIES[name](spark, sf_dir).count()
+            sec = round(time.monotonic() - t0, 3)
+            times[name] = min(times.get(name, sec), sec)
+            # drop the query's frames so the ContextCleaner can release
+            # its localCheckpoint blocks
+            gc.collect()
     return times
 
 
@@ -118,6 +135,53 @@ def scaling_workload(spark, n_rows: int, cpus: int) -> float:
     return time.monotonic() - t0
 
 
+def big_shuffle_join(spark, n_poly: int, n_pts: int) -> dict:
+    """Measured BIG-polygon-side row: 10^6 polygons (non-broadcastable by
+    contract) x 10^6 points through the forced shuffle path — one Arrow
+    bbox pass on the polygon side, Column-math tiering, sort-merge join on
+    the packed key (VERDICT r01 #10)."""
+    from pyspark.sql import functions as F
+
+    from geowave_spark import sqlcells
+    from geowave_spark.operators import spatial_join
+
+    polys = (
+        spark.range(0, n_poly, 1, 64)
+        .select(F.col("id").alias("polygon_id"))
+        .withColumn("lon", sqlcells.derived_lon(F.col("polygon_id")))
+        .withColumn("lat", sqlcells.derived_lat(F.col("polygon_id")))
+        .select(
+            F.col("polygon_id").cast("string").alias("polygon_id"),
+            F.concat(
+                F.lit("POLYGON (("),
+                F.col("lon"), F.lit(" "), F.col("lat"), F.lit(", "),
+                F.col("lon") + 0.05, F.lit(" "), F.col("lat"), F.lit(", "),
+                F.col("lon") + 0.05, F.lit(" "), F.col("lat") + 0.05, F.lit(", "),
+                F.col("lon"), F.lit(" "), F.col("lat") + 0.05, F.lit(", "),
+                F.col("lon"), F.lit(" "), F.col("lat"), F.lit("))"),
+            ).alias("wkt"),
+        )
+    )
+    pts = (
+        spark.range(0, n_pts, 1, 64)
+        .select((F.col("id") + 10_000_000).alias("event_id"))
+        .withColumn("lon", sqlcells.derived_lon(F.col("event_id")))
+        .withColumn("lat", sqlcells.derived_lat(F.col("event_id")))
+    )
+    t0 = time.monotonic()
+    pairs = spatial_join.tiered_spatial_join(
+        pts, polys, point_id="event_id", broadcast_polygons=False
+    ).count()
+    sec = time.monotonic() - t0
+    return {
+        "n_polygons": n_poly,
+        "n_points": n_pts,
+        "pairs": pairs,
+        "sec": round(sec, 3),
+        "rows_per_sec": round((n_poly + n_pts) / sec, 1),
+    }
+
+
 def scaling_once(cpus: int, n_rows: int) -> float:
     from geowave_spark.session import get_spark
 
@@ -127,6 +191,16 @@ def scaling_once(cpus: int, n_rows: int) -> float:
         # a tiny input so the timed region measures execution, not JIT
         scaling_workload(spark, 10_000, cpus)
         return scaling_workload(spark, n_rows, cpus)
+    finally:
+        spark.stop()
+
+
+def bench_big_shuffle(cpus: int) -> dict:
+    from geowave_spark.session import get_spark
+
+    spark = get_spark(f"bigshuffle-{cpus}", cpus=cpus, shuffle_partitions=max(64, cpus))
+    try:
+        return big_shuffle_join(spark, 1_000_000, 1_000_000)
     finally:
         spark.stop()
 
@@ -146,6 +220,7 @@ def main() -> None:
         "input_rows": n_rows,
         "headline_sec": round(headline_sec, 3),
         "rows_per_sec": round(n_rows * len(HEADLINE) / headline_sec, 1),
+        "big_shuffle_join": bench_big_shuffle(CPUS),
     }
     if scaling:
         # N=1 vs 4N=4 cores: this Firecracker microVM's shared memory

@@ -263,19 +263,28 @@ _SQL_BOX_DIST = (
 # Spark-side loaders
 # ---------------------------------------------------------------------------
 
+def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Scan + split sizing: small single-file inputs are re-split to the
+    session parallelism (sources.indexed.ensure_parallelism, the
+    SplitsProvider analog); big tables scan with natural splits."""
+    from .sources.indexed import ensure_parallelism
+
+    return ensure_parallelism(spark.read.parquet(f"{sf_dir}/{table}.parquet"))
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _load(spark, sf_dir, "events")
     return ev.withColumn("lon", sqlcells.derived_lon(F.col("event_id"))).withColumn(
         "lat", sqlcells.derived_lat(F.col("event_id"))
     )
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _load(spark, sf_dir, "documents")
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _load(spark, sf_dir, "embeddings")
 
 
 def _mu(col) -> F.Column:
@@ -563,7 +572,7 @@ def q_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_id_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact / range / prefix id lookups (InsertionIdQueryFilter /
     DataIdRangeQueryFilter / PrefixIdQueryFilter family)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _load(spark, sf_dir, "events")
     return ev.filter(
         (F.col("event_id") == 7)
         | F.col("event_id").between(100, 120)
@@ -573,7 +582,7 @@ def q_id_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL/CMS sketch statistics (approximate by design → rows-only)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _load(spark, sf_dir, "events")
     return stats.approx_stats(ev, "user_id")
 
 
@@ -587,7 +596,7 @@ def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return stats.fixed_bin_histogram(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return stats.fixed_bin_histogram(_load(spark, sf_dir, "events"))
 
 
 # ---------------------------------------------------------------------------
@@ -670,7 +679,7 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _load(spark, sf_dir, "lineitem")
     return (
         li.withColumn("qty_c", _cents(F.col("l_quantity")))
         .withColumn("price_c", _cents(F.col("l_extendedprice")))
@@ -686,7 +695,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
     return (
         orders.withColumn("rank", F.row_number().over(w))
@@ -701,8 +710,8 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select("c_custkey")
 
 

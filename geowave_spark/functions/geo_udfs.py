@@ -118,16 +118,96 @@ def _eval_pairs(wkt_a: pd.Series, wkt_b: pd.Series, fn) -> list:
     return out
 
 
+def _group_vectorized(wkt_a: pd.Series, wkt_b: pd.Series, scalar_fn, group_fn) -> np.ndarray:
+    """Factorize by the RIGHT geometry (the join's broadcast side repeats
+    heavily in each batch, like _eval_per_polygon) and evaluate each group
+    with a vectorized kernel where the left class allows; per-pair
+    fallback otherwise."""
+    codes, uniques = pd.factorize(wkt_b)
+    left = wkt_a.to_numpy()
+    out = np.zeros(len(wkt_a), dtype=np.float64)
+    for u, wb in enumerate(uniques):
+        idx = np.nonzero(codes == u)[0]
+        gb = geom.geometry_from_wkt(wb)
+        out[idx] = group_fn(gb, left[idx], scalar_fn)
+    return out
+
+
+def _intersects_group(gb, left_wkts: np.ndarray, scalar_fn) -> np.ndarray:
+    gs = [geom.geometry_from_wkt(w) for w in left_wkts]
+    out = np.zeros(len(gs), dtype=bool)
+    box_idx = [i for i, g in enumerate(gs) if isinstance(g, geom.Polygon) and g.is_box()]
+    if box_idx:
+        # box-left fast path — the exact intersects_pair decomposition,
+        # vectorized over the box rows: box corners in gb, gb vertices in
+        # box, exact segment touch/cross (row-wise kernel)
+        arr = np.array([gs[i].bbox for i in box_idx], dtype=np.float64)
+        x0, y0, x1, y1 = arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3]
+        hit = np.zeros(len(box_idx), dtype=bool)
+        if geom._has_area(gb):  # mirrors intersects_pair's area-gated check
+            for cx, cy in ((x0, y0), (x1, y0), (x1, y1), (x0, y1)):
+                hit |= gb.contains(cx, cy)
+        vb = gb.vertices()
+        hit |= (
+            (vb[None, :, 0] >= x0[:, None]) & (vb[None, :, 0] <= x1[:, None])
+            & (vb[None, :, 1] >= y0[:, None]) & (vb[None, :, 1] <= y1[:, None])
+        ).any(axis=1)
+        edges = np.empty((len(box_idx) * 4, 4), dtype=np.float64)
+        corners = [(x0, y0, x1, y0), (x1, y0, x1, y1), (x1, y1, x0, y1), (x0, y1, x0, y0)]
+        for e, (ex1, ey1, ex2, ey2) in enumerate(corners):
+            edges[e::4] = np.stack([ex1, ey1, ex2, ey2], axis=1)
+        hit |= geom.segments_touch_rowwise(edges, gb.segments()).reshape(-1, 4).any(axis=1)
+        out[box_idx] = hit
+    seg_idx = [
+        i for i, g in enumerate(gs) if isinstance(g, geom.LineString) and len(g.coords) == 2
+    ]
+    if seg_idx:
+        # single-segment-left fast path: row-wise segment kernel + endpoint
+        # containment (exactly intersects_pair's decomposition for lines)
+        A = np.array([gs[i].coords.ravel() for i in seg_idx], dtype=np.float64)
+        hit = geom.segments_touch_rowwise(A, gb.segments())
+        if geom._has_area(gb):
+            hit = hit | gb.contains(A[:, 0], A[:, 1]) | gb.contains(A[:, 2], A[:, 3])
+        out[seg_idx] = hit
+    rest = [i for i, g in enumerate(gs) if i not in set(box_idx) | set(seg_idx)]
+    for i in rest:
+        out[i] = scalar_fn(gs[i], gb)
+    return out
+
+
+def _distance_group(gb, left_wkts: np.ndarray, scalar_fn) -> np.ndarray:
+    gs = [geom.geometry_from_wkt(w) for w in left_wkts]
+    out = np.zeros(len(gs), dtype=np.float64)
+    seg_idx = [
+        i for i, g in enumerate(gs) if isinstance(g, geom.LineString) and len(g.coords) == 2
+    ]
+    if seg_idx:
+        A = np.array([gs[i].coords.ravel() for i in seg_idx], dtype=np.float64)
+        touching = geom.segments_touch_rowwise(A, gb.segments())
+        if geom._has_area(gb):
+            touching = touching | gb.contains(A[:, 0], A[:, 1]) | gb.contains(A[:, 2], A[:, 3])
+        d = geom.segments_dist_rowwise(A, gb.segments())
+        out[seg_idx] = np.where(touching, 0.0, d)
+    rest = [i for i, g in enumerate(gs) if i not in set(seg_idx)]
+    for i in rest:
+        out[i] = scalar_fn(gs[i], gb)
+    return out
+
+
 @F.pandas_udf(T.BooleanType())
 def st_intersects_wkt(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
-    """JTS-intersects over two WKT columns (GeomIntersects.java:21)."""
-    return pd.Series(_eval_pairs(wkt_a, wkt_b, geom.intersects_pair), dtype=bool)
+    """JTS-intersects over two WKT columns (GeomIntersects.java:21).
+    Grouped by the right geometry with vectorized box/segment fast paths;
+    exactness vs the per-pair kernel pinned in tests."""
+    got = _group_vectorized(wkt_a, wkt_b, geom.intersects_pair, _intersects_group)
+    return pd.Series(got.astype(bool))
 
 
 @F.pandas_udf(T.DoubleType())
 def st_distance_wkt(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
     """Planar JTS-distance over two WKT columns (GeomDistance.java:14-23)."""
-    return pd.Series(_eval_pairs(wkt_a, wkt_b, geom.distance_pair), dtype=np.float64)
+    got = _group_vectorized(wkt_a, wkt_b, geom.distance_pair, _distance_group)
+    return pd.Series(got, dtype=np.float64)
 
 
 _BBOX_SCHEMA = T.StructType(

@@ -412,6 +412,57 @@ def _segments_min_dist(A: np.ndarray, B: np.ndarray) -> float:
     return min(d, pt_to_segs(B[:, 2], B[:, 3], A))
 
 
+def segments_touch_rowwise(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Per-row any-touch: row i of the result is True iff segment A[i]
+    touches/crosses ANY segment of B — the (n,) reduction of
+    _segments_touch_any used by the vectorized batch refine."""
+    ax1, ay1, ax2, ay2 = (A[:, i][:, None] for i in range(4))
+    bx1, by1, bx2, by2 = (B[:, i][None, :] for i in range(4))
+    o1 = _orient_sign(ax1, ay1, ax2, ay2, bx1, by1)
+    o2 = _orient_sign(ax1, ay1, ax2, ay2, bx2, by2)
+    o3 = _orient_sign(bx1, by1, bx2, by2, ax1, ay1)
+    o4 = _orient_sign(bx1, by1, bx2, by2, ax2, ay2)
+    proper = (o1 != o2) & (o3 != o4)
+    touch = (
+        _on_segment_exact(bx1, by1, ax1, ay1, ax2, ay2)
+        | _on_segment_exact(bx2, by2, ax1, ay1, ax2, ay2)
+        | _on_segment_exact(ax1, ay1, bx1, by1, bx2, by2)
+        | _on_segment_exact(ax2, ay2, bx1, by1, bx2, by2)
+    )
+    return (proper | touch).any(axis=1)
+
+
+def segments_dist_rowwise(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Per-row min distance from segment A[i] to the segment set B
+    (ignoring crossings — callers mask crossing rows to 0)."""
+
+    def pt_to_segs(px, py, S):
+        sx1, sy1, sx2, sy2 = (S[:, i][None, :] for i in range(4))
+        dx, dy = sx2 - sx1, sy2 - sy1
+        seg2 = dx * dx + dy * dy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = ((px[:, None] - sx1) * dx + (py[:, None] - sy1) * dy) / seg2
+        t = np.where(seg2 == 0, 0.0, np.clip(t, 0.0, 1.0))
+        cx, cy = sx1 + t * dx, sy1 + t * dy
+        return np.sqrt((px[:, None] - cx) ** 2 + (py[:, None] - cy) ** 2).min(axis=1)
+
+    d = pt_to_segs(A[:, 0], A[:, 1], B)
+    d = np.minimum(d, pt_to_segs(A[:, 2], A[:, 3], B))
+    # endpoints of B against each A row: transpose roles per B endpoint
+    for px, py in ((B[:, 0], B[:, 1]), (B[:, 2], B[:, 3])):
+        sx1, sy1, sx2, sy2 = (A[:, i][:, None] for i in range(4))
+        dx, dy = sx2 - sx1, sy2 - sy1
+        seg2 = dx * dx + dy * dy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = ((px[None, :] - sx1) * dx + (py[None, :] - sy1) * dy) / seg2
+        t = np.where(seg2 == 0, 0.0, np.clip(t, 0.0, 1.0))
+        cx, cy = sx1 + t * dx, sy1 + t * dy
+        d = np.minimum(
+            d, np.sqrt((px[None, :] - cx) ** 2 + (py[None, :] - cy) ** 2).min(axis=1)
+        )
+    return d
+
+
 def _has_area(g) -> bool:
     if isinstance(g, Polygon):
         return True

@@ -104,6 +104,10 @@ def add_percentile_scalable(agg: DataFrame, weight_col: str = "weight_mu") -> Da
     Returns agg plus ``pct_mu`` and ``norm_mu`` (normalized uses a scalar
     max — broadcast literal, not a window).
     """
+    # materialize the aggregated grid ONCE — the stats probe, the bucket
+    # counts, and the final projection are three separate jobs that would
+    # otherwise each recompute the full upstream smear+shuffle pipeline
+    agg = agg.localCheckpoint()
     stats_row = agg.agg(
         F.count(F.lit(1)).alias("n"),
         F.min(weight_col).alias("mn"),

@@ -315,29 +315,80 @@ def _shuffle_join(
     pts, polygons, predicate, radius, buffer, lon_col, lat_col,
     point_id, polygon_id, wkt_col, max_cells, loose, salt,
 ) -> DataFrame:
-    """Large polygon side: distributed pandas-UDF cover + shuffle equi-join
-    on the packed key, with optional polygon-replication salting on top of
-    AQE skew-join splitting."""
-    # materialize the cover ONCE (tier discovery + join both consume it);
-    # localCheckpoint stores MEMORY_AND_DISK and the blocks are reclaimed by
-    # the ContextCleaner when the frame is GC'd — no session-lifetime pin
-    poly_cells = polygon_cover(polygons, wkt_col, polygon_id, max_cells, buffer).localCheckpoint()
+    """Large polygon side: one Arrow bbox UDF + pure-Column span-based
+    tiering (<= 4 covering cells per polygon, the reference's
+    estimated-count <= 2^d insert rule) + shuffle equi-join on the packed
+    key, with optional polygon-replication salting on top of AQE skew-join
+    splitting.
 
-    # tier discovery from the polygon side only (TieredSpatialJoin.java:173-207):
-    # collect distinct TIERS (<= 32 rows after map-side partial agg), never the
-    # distinct keys — the key set on a big polygon side can be 10^8+ rows
-    tiers = sorted(
-        r[0]
-        for r in poly_cells.select(sqlcells.tier_of_key(F.col("key")).alias("t"))
-        .distinct()
-        .collect()
+    Scale design: the ONLY Python on the polygon side is the per-row WKT →
+    bbox extraction (st_bbox); tier assignment, cell explosion and key
+    packing are whole-stage-codegen Column math, so a 10^8-polygon side
+    runs at scan speed.  Points sit at the finest tier, so a pair always
+    meets at the polygon's tier — each polygon emits its own-tier cells
+    only, and each point emits one key per DISTINCT polygon tier (<= 32,
+    discovered via a tiny aggregate, TieredSpatialJoin.java:173-207).
+    """
+    lb = polygons.select(polygon_id, wkt_col).withColumn(
+        "_bb", geo_udfs.st_bbox(F.col(wkt_col))
+    ).select(
+        polygon_id,
+        F.col(wkt_col),
+        (F.col("_bb.x0") - buffer).alias("_px0"),
+        (F.col("_bb.y0") - buffer).alias("_py0"),
+        (F.col("_bb.x1") + buffer).alias("_px1"),
+        (F.col("_bb.y1") + buffer).alias("_py1"),
+    ).localCheckpoint()  # ONE bbox-UDF pass feeding the wrap-split branches
+    # antimeridian: unwrapped bboxes (x1 > 180, or x0 < -180 after
+    # buffering) split into two in-range sub-extents BEFORE tiering
+    # (LongitudeDefinition wrap semantics); the exact refine already tests
+    # the +360-shifted copy, so recall and exactness both hold
+    keep = ["_px0", "_py0", "_px1", "_py1"]
+    others = [c for c in lb.columns if c not in keep]
+    norm = lb.filter((F.col("_px1") <= 180.0) & (F.col("_px0") >= -180.0))
+    hi = lb.filter(F.col("_px1") > 180.0)
+    lo = lb.filter(F.col("_px0") < -180.0)
+    wrap_split = not (hi.isEmpty() and lo.isEmpty())
+    if not wrap_split:
+        lb2 = norm
+    else:
+        lb2 = (
+            norm
+            .unionByName(hi.select(*others, "_px0", "_py0", F.lit(180.0).alias("_px1"), "_py1")
+                         .select(*lb.columns))
+            .unionByName(hi.select(*others, F.lit(-180.0).alias("_px0"), "_py0",
+                                   (F.col("_px1") - 360.0).alias("_px1"), "_py1")
+                         .select(*lb.columns))
+            .unionByName(lo.select(*others, F.lit(-180.0).alias("_px0"), "_py0", "_px1", "_py1")
+                         .select(*lb.columns))
+            .unionByName(lo.select(*others, (F.col("_px0") + 360.0).alias("_px0"), "_py0",
+                                   F.lit(180.0).alias("_px1"), "_py1")
+                         .select(*lb.columns))
+        )
+    pc = _extent_cells(
+        lb2, polygon_id, "_px0", "_py0", "_px1", "_py1", extra_cols=(wkt_col,)
     )
+    offs = F.array(*[F.lit(int(o)) for o in cells.TIER_OFFSETS[: cells.MAX_TIER + 1]])
+    poly_cells = pc.withColumn(
+        "key", (F.element_at(offs, F.col("_te") + 1) + F.col("_cell")).cast("long")
+    ).localCheckpoint()  # materialized once; ContextCleaner-reclaimed
+
+    # tier discovery: distinct TIERS (<= 32 rows after map-side partial
+    # agg), never the distinct keys
+    tiers = sorted(r[0] for r in poly_cells.select("_te").distinct().collect())
     if not tiers:
         return pts.select(point_id).limit(0).crossJoin(polygons.select(polygon_id).limit(0))
+    poly_cells = poly_cells.drop("_te", "_cell", "_px0", "_py0", "_px1", "_py1")
 
     pt_keys = pts.select(point_id, lon_col, lat_col, "_cell31").withColumn(
         "key", F.explode(_point_keys_expr(tiers))
     )
+    # force a sort-merge join: BOTH sides are big by contract here (the
+    # build-side probe already routed broadcastable polygon sets to
+    # _broadcast_join), but Catalyst's size estimate of the un-exploded
+    # point scan can look broadcastable and OOM the driver at 10^6+ rows —
+    # the hint pins the spillable shuffle plan (AQE skew-split still applies)
+    pt_keys = pt_keys.hint("merge")
     if salt > 1:
         # replicate polygon cells `salt` ways; point rows pick one replica —
         # breaks single-hot-cell skew beyond what AQE splitting can do
@@ -351,8 +402,11 @@ def _shuffle_join(
 
     if not loose:
         joined = _refine_general(joined, predicate, radius, lon_col, lat_col, wkt_col)
-    # points meet each polygon at most once (one cell per tier) — no dedupe
-    return joined.select(point_id, polygon_id)
+    out = joined.select(point_id, polygon_id)
+    # points meet each polygon at most once (one cell per tier) — dedupe is
+    # only needed when a wrapped polygon was split into two sub-extents
+    # whose covers can share a coarse cell
+    return out.dropDuplicates([point_id, polygon_id]) if wrap_split else out
 
 
 def tiered_extent_join(

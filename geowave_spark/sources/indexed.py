@@ -26,6 +26,24 @@ from pyspark.sql import types as T
 from .. import cells, sqlcells
 
 
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Re-split an under-partitioned scan to the session's parallelism.
+
+    The reference sizes input splits from row-range histogram statistics so
+    every worker gets work regardless of tablet layout (SplitsProvider /
+    RangeLocationPair); the columnar analog: a small parquet file arrives
+    as ONE scan partition (`spark.sql.files.maxPartitionBytes` floor) and
+    would serialize every downstream stage, so round-robin it out to the
+    core count.  Large tables already scan with >= parallelism splits and
+    pass through UNTOUCHED — no shuffle is added at real scale.
+    """
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(target, 8):
+        return df.repartition(target)
+    return df
+
+
 def with_cell_column(
     df: DataFrame, lon_col: str = "lon", lat_col: str = "lat", phash_col: str | None = "phash"
 ) -> DataFrame:
