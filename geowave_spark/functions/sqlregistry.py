@@ -32,6 +32,9 @@ SQL_UDFS = {
     "st_contains_point": "boolean",
     "st_distance_point": "double",
     "st_dwithin_point": "boolean",
+    "st_intersects": "boolean",
+    "st_distance": "double",
+    "st_dwithin": "boolean",
 }
 
 
@@ -64,6 +67,23 @@ def register_sql_udfs(spark: SparkSession) -> None:
     spark.udf.register("st_contains_point", _contains)
     spark.udf.register("st_distance_point", _distance)
     spark.udf.register("st_dwithin_point", _dwithin)
+
+    # geometry × geometry family over two WKT columns — the full
+    # GeomIntersects / GeomDistance / GeomWithinDistance registry
+    # (GeomFunctionRegistry.java:26-42), LINESTRING/MULTI* included
+    from .geo_udfs import st_distance_wkt, st_intersects_wkt
+
+    @F.pandas_udf(T.BooleanType())
+    def _dwithin_wkt(wa: pd.Series, wb: pd.Series, radius: pd.Series) -> pd.Series:
+        from .geo_udfs import _distance_group, _group_vectorized
+        from .. import geom
+
+        d = _group_vectorized(wa, wb, geom.distance_pair, _distance_group)
+        return pd.Series(d <= radius.to_numpy())
+
+    spark.udf.register("st_intersects", st_intersects_wkt)
+    spark.udf.register("st_distance", st_distance_wkt)
+    spark.udf.register("st_dwithin", _dwithin_wkt)
 
 
 _SPATIAL_SQL_RE = (

@@ -243,3 +243,39 @@ def test_vectorized_refine_equals_scalar_kernel():
               for a, b in pairs]
     for k, (gd, wd) in enumerate(zip(got_d, want_d)):
         assert gd == wd, f"distance mismatch at {pairs[k]}: {gd} vs {wd}"
+
+
+def test_knn_adaptive_many_queries(spark):
+    """knn_adaptive with a 10k-query side: no driver-side id round-trip
+    (anti-join + localCheckpoint path), exact vs the window-ranked oracle
+    computed in-Spark (VERDICT r01 #7)."""
+    from pyspark.sql import Window
+
+    from geowave_spark.operators import knn
+
+    ev = eq._events(spark, SF_DIR)  # 1000 points at sf0.001
+    queries = ev.select(
+        (F.col("event_id") + 500000).alias("query_id"),
+        (F.col("lon") * 0.97).alias("lon"),
+        (F.col("lat") * 0.97).alias("lat"),
+    )
+    # replicate queries 10x -> 10k query rows
+    queries = queries.withColumn("_r", F.explode(F.array(*[F.lit(i) for i in range(10)])))
+    queries = queries.select(
+        (F.col("query_id") * 10 + F.col("_r")).alias("query_id"), "lon", "lat"
+    )
+    assert queries.count() == 10_000
+    k = 3
+    got = knn.knn_adaptive(ev, queries, k=k, init_distance=0.5, max_distance=64.0,
+                           point_id="event_id", query_id="query_id")
+    # oracle: brute-force rank per query (crossJoin at 10k x 1k is fine)
+    cand = queries.alias("q").crossJoin(ev.select("event_id", F.col("lon").alias("plon"), F.col("lat").alias("plat")))
+    cand = cand.select(
+        "query_id", "event_id",
+        F.sqrt((F.col("plon") - F.col("q.lon")) ** 2 + (F.col("plat") - F.col("q.lat")) ** 2).alias("dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("event_id").asc())
+    want = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    g = sorted(map(tuple, got.select("query_id", "event_id", "rank").collect()))
+    ww = sorted(map(tuple, want.select("query_id", "event_id", "rank").collect()))
+    assert g == ww and len(g) == 30_000

@@ -76,3 +76,19 @@ def test_run_spatial_sql_falls_back_on_unsupported(spark, sf_dir):
         spark, "SELECT count(*) AS n FROM (SELECT * FROM rs_pts3 WHERE event_id < 10)"
     )
     assert out.collect()[0]["n"] == 10
+
+
+def test_geometry_pair_sql_functions(spark):
+    """st_intersects / st_distance / st_dwithin over two WKT columns are
+    callable from plain Spark SQL (GeomFunctionRegistry parity for the
+    general geometry family)."""
+    from geowave_spark.functions.sqlregistry import register_sql_udfs
+
+    register_sql_udfs(spark)
+    rows = spark.sql(
+        "SELECT st_intersects('LINESTRING (0 0, 10 10)', "
+        "'POLYGON ((4 0, 8 0, 8 9, 4 9, 4 0))') AS i, "
+        "st_distance('POINT (0 3)', 'LINESTRING (4 3, 9 3)') AS d, "
+        "st_dwithin('POINT (0 3)', 'LINESTRING (4 3, 9 3)', 4.5) AS w"
+    ).collect()[0]
+    assert rows["i"] is True and rows["d"] == 4.0 and rows["w"] is True
