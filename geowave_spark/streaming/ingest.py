@@ -50,6 +50,64 @@ def start_cell_ingest(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    key_col: str = "content_hash",
+    order_col: str = "doc_id",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator: first-seen exact dedup across micro-batches
+    (`applyInPandasWithState`).
+
+    The streaming twin of the engine's exact dedup / DedupeFilter: only
+    the FIRST row per ``key_col`` ever seen is emitted; later arrivals —
+    same batch (ties broken by ``order_col``) or any later batch — are
+    dropped.
+
+    ``state_ttl_ms``: optional processing-time TTL bounding the state
+    store on an unbounded key space (a duplicate arriving after the TTL
+    re-emits — the standard production trade).  With a TTL the query runs
+    continuous cleanup micro-batches, so `processAllAvailable` no longer
+    terminates — use a real trigger interval in production; the default
+    (no timeout) keeps exactly-once-per-key semantics forever and suits
+    availableNow/batch-drain usage.
+
+    Scale design: state is partitioned by the groupBy key across
+    executors (RocksDB-backed state store on a real cluster), the batch
+    side is Arrow-vectorized, and nothing is collected to the driver.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = stream.schema
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        emit = None
+        if not state.exists and len(rows):
+            emit = rows.sort_values(order_col).head(1)
+            state.update((True,))
+        if state.exists and state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield emit if emit is not None else rows.head(0)
+
+    return stream.groupBy(F.col(key_col)).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
 def streaming_tile_counts(
     stream: DataFrame,
     level: int,

@@ -58,3 +58,39 @@ def test_streaming_tile_counts_match_batch(spark, sf_dir, tmp_path):
         "tile_x", "tile_y", F.col("n_images").alias("n")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_dedup_first_seen_across_batches(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup: one emission per key, in
+    arrival order across micro-batches, same-batch ties broken by id."""
+    import time
+
+    src = str(tmp_path / "dedup_in")
+    os.makedirs(src, exist_ok=True)
+    schema = "doc_id long, content_hash string"
+    batch1 = spark.createDataFrame(
+        [(3, "A"), (1, "A"), (2, "B")], schema  # tie on A -> doc_id 1 wins
+    )
+    batch2 = spark.createDataFrame(
+        [(4, "B"), (5, "C")], schema  # B is a dup; C is new
+    )
+    batch1.write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "100").parquet(src)
+    out = ingest.streaming_dedup(stream, key_col="content_hash", order_col="doc_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batch2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = sorted(
+            map(tuple, spark.sql("SELECT doc_id, content_hash FROM dedup_sink").collect())
+        )
+    finally:
+        q.stop()
+    assert got == [(1, "A"), (2, "B"), (5, "C")]
