@@ -114,3 +114,66 @@ class SpatialFrame:
 
     def stats(self, group_col: str, value_col: str, ts_col: str) -> DataFrame:
         return stats.table_stats(self.df, group_col, value_col, ts_col, self.lon_col, self.lat_col)
+
+
+class GeometryFrame:
+    """A DataFrame with a WKT geometry column — the general-geometry
+    entry point (LINESTRING tracks, polygons with holes, multi-geometries).
+
+        gf = GeometryFrame(tracks_df, "track_id")
+        gf.join(admin_areas_df, "area_id")                  # intersects
+        gf.join(other_tracks, "tid", radius=0.01)           # dwithin
+        gf.join(huge_table, "rid", broadcast=False)         # BIG×BIG
+
+    Same builder contract as SpatialFrame: wires names, never hides plans.
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        id_col: str,
+        wkt_col: str = "wkt",
+        bbox_cols: tuple[str, str, str, str] | None = None,
+    ):
+        self.df = df
+        self.id_col = id_col
+        self.wkt_col = wkt_col
+        self.bbox_cols = bbox_cols
+
+    def join(
+        self,
+        right: DataFrame,
+        right_id: str,
+        predicate: str | None = None,
+        radius: float = 0.0,
+        right_wkt: str = "wkt",
+        broadcast: bool | None = None,
+    ) -> DataFrame:
+        """Geometry × geometry join; build side picked like the tiered
+        point join (row-count + WKT-byte probe) unless forced."""
+        pred = predicate or ("dwithin" if radius else "intersects")
+        if broadcast is None:
+            probe = (
+                right.limit(spatial_join.BROADCAST_MAX_POLYGONS + 1)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.length(F.col(right_wkt))).alias("b"),
+                )
+                .collect()[0]
+            )
+            broadcast = (
+                probe["n"] <= spatial_join.BROADCAST_MAX_POLYGONS
+                and (probe["b"] or 0) <= spatial_join.BROADCAST_MAX_WKT_BYTES
+            )
+        if broadcast:
+            return spatial_join.geometry_join(
+                self.df, right, predicate=pred, radius=radius,
+                left_id=self.id_col, right_id=right_id,
+                left_wkt=self.wkt_col, right_wkt=right_wkt,
+                left_bbox_cols=self.bbox_cols,
+            )
+        return spatial_join.geometry_join_shuffle(
+            self.df, right, predicate=pred, radius=radius,
+            left_id=self.id_col, right_id=right_id,
+            left_wkt=self.wkt_col, right_wkt=right_wkt,
+        )

@@ -386,17 +386,22 @@ def _event_box_wkt_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         x0, F.lit(" "), y1, F.lit(", "),
         x0, F.lit(" "), y0, F.lit("))"),
     )
-    return ev.select("event_id", wkt.alias("wkt"))
+    return ev.select(
+        "event_id", wkt.alias("wkt"),
+        x0.alias("bx0"), y0.alias("by0"), x1.alias("bx1"), y1.alias("by1"),
+    )
 
 
 def q_poly_poly_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """POLYGON × POLYGON intersects (boxes, a polygon with a hole, a
-    multipolygon) via the general geometry join."""
+    multipolygon) via the general geometry join; the envelopes are already
+    columns, so the WKT→bbox Arrow pass is skipped."""
     ext = _event_box_wkt_df(spark, sf_dir)
     polys = spark.createDataFrame(GEOM_POLYGONS, ["polygon_id", "wkt"])
     return spatial_join.geometry_join(
         ext, polys, predicate="intersects",
         left_id="event_id", right_id="polygon_id",
+        left_bbox_cols=("bx0", "by0", "bx1", "by1"),
     )
 
 

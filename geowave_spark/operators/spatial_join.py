@@ -633,9 +633,14 @@ def geometry_join(
     left_wkt: str = "wkt",
     right_wkt: str = "wkt",
     max_cells: int = cells.JOIN_MAX_CELLS,
+    left_bbox_cols: tuple[str, str, str, str] | None = None,
 ) -> DataFrame:
     """General geometry × geometry join — ANY supported WKT on both sides
     (LINESTRING tracks, polygons with holes, multi-geometries, points).
+
+    ``left_bbox_cols=(x0, y0, x1, y1)``: when the caller already has the
+    left envelopes as columns, pass them to skip the WKT→bbox Arrow pass
+    entirely (one fewer scan of the big side).
 
     The reference's full TieredSpatialJoin over arbitrary JTS geometries
     (TieredSpatialJoin.java:75-377; its flagship IT is hail points ×
@@ -702,14 +707,23 @@ def geometry_join(
         spark.createDataFrame(list(rows), "_rid string, _rwkt string")
     )
 
-    lb = left.select(left_id, left_wkt).withColumn(
-        "_bb", geo_udfs.st_bbox(F.col(left_wkt))
-    ).select(
-        left_id,
-        F.col(left_wkt).alias("_lwkt"),
-        F.col("_bb.x0").alias("_lx0"), F.col("_bb.y0").alias("_ly0"),
-        F.col("_bb.x1").alias("_lx1"), F.col("_bb.y1").alias("_ly1"),
-    )
+    if left_bbox_cols is not None:
+        bx0, by0, bx1, by1 = left_bbox_cols
+        lb = left.select(
+            left_id,
+            F.col(left_wkt).alias("_lwkt"),
+            F.col(bx0).alias("_lx0"), F.col(by0).alias("_ly0"),
+            F.col(bx1).alias("_lx1"), F.col(by1).alias("_ly1"),
+        )
+    else:
+        lb = left.select(left_id, left_wkt).withColumn(
+            "_bb", geo_udfs.st_bbox(F.col(left_wkt))
+        ).select(
+            left_id,
+            F.col(left_wkt).alias("_lwkt"),
+            F.col("_bb.x0").alias("_lx0"), F.col("_bb.y0").alias("_ly0"),
+            F.col("_bb.x1").alias("_lx1"), F.col("_bb.y1").alias("_ly1"),
+        )
     lc = _extent_cells(lb, left_id, "_lx0", "_ly0", "_lx1", "_ly1", extra_cols=("_lwkt",))
     lk = _extent_keys(lc, sorted(r_tiers))
 

@@ -54,3 +54,19 @@ def test_from_images_phash_points(spark):
     sf = SpatialFrame.from_images(img.generate_images(spark, 50))
     rows = sf.df.select("lon", "lat").collect()
     assert all(-180 <= r["lon"] <= 180 and -90 <= r["lat"] <= 90 for r in rows)
+
+
+def test_geometry_frame_join_paths(spark):
+    """GeometryFrame facade: both build-side paths give identical pairs."""
+    from geowave_spark.api import GeometryFrame
+    from geowave_spark import entry_queries as eq
+
+    segs = eq._event_seg_df(spark, "/root/testdata/sf0.001").withColumnRenamed(
+        "event_id", "seg_id"
+    )
+    tracks = eq._tracks_df(spark).withColumnRenamed("polygon_id", "track_id")
+    gf = GeometryFrame(segs, "seg_id")
+    bc = sorted(map(tuple, gf.join(tracks, "track_id").collect()))
+    sh = sorted(map(tuple, gf.join(tracks, "track_id", broadcast=False).collect()))
+    auto = sorted(map(tuple, gf.join(tracks, "track_id", broadcast=None).collect()))
+    assert bc == sh == auto and len(bc) > 0
