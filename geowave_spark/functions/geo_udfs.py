@@ -67,14 +67,6 @@ def cover_keys(
     return pd.Series(out, index=wkts.index)
 
 
-def make_cover_keys_udf(max_cells: int = cells.JOIN_MAX_CELLS, buffer: float = 0.0, trim: bool = True):
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _udf(wkts: pd.Series) -> pd.Series:
-        return cover_keys(wkts, max_cells=max_cells, buffer=buffer, trim=trim)
-
-    return _udf
-
-
 def _eval_per_polygon(wkts: pd.Series, lon: pd.Series, lat: pd.Series, fn) -> np.ndarray:
     """Group a candidate batch by polygon and evaluate vectorized."""
     res = np.zeros(len(wkts), dtype=np.float64)

@@ -5,11 +5,12 @@ Spark-first re-expression of the reference's TieredSpatialJoin
 runs a driver-side loop over tiers with per-tier cogroups and RDD unions;
 we collapse the whole thing into ONE Catalyst plan:
 
-    polygons --cover_keys UDF--> explode(packed keys)          (small side)
+    polygons --driver-side numpy cover (broadcast path) OR one Arrow
+              bbox pass + Column span tiering (shuffle path)--> packed keys
     points   --Column bit math--> packed key per polygon tier  (JVM side)
              --explode over the tier list (typically 1-5 tiers)
-    equi-join on the single long key   (broadcast if small, else shuffle
-                                        with AQE skew handling + salting)
+    equi-join on the single long key   (broadcast if small, else forced
+                                        sort-merge with AQE skew + salting)
     exact predicate refine (Arrow pandas UDF, or pure SQL for boxes)
     dropDuplicates per (point, polygon)      (DedupeFilter semantics)
 
@@ -79,25 +80,6 @@ def _point_keys_expr(tiers: list[int]) -> Column:
             + sqlcells.cell_at_tier_expr(F.col("_cell31"), t)
             for t in sorted(tiers)
         ]
-    )
-
-
-def polygon_cover(
-    polygons: DataFrame,
-    wkt_col: str = "wkt",
-    id_col: str = "polygon_id",
-    max_cells: int = cells.JOIN_MAX_CELLS,
-    buffer: float = 0.0,
-) -> DataFrame:
-    """Polygon side → exploded (id, wkt, key) covering-cell frame.
-
-    Distributed path for polygon sets too large to collect; the broadcast
-    path uses :func:`polygon_cover_local` instead.
-    """
-    cover = geo_udfs.make_cover_keys_udf(max_cells=max_cells, buffer=buffer)
-    return (
-        polygons.select(id_col, wkt_col)
-        .withColumn("key", F.explode(cover(F.col(wkt_col))))
     )
 
 
