@@ -675,6 +675,18 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "cos_mu", F.col("rank").cast("long").alias("rank"))
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (JVM ADC scan over m-byte codes + exact
+    rerank) — trained codebooks not SQL-derivable → rows-only driver
+    check; recall vs brute force pinned in pytest."""
+    from .operators import similarity as sim
+
+    em = _embs(spark, sf_dir)
+    books = sim.pq_train(em, m=8, k=16)
+    out = sim.pq_ann_topk(em, em.filter(F.col("vec_id") < 8), books, k=10, rerank=60)
+    return out.select("query_id", "vec_id", "cos_mu", F.col("rank").cast("long").alias("rank"))
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(_embs(spark, sf_dir), threshold_mu=950_000)
 
@@ -1538,6 +1550,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_topk,
     "ann_lsh_bucketed": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_pq": q_ann_pq,
     "dedup_embedding_cosine": q_embed_neardup,
     "agg_pricing_summary": q_pricing_summary,
     "window_topk_orders": q_window_topk,
