@@ -51,6 +51,7 @@ PIPELINE = [
     "dedup_simhash_pairs",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
+    "ann_pq",
     "text_quality",
     "doc_fingerprint",
     "image_tile_counts",
