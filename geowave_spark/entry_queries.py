@@ -349,7 +349,8 @@ def q_line_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _event_seg_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events → short LINESTRING segments (the big geometry side)."""
+    """Events → short LINESTRING segments (the big geometry side); carries
+    the envelope columns so joins can skip the WKT→bbox pass."""
     ev = _events(spark, sf_dir)
     x2 = F.least(F.col("lon") + F.lit(3.0), F.lit(179.9))
     y2 = F.least(F.col("lat") + F.lit(1.5), F.lit(89.9))
@@ -360,6 +361,10 @@ def _event_seg_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lon"), F.lit(" "), F.col("lat"), F.lit(", "),
             x2, F.lit(" "), y2, F.lit(")"),
         ).alias("wkt"),
+        F.col("lon").alias("bx0"),
+        F.least(F.col("lat"), y2).alias("by0"),
+        F.greatest(F.col("lon"), x2).alias("bx1"),
+        F.greatest(F.col("lat"), y2).alias("by1"),
     )
 
 
@@ -369,6 +374,7 @@ def q_line_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_join.geometry_join(
         segs, _tracks_df(spark), predicate="intersects",
         left_id="event_id", right_id="polygon_id",
+        left_bbox_cols=("bx0", "by0", "bx1", "by1"),
     )
 
 

@@ -81,3 +81,44 @@ def test_wkt_roundtrip_cache():
     p1 = geom.polygon_from_wkt(geom.box_wkt(0, 0, 1, 1))
     p2 = geom.polygon_from_wkt(geom.box_wkt(0, 0, 1, 1))
     assert p1 is p2  # lru_cache interning, cf. GeometryImage interning note
+
+
+def test_pairwise_distance_intersects_consistency_random():
+    """Property over random geometry pairs: distance_pair == 0 iff
+    intersects_pair, distance is symmetric, and disjoint bboxes imply
+    positive distance."""
+    import numpy as np
+
+    from geowave_spark import geom
+
+    rng = np.random.RandomState(99)
+
+    def rand_geom():
+        t = rng.randint(3)
+        x, y = rng.uniform(-50, 50), rng.uniform(-50, 50)
+        if t == 0:
+            return geom.geometry_from_wkt(f"POINT ({x:.3f} {y:.3f})")
+        if t == 1:
+            pts = [(x, y)]
+            for _ in range(rng.randint(1, 4)):
+                x += rng.uniform(-8, 8); y += rng.uniform(-8, 8)
+                pts.append((x, y))
+            return geom.geometry_from_wkt(
+                "LINESTRING (" + ", ".join(f"{a:.3f} {b:.3f}" for a, b in pts) + ")"
+            )
+        w, h = rng.uniform(0.5, 12), rng.uniform(0.5, 12)
+        return geom.geometry_from_wkt(
+            f"POLYGON (({x:.3f} {y:.3f}, {x+w:.3f} {y:.3f}, "
+            f"{x+w:.3f} {y+h:.3f}, {x:.3f} {y+h:.3f}, {x:.3f} {y:.3f}))"
+        )
+
+    for _ in range(300):
+        a, b = rand_geom(), rand_geom()
+        d = geom.distance_pair(a, b)
+        i = geom.intersects_pair(a, b)
+        assert (d == 0.0) == i, (d, i)
+        assert d == geom.distance_pair(b, a)
+        ax0, ay0, ax1, ay1 = a.bbox
+        bx0, by0, bx1, by1 = b.bbox
+        if ax1 < bx0 or bx1 < ax0 or ay1 < by0 or by1 < ay0:
+            assert d > 0.0
