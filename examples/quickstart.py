@@ -67,6 +67,40 @@ def main() -> None:
     print("tiles l6:", sf.tile_counts([6]).count())
     print("kde l7 cells:", sf.kde(7, exact=True).count())
 
+    # 7. general geometry joins (round 2): LINESTRING tracks and
+    #    polygon×polygon through the GeometryFrame facade
+    from geowave_spark.api import GeometryFrame
+
+    tracks = spark.createDataFrame(
+        [("t0", "LINESTRING (-20 30, 0 45, 25 40, 38 55)"),
+         ("t1", "LINESTRING (120 -20, 150 -25, 170 -10)")],
+        ["track_id", "wkt"],
+    )
+    near_tracks = sf.spatial_join(tracks, radius=3.0, polygon_id="track_id")
+    print("points within 3.0 of a track:", near_tracks.count())
+    seg_gf = GeometryFrame(
+        sf.df.limit(2000).select(
+            "image_id",
+            F.concat(
+                F.lit("LINESTRING ("), F.col("lon"), F.lit(" "), F.col("lat"),
+                F.lit(", "), F.col("lon") + 2.0, F.lit(" "), F.col("lat") + 1.0,
+                F.lit(")"),
+            ).alias("wkt"),
+        ),
+        "image_id",
+    )
+    print("segment × track intersections:", seg_gf.join(tracks, "track_id").count())
+
+    # 8. unified store facade: Iceberg when the runtime jar is present,
+    #    the tested parquet layout otherwise — plus the stats-driven
+    #    balanced write for skewed tables
+    from geowave_spark.sources.iceberg import IndexedStore
+
+    store = IndexedStore(spark, os.path.join(work, "store.parquet"))
+    store.write(sf.df, n_files=8, phash_col=None)
+    print("store fingerprint:", store.fingerprint(),
+          "| range rows:", store.range_lookup((-30.0, 10.0, 45.0, 55.0)).count())
+
     spark.stop()
     print("done — work dir:", work)
 
