@@ -739,6 +739,7 @@ def geometry_join_shuffle(
     right_id: str = "right_id",
     left_wkt: str = "wkt",
     right_wkt: str = "wkt",
+    carry_wkt: bool = True,
 ) -> DataFrame:
     """BIG × BIG geometry join: both sides bbox'd (one Arrow UDF each),
     adaptively tiered + symmetrically truncated (tiered_extent_join_shuffle
@@ -746,7 +747,15 @@ def geometry_join_shuffle(
     exact pairwise refine on the surviving candidates only.
 
     dwithin buffers the LEFT bbox by radius before tiering (sufficient:
-    any pair within r overlaps after one side's expansion)."""
+    any pair within r overlaps after one side's expansion).
+
+    ``carry_wkt``: True (default) rides the WKT through the keyed shuffle
+    — one shuffle total, right for typical WKT sizes.  False keeps the
+    keyed shuffle NARROW (ids + bboxes only), dedupes candidate id pairs
+    first, then joins the WKTs back by id for the refine — two extra
+    narrow joins, the right trade when geometries are KB-size coastlines
+    that must not be duplicated into every covering-cell row.
+    """
     if predicate not in ("intersects", "dwithin"):
         raise ValueError(f"unknown predicate {predicate!r}")
     buffer = radius if predicate == "dwithin" else 0.0
@@ -764,11 +773,13 @@ def geometry_join_shuffle(
 
     lb = bboxed(left, left_id, left_wkt, "_l", buffer)
     rb = bboxed(right, right_id, right_wkt, "_r", 0.0)
+    l_extra = ("_lwkt",) if carry_wkt else ()
+    r_extra = ("_rwkt",) if carry_wkt else ()
     lc = _extent_cells(
-        lb, left_id, "_lx0", "_ly0", "_lx1", "_ly1", extra_cols=("_lwkt",)
+        lb, left_id, "_lx0", "_ly0", "_lx1", "_ly1", extra_cols=l_extra
     ).localCheckpoint()
     rc = _extent_cells(
-        rb, right_id, "_rx0", "_ry0", "_rx1", "_ry1", extra_cols=("_rwkt",)
+        rb, right_id, "_rx0", "_ry0", "_rx1", "_ry1", extra_cols=r_extra
     ).localCheckpoint()
     l_tiers = sorted(r[0] for r in lc.select("_te").distinct().collect())
     r_tiers = sorted(r[0] for r in rc.select("_te").distinct().collect())
@@ -780,13 +791,21 @@ def geometry_join_shuffle(
         (F.col("_lx0") <= F.col("_rx1")) & (F.col("_lx1") >= F.col("_rx0"))
         & (F.col("_ly0") <= F.col("_ry1")) & (F.col("_ly1") >= F.col("_ry0"))
     )
+    if not carry_wkt:
+        # narrow path: dedupe candidate id pairs BEFORE touching any WKT,
+        # then join the geometry text back by id for the refine
+        pairs = j.select(left_id, right_id).dropDuplicates([left_id, right_id])
+        j = pairs.join(
+            lb.select(left_id, "_lwkt"), left_id
+        ).join(rb.select(right_id, "_rwkt"), right_id)
     if predicate == "intersects":
         j = j.filter(geo_udfs.st_intersects_wkt(F.col("_lwkt"), F.col("_rwkt")))
     else:
         j = j.filter(
             geo_udfs.st_distance_wkt(F.col("_lwkt"), F.col("_rwkt")) <= F.lit(float(radius))
         )
-    return j.select(left_id, right_id).dropDuplicates([left_id, right_id])
+    out = j.select(left_id, right_id)
+    return out if not carry_wkt else out.dropDuplicates([left_id, right_id])
 
 
 def brute_force_join(

@@ -279,3 +279,20 @@ def test_knn_adaptive_many_queries(spark):
     g = sorted(map(tuple, got.select("query_id", "event_id", "rank").collect()))
     ww = sorted(map(tuple, want.select("query_id", "event_id", "rank").collect()))
     assert g == ww and len(g) == 30_000
+
+
+def test_geometry_join_shuffle_narrow_wkt_path(spark):
+    """carry_wkt=False (narrow keyed shuffle, WKT joined back by id)
+    produces identical pairs to the default path."""
+    segs = _event_segments(spark)
+    right = spark.createDataFrame(_geoms_mixed(), ["right_id", "wkt"])
+    wide = sorted(map(tuple, spatial_join.geometry_join_shuffle(segs, right).collect()))
+    narrow = sorted(map(tuple, spatial_join.geometry_join_shuffle(
+        segs, right, carry_wkt=False).collect()))
+    assert wide == narrow and len(narrow) > 0
+    # dwithin too
+    wide_d = sorted(map(tuple, spatial_join.geometry_join_shuffle(
+        segs, right, predicate="dwithin", radius=1.0).collect()))
+    narrow_d = sorted(map(tuple, spatial_join.geometry_join_shuffle(
+        segs, right, predicate="dwithin", radius=1.0, carry_wkt=False).collect()))
+    assert wide_d == narrow_d and len(narrow_d) > 0
