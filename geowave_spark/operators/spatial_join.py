@@ -739,7 +739,7 @@ def geometry_join_shuffle(
     right_id: str = "right_id",
     left_wkt: str = "wkt",
     right_wkt: str = "wkt",
-    carry_wkt: bool = True,
+    carry_wkt: bool = False,
 ) -> DataFrame:
     """BIG × BIG geometry join: both sides bbox'd (one Arrow UDF each),
     adaptively tiered + symmetrically truncated (tiered_extent_join_shuffle
@@ -749,12 +749,12 @@ def geometry_join_shuffle(
     dwithin buffers the LEFT bbox by radius before tiering (sufficient:
     any pair within r overlaps after one side's expansion).
 
-    ``carry_wkt``: True (default) rides the WKT through the keyed shuffle
-    — one shuffle total, right for typical WKT sizes.  False keeps the
-    keyed shuffle NARROW (ids + bboxes only), dedupes candidate id pairs
-    first, then joins the WKTs back by id for the refine — two extra
-    narrow joins, the right trade when geometries are KB-size coastlines
-    that must not be duplicated into every covering-cell row.
+    ``carry_wkt``: False (default) keeps the keyed shuffle NARROW (ids +
+    bboxes only), dedupes candidate id pairs first, then joins the WKTs
+    back by id for the refine — measured faster already at 60-byte WKTs
+    (BENCH.md), and the gap widens with geometry size since the text is
+    never duplicated into covering-cell rows.  True rides the WKT through
+    the single keyed shuffle (fewer joins; fine for tiny geometry sets).
     """
     if predicate not in ("intersects", "dwithin"):
         raise ValueError(f"unknown predicate {predicate!r}")
