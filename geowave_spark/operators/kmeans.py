@@ -90,7 +90,7 @@ def cluster_hulls(assignments: DataFrame, lon_col: str = "lon", lat_col: str = "
     """Convex hull per cluster — groupBy + applyInPandas (grouped-map),
     the KMeansHullGenerator analog."""
 
-    def hull(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def hull(key, pdf):
         h = _convex_hull(pdf[lon_col].to_numpy(), pdf[lat_col].to_numpy())
         if len(h) >= 3:
             ring = ", ".join(f"{x} {y}" for x, y in h) + f", {h[0][0]} {h[0][1]}"
