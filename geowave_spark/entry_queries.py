@@ -742,14 +742,45 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Queries — image pipeline (no SQL oracle: engine-generated fixture input)
 # ---------------------------------------------------------------------------
 
+DBSCAN_N, DBSCAN_EPS, DBSCAN_MINPTS = 2000, 3.0, 4
+
+
 def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DBSCAN density clustering (iterative label propagation → rows-only
-    driver check; exact-vs-numpy-oracle equality is pinned in
-    tests/test_dbscan.py)."""
+    """DBSCAN density clustering — exact SQL oracle via recursive closure
+    over core-core edges (and numpy union-find equality in
+    tests/test_dbscan.py).  Deterministic id-filter subset (a bare
+    limit() after a repartition picks an arbitrary subset)."""
     from .operators import dbscan
 
-    ev = _events(spark, sf_dir).limit(2000)
-    return dbscan.dbscan(ev, eps=3.0, min_pts=4)
+    ev = _events(spark, sf_dir).filter(F.col("event_id") < DBSCAN_N)
+    return dbscan.dbscan(ev, eps=DBSCAN_EPS, min_pts=DBSCAN_MINPTS)
+
+
+def _oracle_dbscan() -> str:
+    """Classic DBSCAN in SQL: ε-neighbor self-join (same sqrt op order as
+    knn.distance_candidates), core = |N| >= min_pts, clusters = min
+    reachable core id (recursive closure), borders adopt the min cluster
+    among core neighbors, noise stays NULL."""
+    return (
+        f"WITH RECURSIVE {EV_CTE}, "
+        f"p AS (SELECT event_id, lon, lat FROM ev WHERE event_id < {DBSCAN_N}), "
+        "e AS (SELECT a.event_id AS ia, b.event_id AS ib FROM p a JOIN p b ON "
+        "sqrt((b.lon - a.lon) * (b.lon - a.lon) + (b.lat - a.lat) * (b.lat - a.lat)) "
+        f"<= CAST({DBSCAN_EPS!r} AS DOUBLE)), "
+        "cnt AS (SELECT ia, count(*) AS n FROM e GROUP BY ia), "
+        f"core AS (SELECT ia AS id FROM cnt WHERE n >= {DBSCAN_MINPTS}), "
+        "cc AS (SELECT e.ia, e.ib FROM e JOIN core c1 ON c1.id = e.ia "
+        "JOIN core c2 ON c2.id = e.ib), "
+        "reach(id, label) AS (SELECT id, id FROM core "
+        "UNION SELECT cc.ia, r.label FROM reach r JOIN cc ON cc.ib = r.id), "
+        "corelab AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id), "
+        "border AS (SELECT e.ia AS id, min(cl.cluster) AS bcluster FROM e "
+        "JOIN corelab cl ON cl.id = e.ib GROUP BY e.ia) "
+        "SELECT p.event_id, coalesce(cl.cluster, b.bcluster) AS cluster, "
+        "(cl.id IS NOT NULL) AS is_core FROM p "
+        "LEFT JOIN corelab cl ON cl.id = p.event_id "
+        "LEFT JOIN border b ON b.id = p.event_id"
+    )
 
 
 def q_kmeans_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1604,6 +1635,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_ngram_jaccard": _oracle_jaccard(),
         "dedup_minhash_lsh": _oracle_minhash(),
         "dedup_clusters": _oracle_dedup_clusters(),
+        "dbscan": _oracle_dbscan(),
         "simhash64": _oracle_simhash(),
         "dedup_simhash_pairs": _oracle_simhash_pairs(),
         "text_quality": _oracle_text_quality(),
