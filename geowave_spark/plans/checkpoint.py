@@ -12,8 +12,9 @@ idiomatic design is *stage outputs as tables*:
   stages, engine version) and metrics (rows, partitions, bytes, wall time);
 * re-running the pipeline skips every stage whose manifest matches its
   input fingerprint — idempotent resume after a crash, mid-pipeline;
-* per-partition metrics come from a Spark accumulator incremented inside
-  the write job, so progress is observable while a stage runs.
+* per-partition metrics come from one cheap columnar aggregation over the
+  written checkpoint (per-file row counts + min/max balance), recorded in
+  the manifest so skewed stages are visible without the Spark UI.
 
 Skew note: a stage can be given an explicit ``repartition`` spec so its
 checkpoint is written pre-partitioned on the join key of the NEXT stage —
