@@ -149,22 +149,11 @@ class GeometryFrame:
         right_wkt: str = "wkt",
         broadcast: bool | None = None,
     ) -> DataFrame:
-        """Geometry × geometry join; build side picked like the tiered
-        point join (row-count + WKT-byte probe) unless forced."""
+        """Geometry × geometry join; build side picked by the shared
+        row-count + WKT-byte probe unless forced."""
         pred = predicate or ("dwithin" if radius else "intersects")
         if broadcast is None:
-            probe = (
-                right.limit(spatial_join.BROADCAST_MAX_POLYGONS + 1)
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum(F.length(F.col(right_wkt))).alias("b"),
-                )
-                .collect()[0]
-            )
-            broadcast = (
-                probe["n"] <= spatial_join.BROADCAST_MAX_POLYGONS
-                and (probe["b"] or 0) <= spatial_join.BROADCAST_MAX_WKT_BYTES
-            )
+            broadcast = spatial_join.probe_broadcastable(right, right_wkt)
         if broadcast:
             return spatial_join.geometry_join(
                 self.df, right, predicate=pred, radius=radius,
@@ -176,4 +165,5 @@ class GeometryFrame:
             self.df, right, predicate=pred, radius=radius,
             left_id=self.id_col, right_id=right_id,
             left_wkt=self.wkt_col, right_wkt=right_wkt,
+            left_bbox_cols=self.bbox_cols,
         )

@@ -361,7 +361,8 @@ def _event_seg_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lon"), F.lit(" "), F.col("lat"), F.lit(", "),
             x2, F.lit(" "), y2, F.lit(")"),
         ).alias("wkt"),
-        F.col("lon").alias("bx0"),
+        # true envelope: x2/y2 can fall BELOW lon/lat at the clip edges
+        F.least(F.col("lon"), x2).alias("bx0"),
         F.least(F.col("lat"), y2).alias("by0"),
         F.greatest(F.col("lon"), x2).alias("bx1"),
         F.greatest(F.col("lat"), y2).alias("by1"),

@@ -98,30 +98,27 @@ def st_distance_point(wkts: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Ser
 
 # --- pairwise geometry × geometry (GeomFunctionRegistry.java:26-42) ---------
 
-def _eval_pairs(wkt_a: pd.Series, wkt_b: pd.Series, fn) -> list:
-    """Per-pair evaluation; geometries interned via geometry_from_wkt's
-    lru_cache, segment math vectorized inside each pair.  Runs only on the
-    candidate pairs that survive the cell equi-join — never the raw input."""
-    out = []
-    for wa, wb in zip(wkt_a, wkt_b):
-        ga = geom.geometry_from_wkt(wa)
-        gb = geom.geometry_from_wkt(wb)
-        out.append(fn(ga, gb))
-    return out
-
-
 def _group_vectorized(wkt_a: pd.Series, wkt_b: pd.Series, scalar_fn, group_fn) -> np.ndarray:
     """Factorize by the RIGHT geometry (the join's broadcast side repeats
     heavily in each batch, like _eval_per_polygon) and evaluate each group
     with a vectorized kernel where the left class allows; per-pair
-    fallback otherwise."""
+    fallback otherwise.
+
+    Unwrapped antimeridian right geometries (bbox x1 > 180) are ALSO
+    evaluated as their -360-shifted image and the results combined
+    (or / min) — the pairwise twin of _eval_per_polygon's +360 retest
+    (LongitudeDefinition split-bin semantics)."""
     codes, uniques = pd.factorize(wkt_b)
     left = wkt_a.to_numpy()
     out = np.zeros(len(wkt_a), dtype=np.float64)
     for u, wb in enumerate(uniques):
         idx = np.nonzero(codes == u)[0]
         gb = geom.geometry_from_wkt(wb)
-        out[idx] = group_fn(gb, left[idx], scalar_fn)
+        v = group_fn(gb, left[idx], scalar_fn)
+        if gb.bbox[2] > 180.0:
+            v2 = group_fn(geom.translate_lon(gb, -360.0), left[idx], scalar_fn)
+            v = np.minimum(v, v2) if v.dtype != bool else (v | v2)
+        out[idx] = v
     return out
 
 
@@ -161,9 +158,10 @@ def _intersects_group(gb, left_wkts: np.ndarray, scalar_fn) -> np.ndarray:
         if geom._has_area(gb):
             hit = hit | gb.contains(A[:, 0], A[:, 1]) | gb.contains(A[:, 2], A[:, 3])
         out[seg_idx] = hit
-    rest = [i for i, g in enumerate(gs) if i not in set(box_idx) | set(seg_idx)]
-    for i in rest:
-        out[i] = scalar_fn(gs[i], gb)
+    excl = set(box_idx).union(seg_idx)
+    for i in range(len(gs)):
+        if i not in excl:
+            out[i] = scalar_fn(gs[i], gb)
     return out
 
 
@@ -180,9 +178,10 @@ def _distance_group(gb, left_wkts: np.ndarray, scalar_fn) -> np.ndarray:
             touching = touching | gb.contains(A[:, 0], A[:, 1]) | gb.contains(A[:, 2], A[:, 3])
         d = geom.segments_dist_rowwise(A, gb.segments())
         out[seg_idx] = np.where(touching, 0.0, d)
-    rest = [i for i, g in enumerate(gs) if i not in set(seg_idx)]
-    for i in rest:
-        out[i] = scalar_fn(gs[i], gb)
+    excl = set(seg_idx)
+    for i in range(len(gs)):
+        if i not in excl:
+            out[i] = scalar_fn(gs[i], gb)
     return out
 
 

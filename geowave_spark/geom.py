@@ -471,6 +471,28 @@ def _has_area(g) -> bool:
     return False
 
 
+def translate_lon(g, dx: float):
+    """Copy of a geometry shifted by dx degrees of longitude — used to
+    evaluate unwrapped antimeridian geometries (x1 > 180) against their
+    -360 image (LongitudeDefinition split-bin semantics)."""
+    if isinstance(g, Point):
+        return Point(g.x + dx, g.y)
+    if isinstance(g, LineString):
+        c = g.coords.copy()
+        c[:, 0] += dx
+        return LineString(c)
+    if isinstance(g, Polygon):
+        rings = []
+        for r in g.rings:
+            r2 = r.copy()
+            r2[:, 0] += dx
+            rings.append(r2)
+        return Polygon(rings)
+    if isinstance(g, MultiGeometry):
+        return MultiGeometry([translate_lon(p, dx) for p in g.parts])
+    raise TypeError(type(g))
+
+
 def intersects_pair(ga, gb) -> bool:
     """JTS-`intersects` for any geometry pair (boundary-inclusive)."""
     ax0, ay0, ax1, ay1 = ga.bbox

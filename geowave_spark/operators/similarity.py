@@ -257,8 +257,12 @@ def pq_train(
     """
     import numpy as np
 
+    # orderBy before limit: a bare limit() on a repartitioned frame picks
+    # an arbitrary subset per execution, which would make the codebooks —
+    # and everything downstream — nondeterministic across runs
     rows = (
-        vectors.select(_as_double(F.col(vec_col)).alias("_v"))
+        vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+        .orderBy(id_col)
         .limit(sample_n)
         .collect()
     )

@@ -57,6 +57,25 @@ BROADCAST_MAX_POLYGONS = 100_000
 BROADCAST_MAX_WKT_BYTES = 256 << 20
 
 
+def probe_broadcastable(geoms: DataFrame, wkt_col: str = "wkt") -> bool:
+    """Build-side probe (JoinOptions.BuildSide analog), shared by every
+    geometry join: broadcast only when the side is provably small by BOTH
+    row count and total WKT bytes — probed with a limit so huge tables
+    never fully count/sum here."""
+    probe = (
+        geoms.limit(BROADCAST_MAX_POLYGONS + 1)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length(F.col(wkt_col))).alias("b"),
+        )
+        .collect()[0]
+    )
+    return (
+        probe["n"] <= BROADCAST_MAX_POLYGONS
+        and (probe["b"] or 0) <= BROADCAST_MAX_WKT_BYTES
+    )
+
+
 def add_point_cols(
     df: DataFrame,
     lon_col: str = "lon",
@@ -178,23 +197,9 @@ def tiered_spatial_join(
     buffer = radius if predicate == "dwithin" else 0.0
     pts = add_point_cols(points, lon_col, lat_col)
     if broadcast_polygons is None:
-        # build-side selection (JoinOptions.BuildSide analog): broadcast
-        # when the polygon side is provably small — probe with a limit so
-        # huge polygon tables never fully count here; sized on BOTH row
-        # count and total WKT bytes (a 50k-row side of multi-MB coastline
-        # WKTs must not be collected to the driver)
-        probe = (
-            polygons.limit(BROADCAST_MAX_POLYGONS + 1)
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.length(F.col(wkt_col))).alias("b"),
-            )
-            .collect()[0]
-        )
-        broadcast_polygons = (
-            probe["n"] <= BROADCAST_MAX_POLYGONS
-            and (probe["b"] or 0) <= BROADCAST_MAX_WKT_BYTES
-        )
+        # a 50k-row side of multi-MB coastline WKTs must not be collected
+        # to the driver — the probe sizes on rows AND bytes
+        broadcast_polygons = probe_broadcastable(polygons, wkt_col)
 
     if broadcast_polygons:
         return _broadcast_join(
@@ -740,6 +745,7 @@ def geometry_join_shuffle(
     left_wkt: str = "wkt",
     right_wkt: str = "wkt",
     carry_wkt: bool = False,
+    left_bbox_cols: tuple[str, str, str, str] | None = None,
 ) -> DataFrame:
     """BIG × BIG geometry join: both sides bbox'd (one Arrow UDF each),
     adaptively tiered + symmetrically truncated (tiered_extent_join_shuffle
@@ -755,23 +761,42 @@ def geometry_join_shuffle(
     (BENCH.md), and the gap widens with geometry size since the text is
     never duplicated into covering-cell rows.  True rides the WKT through
     the single keyed shuffle (fewer joins; fine for tiny geometry sets).
+
+    ``left_bbox_cols``: precomputed left envelopes — skips the WKT→bbox
+    Arrow pass (same contract as geometry_join).
+
+    Geometries must lie in [-180, 180]: unwrapped antimeridian WKTs
+    (x1 > 180) belong on the broadcast `geometry_join` path (whose cover
+    splits the wrap) or should be pre-split by the caller — here their
+    envelope is clamped into range, keeping only the in-range extent.
     """
     if predicate not in ("intersects", "dwithin"):
         raise ValueError(f"unknown predicate {predicate!r}")
     buffer = radius if predicate == "dwithin" else 0.0
 
-    def bboxed(df, id_col, wkt_col, prefix, pad):
-        b = df.select(id_col, wkt_col).withColumn("_bb", geo_udfs.st_bbox(F.col(wkt_col)))
+    def bboxed(df, id_col, wkt_col, prefix, pad, bbox_cols=None):
+        if bbox_cols is not None:
+            x0c, y0c, x1c, y1c = (F.col(c) for c in bbox_cols)
+            b = df.select(id_col, wkt_col, *bbox_cols)
+        else:
+            b = df.select(id_col, wkt_col).withColumn(
+                "_bb", geo_udfs.st_bbox(F.col(wkt_col))
+            )
+            x0c, y0c, x1c, y1c = (F.col(f"_bb.{c}") for c in ("x0", "y0", "x1", "y1"))
+        # clamp the padded envelope into [-180, 180]: dwithin padding past
+        # the antimeridian would make norm_lon wrap the cover into the far
+        # hemisphere and silently LOSE same-side matches (the pairwise
+        # kernel is planar, so no cross-meridian match exists to keep)
         return b.select(
             id_col,
             F.col(wkt_col).alias(f"{prefix}wkt"),
-            (F.col("_bb.x0") - pad).alias(f"{prefix}x0"),
-            (F.col("_bb.y0") - pad).alias(f"{prefix}y0"),
-            (F.col("_bb.x1") + pad).alias(f"{prefix}x1"),
-            (F.col("_bb.y1") + pad).alias(f"{prefix}y1"),
+            F.greatest(x0c - pad, F.lit(-180.0)).alias(f"{prefix}x0"),
+            (y0c - pad).alias(f"{prefix}y0"),
+            F.least(x1c + pad, F.lit(180.0)).alias(f"{prefix}x1"),
+            (y1c + pad).alias(f"{prefix}y1"),
         )
 
-    lb = bboxed(left, left_id, left_wkt, "_l", buffer)
+    lb = bboxed(left, left_id, left_wkt, "_l", buffer, left_bbox_cols)
     rb = bboxed(right, right_id, right_wkt, "_r", 0.0)
     l_extra = ("_lwkt",) if carry_wkt else ()
     r_extra = ("_rwkt",) if carry_wkt else ()

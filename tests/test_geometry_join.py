@@ -286,13 +286,62 @@ def test_geometry_join_shuffle_narrow_wkt_path(spark):
     produces identical pairs to the default path."""
     segs = _event_segments(spark)
     right = spark.createDataFrame(_geoms_mixed(), ["right_id", "wkt"])
-    wide = sorted(map(tuple, spatial_join.geometry_join_shuffle(segs, right).collect()))
+    wide = sorted(map(tuple, spatial_join.geometry_join_shuffle(
+        segs, right, carry_wkt=True).collect()))
     narrow = sorted(map(tuple, spatial_join.geometry_join_shuffle(
         segs, right, carry_wkt=False).collect()))
     assert wide == narrow and len(narrow) > 0
     # dwithin too
     wide_d = sorted(map(tuple, spatial_join.geometry_join_shuffle(
-        segs, right, predicate="dwithin", radius=1.0).collect()))
+        segs, right, predicate="dwithin", radius=1.0, carry_wkt=True).collect()))
     narrow_d = sorted(map(tuple, spatial_join.geometry_join_shuffle(
         segs, right, predicate="dwithin", radius=1.0, carry_wkt=False).collect()))
     assert wide_d == narrow_d and len(narrow_d) > 0
+
+
+def test_shuffle_dwithin_near_antimeridian_keeps_same_side_matches(spark):
+    """Regression (r2 review): dwithin padding past -180/+180 used to wrap
+    the left cover into the far hemisphere and lose same-side matches."""
+    L = spark.createDataFrame(
+        [("l_west", "LINESTRING (-179.9 0.0, -179.5 0.2)"),
+         ("l_east", "LINESTRING (179.5 10.0, 179.9 10.2)")],
+        ["left_id", "wkt"],
+    )
+    R = spark.createDataFrame(
+        [("r_west", "LINESTRING (-179.8 0.9, -179.4 1.1)"),
+         ("r_east", "LINESTRING (179.6 10.9, 179.8 11.1)")],
+        ["right_id", "wkt"],
+    )
+    got = sorted(map(tuple, spatial_join.geometry_join_shuffle(
+        L, R, predicate="dwithin", radius=1.0).collect()))
+    # planar distances ~0.7-0.9 on each side; no cross-meridian pair
+    assert got == [("l_east", "r_east"), ("l_west", "r_west")]
+    # broadcast path agrees
+    got_bc = sorted(map(tuple, spatial_join.geometry_join(
+        L, R, predicate="dwithin", radius=1.0).collect()))
+    assert got_bc == got
+
+
+def test_unwrapped_right_geometry_matches_across_meridian(spark):
+    """Regression (r2 review): an unwrapped antimeridian right geometry
+    (x1 > 180, LongitudeDefinition form) must match left geometries on the
+    WEST side of the meridian — the pairwise refine now evaluates the
+    -360-shifted image like the point predicates do."""
+    am_box = "POLYGON ((176.5 -20.0, 183.5 -20.0, 183.5 -10.0, 176.5 -10.0, 176.5 -20.0))"
+    L = spark.createDataFrame(
+        [("west", "LINESTRING (-178.0 -15.0, -177.0 -14.0)"),   # inside via +360
+         ("east", "LINESTRING (177.0 -15.0, 178.0 -14.0)"),     # inside directly
+         ("far", "LINESTRING (0.0 -15.0, 1.0 -14.0)")],
+        ["left_id", "wkt"],
+    )
+    R = spark.createDataFrame([("am", am_box)], ["right_id", "wkt"])
+    got = sorted(map(tuple, spatial_join.geometry_join(L, R).collect()))
+    assert got == [("east", "am"), ("west", "am")]
+    # the SQL-registered pairwise function agrees
+    from geowave_spark.functions.sqlregistry import register_sql_udfs
+
+    register_sql_udfs(spark)
+    r = spark.sql(
+        f"SELECT st_intersects('LINESTRING (-178.0 -15.0, -177.0 -14.0)', '{am_box}') AS i"
+    ).collect()[0]
+    assert r["i"] is True
