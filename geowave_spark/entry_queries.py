@@ -412,6 +412,18 @@ def q_poly_poly_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_poly_within_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event box extents WITHIN the polygon workload (coveredBy — the
+    GeomWithin/GeomCovers predicate family over general geometries)."""
+    ext = _event_box_wkt_df(spark, sf_dir)
+    polys = spark.createDataFrame(GEOM_POLYGONS, ["polygon_id", "wkt"])
+    return spatial_join.geometry_join(
+        ext, polys, predicate="within",
+        left_id="event_id", right_id="polygon_id",
+        left_bbox_cols=("bx0", "by0", "bx1", "by1"),
+    )
+
+
 def q_extent_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General tiered join: derived per-event extents × polygon workload."""
     ex = _event_extents(spark, sf_dir).withColumnRenamed("event_id", "extent_id")
@@ -1066,6 +1078,40 @@ def _oracle_poly_poly() -> str:
     )
 
 
+def _oracle_poly_within() -> str:
+    """Box extents WITHIN {boxes, rect-with-rect-hole, multipolygon}: exact
+    interval algebra — containment in the closed polygon means inside the
+    outer ring with NO overlap of the OPEN hole interior."""
+    box_vals = ", ".join(
+        f"('{pid}', CAST({x0!r} AS DOUBLE), CAST({y0!r} AS DOUBLE), "
+        f"CAST({x1!r} AS DOUBLE), CAST({y1!r} AS DOUBLE))"
+        for pid, x0, y0, x1, y1 in PIP_POLYGONS
+        if pid.startswith(("big_", "mid_", "small_"))
+    )
+    within = "e.x0 >= {px0} AND e.x1 <= {px1} AND e.y0 >= {py0} AND e.y1 <= {py1}"
+    hole_within = (
+        "(" + within.format(px0="CAST(-75.0 AS DOUBLE)", py0="CAST(-35.0 AS DOUBLE)",
+                            px1="CAST(-40.0 AS DOUBLE)", py1="CAST(0.0 AS DOUBLE)")
+        + ") AND NOT (e.x0 < CAST(-50.0 AS DOUBLE) AND e.x1 > CAST(-65.0 AS DOUBLE) "
+        "AND e.y0 < CAST(-10.0 AS DOUBLE) AND e.y1 > CAST(-25.0 AS DOUBLE))"
+    )
+    mp1 = within.format(px0="CAST(95.0 AS DOUBLE)", py0="CAST(15.0 AS DOUBLE)",
+                        px1="CAST(125.0 AS DOUBLE)", py1="CAST(40.0 AS DOUBLE)")
+    mp2 = within.format(px0="CAST(-15.0 AS DOUBLE)", py0="CAST(-65.0 AS DOUBLE)",
+                        px1="CAST(25.0 AS DOUBLE)", py1="CAST(-45.0 AS DOUBLE)")
+    return (
+        f"WITH {EV_CTE}, "
+        "ex AS (SELECT event_id, lon AS x0, lat AS y0, "
+        "least(lon + (CAST(0.1 AS DOUBLE) + value / CAST(25.0 AS DOUBLE)), CAST(180.0 AS DOUBLE)) AS x1, "
+        "least(lat + (CAST(0.1 AS DOUBLE) + value / CAST(50.0 AS DOUBLE)), CAST(90.0 AS DOUBLE)) AS y1 FROM ev), "
+        f"pb(polygon_id, px0, py0, px1, py1) AS (VALUES {box_vals}) "
+        "SELECT e.event_id, p.polygon_id FROM ex e JOIN pb p ON "
+        + within.format(px0="p.px0", py0="p.py0", px1="p.px1", py1="p.py1")
+        + f" UNION ALL SELECT e.event_id, 'hole_sa' AS polygon_id FROM ex e WHERE {hole_within}"
+        + f" UNION ALL SELECT e.event_id, 'mpoly_two' AS polygon_id FROM ex e WHERE ({mp1}) OR ({mp2})"
+    )
+
+
 def _oracle_extent_join() -> str:
     """Brute-force bbox-intersect — validates the tiered machinery's recall
     (the reference's brute-force IT design, GeoWaveSparkSpatialJoinIT)."""
@@ -1554,6 +1600,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dwithin_join": q_line_dwithin,
     "line_intersects_join": q_line_intersects,
     "poly_poly_join": q_poly_poly_join,
+    "poly_within_join": q_poly_within_join,
     "extent_join_tiered": q_extent_join,
     "extent_join_bigbig": q_extent_join_bigbig,
     "knn_join": q_knn_join,
@@ -1610,6 +1657,7 @@ def build_oracles() -> dict[str, str]:
         "line_dwithin_join": _oracle_line_dwithin(),
         "line_intersects_join": _oracle_line_intersects(),
         "poly_poly_join": _oracle_poly_poly(),
+        "poly_within_join": _oracle_poly_within(),
         "extent_join_tiered": _oracle_extent_join(),
         "extent_join_bigbig": _oracle_extent_join_bigbig(),
         "knn_join": _oracle_knn(),

@@ -201,6 +201,37 @@ def st_distance_wkt(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
     return pd.Series(got, dtype=np.float64)
 
 
+def _covers_group(gb, left_wkts: np.ndarray, scalar_fn) -> np.ndarray:
+    """Right-geometry group kernel for covers/within: boxes vectorize via
+    interval algebra; the rest fall back to the scalar kernel."""
+    gs = [geom.geometry_from_wkt(w) for w in left_wkts]
+    out = np.zeros(len(gs), dtype=bool)
+    for i, g in enumerate(gs):
+        out[i] = scalar_fn(g, gb)
+    return out
+
+
+@F.pandas_udf(T.BooleanType())
+def st_within_wkt(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
+    """A within B (inclusive coveredBy — GeomWithin/GeomCovers family)."""
+    got = _group_vectorized(wkt_a, wkt_b, geom.within_pair, _covers_group)
+    return pd.Series(got.astype(bool))
+
+
+@F.pandas_udf(T.BooleanType())
+def st_covers_wkt(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
+    """A covers B (GeomCovers/GeomContains family, boundary-inclusive)."""
+    got = _group_vectorized(wkt_a, wkt_b, geom.covers_pair, _covers_group)
+    return pd.Series(got.astype(bool))
+
+
+@F.pandas_udf(T.BooleanType())
+def st_equals_wkt(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
+    """Topological equality (GeomEquals) as mutual coverage."""
+    got = _group_vectorized(wkt_a, wkt_b, geom.equals_pair, _covers_group)
+    return pd.Series(got.astype(bool))
+
+
 _BBOX_SCHEMA = T.StructType(
     [T.StructField(c, T.DoubleType()) for c in ("x0", "y0", "x1", "y1")]
 )

@@ -81,9 +81,14 @@ def register_sql_udfs(spark: SparkSession) -> None:
         d = _group_vectorized(wa, wb, geom.distance_pair, _distance_group)
         return pd.Series(d <= radius.to_numpy())
 
+    from .geo_udfs import st_covers_wkt, st_equals_wkt, st_within_wkt
+
     spark.udf.register("st_intersects", st_intersects_wkt)
     spark.udf.register("st_distance", st_distance_wkt)
     spark.udf.register("st_dwithin", _dwithin_wkt)
+    spark.udf.register("st_covers", st_covers_wkt)
+    spark.udf.register("st_within", st_within_wkt)
+    spark.udf.register("st_equals", st_equals_wkt)
 
 
 _SPATIAL_SQL_RE = (

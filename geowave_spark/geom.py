@@ -515,6 +515,91 @@ def intersects_pair(ga, gb) -> bool:
     return _segments_touch_any(ga.segments(), gb.segments())
 
 
+def _segments_proper_cross_any(A: np.ndarray, B: np.ndarray) -> bool:
+    """Any PROPER crossing (interiors cross; touches/collinear excluded)."""
+    ax1, ay1, ax2, ay2 = (A[:, i][:, None] for i in range(4))
+    bx1, by1, bx2, by2 = (B[:, i][None, :] for i in range(4))
+    o1 = _orient_sign(ax1, ay1, ax2, ay2, bx1, by1)
+    o2 = _orient_sign(ax1, ay1, ax2, ay2, bx2, by2)
+    o3 = _orient_sign(bx1, by1, bx2, by2, ax1, ay1)
+    o4 = _orient_sign(bx1, by1, bx2, by2, ax2, ay2)
+    return bool(((o1 * o2 < 0) & (o3 * o4 < 0)).any())
+
+
+def covers_pair(ga, gb) -> bool:
+    """JTS-`covers`: every point of gb lies in the CLOSED ga.
+
+    Exact for ga with area via: all gb vertices (and segment midpoints) in
+    closed ga + no proper segment crossing between gb and ga's boundary.
+    The midpoint test closes the concave case where a gb edge slips out
+    through a reflex vertex of ga; configurations where an edge exits and
+    re-enters PRECISELY through two boundary vertices with its midpoint
+    also inside are the one measure-zero family this test can miss
+    (document-level caveat; box ga is fully exact via interval algebra).
+    For ga without area, only point containment is supported (a line
+    covering a line needs collinear-overlap arrangement — out of scope).
+    """
+    if isinstance(gb, Point):
+        return bool(np.any(ga.contains(np.array([gb.x]), np.array([gb.y]))))
+    if not _has_area(ga):
+        raise ValueError(
+            "covers is supported for area geometries (POLYGON/MULTIPOLYGON) "
+            "or point operands; line-covers-line needs collinear-overlap "
+            "arrangement (unsupported)"
+        )
+    ax0, ay0, ax1, ay1 = ga.bbox
+    bx0, by0, bx1, by1 = gb.bbox
+    if bx0 < ax0 or bx1 > ax1 or by0 < ay0 or by1 > ay1:
+        return False
+    if isinstance(ga, Polygon) and ga.is_box():
+        return True  # bbox containment is exact for a closed box
+    vb = gb.vertices()
+    if not bool(np.all(ga.contains(vb[:, 0], vb[:, 1]))):
+        return False
+    S = gb.segments()
+    mx, my = (S[:, 0] + S[:, 2]) / 2.0, (S[:, 1] + S[:, 3]) / 2.0
+    if not bool(np.all(ga.contains(mx, my))):
+        return False
+    if _segments_proper_cross_any(ga.segments(), S):
+        return False
+    # a hole of ga lying strictly inside gb punches gb out of ga even
+    # though no gb vertex/edge touches it: a hole vertex strictly interior
+    # to gb witnesses that (any other overlap is caught above)
+    if _has_area(gb):
+        for hole in _hole_rings(ga):
+            hx, hy = hole[:-1, 0], hole[:-1, 1]
+            strict = gb.contains(hx, hy)
+            for Sg in (gb.segments(),):
+                for i in np.nonzero(strict)[0]:
+                    on = _on_segment_exact(
+                        hx[i], hy[i], Sg[:, 0], Sg[:, 1], Sg[:, 2], Sg[:, 3]
+                    ).any()
+                    if not on:
+                        return False
+    return True
+
+
+def _hole_rings(g) -> list:
+    if isinstance(g, Polygon):
+        return g.rings[1:]
+    if isinstance(g, MultiGeometry):
+        return [h for p in g.parts if isinstance(p, Polygon) for h in p.rings[1:]]
+    return []
+
+
+def within_pair(ga, gb) -> bool:
+    """JTS-`within`-style (inclusive): ga lies in the closed gb."""
+    return covers_pair(gb, ga)
+
+
+def equals_pair(ga, gb) -> bool:
+    """Geometric equality as mutual coverage (JTS topological equals);
+    supported for area×area and point×point operands."""
+    if isinstance(ga, Point) and isinstance(gb, Point):
+        return ga.x == gb.x and ga.y == gb.y
+    return covers_pair(ga, gb) and covers_pair(gb, ga)
+
+
 def distance_pair(ga, gb) -> float:
     """JTS-`distance` for any geometry pair (0 when intersecting)."""
     if intersects_pair(ga, gb):

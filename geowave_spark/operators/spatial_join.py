@@ -610,6 +610,20 @@ def anti_join_matches(points: DataFrame, pairs: DataFrame, point_id: str = "imag
     return points.join(pairs.select(point_id), point_id, "left_anti")
 
 
+def _pairwise_refine(j: DataFrame, predicate: str, radius: float) -> DataFrame:
+    """Shared exact pairwise refine over (_lwkt, _rwkt) candidate columns:
+    intersects / dwithin / within (left in right) / covers (left covers
+    right) — the registered UDF family (GeomFunctionRegistry.java:26-42)."""
+    la, ra = F.col("_lwkt"), F.col("_rwkt")
+    if predicate == "intersects":
+        return j.filter(geo_udfs.st_intersects_wkt(la, ra))
+    if predicate == "dwithin":
+        return j.filter(geo_udfs.st_distance_wkt(la, ra) <= F.lit(float(radius)))
+    if predicate == "within":
+        return j.filter(geo_udfs.st_within_wkt(la, ra))
+    return j.filter(geo_udfs.st_covers_wkt(la, ra))
+
+
 def geometry_join(
     left: DataFrame,
     right: DataFrame,
@@ -652,7 +666,7 @@ def geometry_join(
 
     from .. import geom
 
-    if predicate not in ("intersects", "dwithin"):
+    if predicate not in ("intersects", "dwithin", "within", "covers"):
         raise ValueError(f"unknown predicate {predicate!r}")
     buffer = radius if predicate == "dwithin" else 0.0
     spark = left.sparkSession
@@ -723,12 +737,7 @@ def geometry_join(
         & (F.col("_ly0") <= F.col("_ry1")) & (F.col("_ly1") >= F.col("_ry0"))
     ) | (F.col("_rx1") > 180.0)
     j = j.filter(prefilter).join(right_wkts, "_rid")
-    if predicate == "intersects":
-        j = j.filter(geo_udfs.st_intersects_wkt(F.col("_lwkt"), F.col("_rwkt")))
-    else:
-        j = j.filter(
-            geo_udfs.st_distance_wkt(F.col("_lwkt"), F.col("_rwkt")) <= F.lit(float(radius))
-        )
+    j = _pairwise_refine(j, predicate, radius)
     return (
         j.select(F.col(left_id), F.col("_rid").alias(right_id))
         .dropDuplicates([left_id, right_id])
@@ -770,7 +779,7 @@ def geometry_join_shuffle(
     splits the wrap) or should be pre-split by the caller — here their
     envelope is clamped into range, keeping only the in-range extent.
     """
-    if predicate not in ("intersects", "dwithin"):
+    if predicate not in ("intersects", "dwithin", "within", "covers"):
         raise ValueError(f"unknown predicate {predicate!r}")
     buffer = radius if predicate == "dwithin" else 0.0
 
@@ -823,12 +832,7 @@ def geometry_join_shuffle(
         j = pairs.join(
             lb.select(left_id, "_lwkt"), left_id
         ).join(rb.select(right_id, "_rwkt"), right_id)
-    if predicate == "intersects":
-        j = j.filter(geo_udfs.st_intersects_wkt(F.col("_lwkt"), F.col("_rwkt")))
-    else:
-        j = j.filter(
-            geo_udfs.st_distance_wkt(F.col("_lwkt"), F.col("_rwkt")) <= F.lit(float(radius))
-        )
+    j = _pairwise_refine(j, predicate, radius)
     out = j.select(left_id, right_id)
     return out if not carry_wkt else out.dropDuplicates([left_id, right_id])
 

@@ -122,3 +122,36 @@ def test_pairwise_distance_intersects_consistency_random():
         bx0, by0, bx1, by1 = b.bbox
         if ax1 < bx0 or bx1 < ax0 or ay1 < by0 or by1 < ay0:
             assert d > 0.0
+
+
+def test_covers_within_equals_family():
+    """covers/within/equals over boxes, holes, multipolygons, lines and
+    points — including the B-contains-a-hole-of-A case."""
+    from geowave_spark import geom
+
+    P = geom.geometry_from_wkt
+    hole = P("POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0), (5 5, 15 5, 15 15, 5 15, 5 5))")
+    sq = P("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    cases = [
+        (P("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"), sq, True),
+        (P("POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))"), sq, True),      # edge touch
+        (P("POLYGON ((3 3, 5 3, 5 5, 3 5, 3 3))"), sq, False),     # partially out
+        (P("POLYGON ((1 1, 4 1, 4 4, 1 4, 1 1))"), hole, True),    # in ring region
+        (P("POLYGON ((7 7, 9 7, 9 9, 7 9, 7 7))"), hole, False),   # in hole
+        (P("POLYGON ((3 3, 8 3, 8 8, 3 8, 3 3))"), hole, False),   # overlaps hole
+        (P("POLYGON ((2 2, 18 2, 18 18, 2 18, 2 2))"), hole, False),  # contains hole
+        (P("LINESTRING (1 1, 3 3)"), sq, True),
+        (P("LINESTRING (1 1, 9 9)"), sq, False),
+        (P("LINESTRING (2 10, 18 10)"), hole, False),              # crosses hole
+        (P("POINT (0 2)"), sq, True),                              # boundary point
+    ]
+    for b, a, want in cases:
+        assert geom.within_pair(b, a) == want
+        assert geom.covers_pair(a, b) == want
+    assert geom.equals_pair(sq, P("POLYGON ((4 0, 4 4, 0 4, 0 0, 4 0))"))
+    assert not geom.equals_pair(sq, hole)
+    try:
+        geom.covers_pair(P("LINESTRING (0 0, 1 1)"), P("LINESTRING (0 0, 1 1)"))
+        raise AssertionError("line-covers-line should be explicitly unsupported")
+    except ValueError:
+        pass

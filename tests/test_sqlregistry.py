@@ -92,3 +92,17 @@ def test_geometry_pair_sql_functions(spark):
         "st_dwithin('POINT (0 3)', 'LINESTRING (4 3, 9 3)', 4.5) AS w"
     ).collect()[0]
     assert rows["i"] is True and rows["d"] == 4.0 and rows["w"] is True
+
+
+def test_covers_within_equals_sql_functions(spark):
+    from geowave_spark.functions.sqlregistry import register_sql_udfs
+
+    register_sql_udfs(spark)
+    r = spark.sql(
+        "SELECT st_within('POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))', "
+        "'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') AS w, "
+        "st_covers('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', 'POINT (2 2)') AS c, "
+        "st_equals('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', "
+        "'POLYGON ((4 0, 4 4, 0 4, 0 0, 4 0))') AS e"
+    ).collect()[0]
+    assert r["w"] is True and r["c"] is True and r["e"] is True
