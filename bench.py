@@ -30,6 +30,7 @@ HEADLINE = [
     "line_dwithin_join",
     "line_intersects_join",
     "poly_poly_join",
+    "poly_within_join",
     "extent_join_tiered",
     "extent_join_bigbig",
     "knn_join",
