@@ -70,3 +70,20 @@ def test_geometry_frame_join_paths(spark):
     sh = sorted(map(tuple, gf.join(tracks, "track_id", broadcast=False).collect()))
     auto = sorted(map(tuple, gf.join(tracks, "track_id", broadcast=None).collect()))
     assert bc == sh == auto and len(bc) > 0
+
+
+def test_geometry_frame_within_predicate(spark):
+    from geowave_spark.api import GeometryFrame
+    from geowave_spark import entry_queries as eq
+
+    ext = eq._event_box_wkt_df(spark, "/root/testdata/sf0.001").withColumnRenamed(
+        "event_id", "ext_id"
+    )
+    polys = spark.createDataFrame(eq.GEOM_POLYGONS, ["poly_id", "wkt"])
+    gf = GeometryFrame(ext, "ext_id", bbox_cols=("bx0", "by0", "bx1", "by1"))
+    got = gf.join(polys, "poly_id", predicate="within")
+    n = got.count()
+    # every within pair must also be an intersects pair
+    inter = {tuple(r) for r in gf.join(polys, "poly_id").collect()}
+    w = {tuple(r) for r in got.collect()}
+    assert n > 0 and w <= inter
