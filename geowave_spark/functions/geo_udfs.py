@@ -201,20 +201,56 @@ def st_distance_wkt(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
     return pd.Series(got, dtype=np.float64)
 
 
-def _covers_group(gb, left_wkts: np.ndarray, scalar_fn) -> np.ndarray:
-    """Right-geometry group kernel for covers/within: boxes vectorize via
-    interval algebra; the rest fall back to the scalar kernel."""
+def _within_group(gb, left_wkts: np.ndarray, scalar_fn) -> np.ndarray:
+    """left-WITHIN-gb group kernel: when gb is a closed box, ANY left
+    geometry is within it iff its bbox is — one vectorized interval test
+    per group; non-box gb falls back to the scalar kernel per pair."""
     gs = [geom.geometry_from_wkt(w) for w in left_wkts]
     out = np.zeros(len(gs), dtype=bool)
+    if isinstance(gb, geom.Polygon) and gb.is_box():
+        bx0, by0, bx1, by1 = gb.bbox
+        arr = np.array([g.bbox for g in gs], dtype=np.float64)
+        return (
+            (arr[:, 0] >= bx0) & (arr[:, 1] >= by0)
+            & (arr[:, 2] <= bx1) & (arr[:, 3] <= by1)
+        )
     for i, g in enumerate(gs):
         out[i] = scalar_fn(g, gb)
+    return out
+
+
+def _covers_group(gb, left_wkts: np.ndarray, scalar_fn) -> np.ndarray:
+    """left-COVERS-gb group kernel: a box left covers gb iff gb's bbox
+    fits inside it (closed convex box) — vectorized; other left classes
+    fall back to the scalar kernel."""
+    gs = [geom.geometry_from_wkt(w) for w in left_wkts]
+    out = np.zeros(len(gs), dtype=bool)
+    gx0, gy0, gx1, gy1 = gb.bbox
+    box_idx = [i for i, g in enumerate(gs) if isinstance(g, geom.Polygon) and g.is_box()]
+    if box_idx:
+        arr = np.array([gs[i].bbox for i in box_idx], dtype=np.float64)
+        out[box_idx] = (
+            (arr[:, 0] <= gx0) & (arr[:, 1] <= gy0)
+            & (arr[:, 2] >= gx1) & (arr[:, 3] >= gy1)
+        )
+    excl = set(box_idx)
+    for i in range(len(gs)):
+        if i not in excl:
+            out[i] = scalar_fn(gs[i], gb)
+    return out
+
+
+def _scalar_group(gb, left_wkts: np.ndarray, scalar_fn) -> np.ndarray:
+    out = np.zeros(len(left_wkts), dtype=bool)
+    for i, w in enumerate(left_wkts):
+        out[i] = scalar_fn(geom.geometry_from_wkt(w), gb)
     return out
 
 
 @F.pandas_udf(T.BooleanType())
 def st_within_wkt(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
     """A within B (inclusive coveredBy — GeomWithin/GeomCovers family)."""
-    got = _group_vectorized(wkt_a, wkt_b, geom.within_pair, _covers_group)
+    got = _group_vectorized(wkt_a, wkt_b, geom.within_pair, _within_group)
     return pd.Series(got.astype(bool))
 
 
@@ -227,8 +263,8 @@ def st_covers_wkt(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
 
 @F.pandas_udf(T.BooleanType())
 def st_equals_wkt(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
-    """Topological equality (GeomEquals) as mutual coverage."""
-    got = _group_vectorized(wkt_a, wkt_b, geom.equals_pair, _covers_group)
+    """Topological equality (GeomEquals)."""
+    got = _group_vectorized(wkt_a, wkt_b, geom.equals_pair, _scalar_group)
     return pd.Series(got.astype(bool))
 
 

@@ -35,6 +35,9 @@ SQL_UDFS = {
     "st_intersects": "boolean",
     "st_distance": "double",
     "st_dwithin": "boolean",
+    "st_covers": "boolean",
+    "st_within": "boolean",
+    "st_equals": "boolean",
 }
 
 

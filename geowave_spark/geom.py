@@ -563,19 +563,25 @@ def covers_pair(ga, gb) -> bool:
     if _segments_proper_cross_any(ga.segments(), S):
         return False
     # a hole of ga lying strictly inside gb punches gb out of ga even
-    # though no gb vertex/edge touches it: a hole vertex strictly interior
-    # to gb witnesses that (any other overlap is caught above)
+    # though no gb vertex/edge touches it: witness via hole vertices AND
+    # hole-edge midpoints strictly interior to gb (the midpoints close the
+    # inscribed-diamond case where every hole vertex sits exactly on gb's
+    # boundary; like the outer test, configurations where every sampled
+    # hole point lies precisely on gb's boundary remain the documented
+    # measure-zero escape)
     if _has_area(gb):
+        Sg = gb.segments()
         for hole in _hole_rings(ga):
-            hx, hy = hole[:-1, 0], hole[:-1, 1]
-            strict = gb.contains(hx, hy)
-            for Sg in (gb.segments(),):
-                for i in np.nonzero(strict)[0]:
-                    on = _on_segment_exact(
-                        hx[i], hy[i], Sg[:, 0], Sg[:, 1], Sg[:, 2], Sg[:, 3]
-                    ).any()
-                    if not on:
-                        return False
+            hx = np.concatenate([hole[:-1, 0], (hole[:-1, 0] + hole[1:, 0]) / 2.0])
+            hy = np.concatenate([hole[:-1, 1], (hole[:-1, 1] + hole[1:, 1]) / 2.0])
+            strict = np.nonzero(gb.contains(hx, hy))[0]
+            if strict.size:
+                on_boundary = _on_segment_exact(
+                    hx[strict][:, None], hy[strict][:, None],
+                    Sg[None, :, 0], Sg[None, :, 1], Sg[None, :, 2], Sg[None, :, 3],
+                ).any(axis=1)
+                if not bool(on_boundary.all()):
+                    return False
     return True
 
 
@@ -593,10 +599,24 @@ def within_pair(ga, gb) -> bool:
 
 
 def equals_pair(ga, gb) -> bool:
-    """Geometric equality as mutual coverage (JTS topological equals);
-    supported for area×area and point×point operands."""
-    if isinstance(ga, Point) and isinstance(gb, Point):
-        return ga.x == gb.x and ga.y == gb.y
+    """Geometric equality: mutual coverage for area×area, coordinate
+    equality for points, vertex-chain equality (forward or reversed) for
+    linestrings; mixed-dimension operands are never equal (JTS GeomEquals
+    returns false there, it does not error)."""
+    if isinstance(ga, Point) or isinstance(gb, Point):
+        return (
+            isinstance(ga, Point) and isinstance(gb, Point)
+            and ga.x == gb.x and ga.y == gb.y
+        )
+    a_area, b_area = _has_area(ga), _has_area(gb)
+    if a_area != b_area:
+        return False
+    if not a_area:  # line × line: same vertex chain either direction
+        ca = ga.vertices()
+        cb = gb.vertices()
+        return len(ca) == len(cb) and (
+            bool(np.array_equal(ca, cb)) or bool(np.array_equal(ca, cb[::-1]))
+        )
     return covers_pair(ga, gb) and covers_pair(gb, ga)
 
 

@@ -155,3 +155,21 @@ def test_covers_within_equals_family():
         raise AssertionError("line-covers-line should be explicitly unsupported")
     except ValueError:
         pass
+
+
+def test_covers_equals_review_counterexamples():
+    """Regressions from the r2 review: the inscribed-diamond hole case and
+    equals over mixed/line operands."""
+    from geowave_spark import geom
+
+    P = geom.geometry_from_wkt
+    ga = P("POLYGON ((-1 -1, 3 -1, 3 3, -1 3, -1 -1), "
+           "(0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))")
+    diamond = P("POLYGON ((0 1, 1 0, 2 1, 1 2, 0 1))")  # hole inscribed in it
+    assert not geom.covers_pair(ga, diamond)
+
+    sq = P("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    assert not geom.equals_pair(P("POINT (1 1)"), sq)
+    assert not geom.equals_pair(sq, P("LINESTRING (0.5 0.5, 1 1)"))
+    assert geom.equals_pair(P("LINESTRING (0 0, 1 1, 2 0)"), P("LINESTRING (2 0, 1 1, 0 0)"))
+    assert not geom.equals_pair(P("LINESTRING (0 0, 1 1)"), P("LINESTRING (0 0, 2 2)"))
