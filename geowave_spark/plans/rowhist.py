@@ -81,18 +81,34 @@ def load_histogram(spark: SparkSession, path: str) -> list[tuple[int, int, int]]
 
 def split_points(hist: list[tuple[int, int, int]], n_splits: int) -> list[int]:
     """N-way balanced key boundaries from the histogram (SplitsProvider's
-    even-row-share objective): walk cumulative counts, cut at each 1/n of
-    the total.  Returns n_splits-1 ascending cut keys."""
+    even-row-share objective): for each target cumulative share i/n pick
+    the unused bin edge with the nearest cumulative row count.  Always
+    returns n_splits-1 distinct ascending cut keys when the histogram has
+    that many distinct edges (a hot bin absorbing several targets borrows
+    its neighbors' edges instead of collapsing cuts)."""
     total = sum(n for _, _, n in hist)
     if total == 0 or n_splits <= 1:
         return []
-    cuts, acc, next_cut = [], 0, total / n_splits
-    for lo, hi, n in hist:
+    cum: dict[int, int] = {}
+    acc = 0
+    for _, hi, n in hist[:-1]:  # last hi is the open upper bound, not a cut
         acc += n
-        while acc >= next_cut and len(cuts) < n_splits - 1:
-            cuts.append(hi)
-            next_cut = total * (len(cuts) + 1) / n_splits
-    return sorted(set(cuts))[: n_splits - 1]
+        cum[hi] = acc  # identical edges keep the last cumulative
+    items = sorted(cum.items())
+    chosen: set[int] = set()
+    used_cums: set[int] = {0, total}  # two cuts at equal cum = an empty share
+    for i in range(1, n_splits):
+        target = total * i / n_splits
+        best = min(
+            (e for e in items if e[0] not in chosen and e[1] not in used_cums),
+            key=lambda e: abs(e[1] - target),
+            default=None,
+        )
+        if best is None:
+            break
+        chosen.add(best[0])
+        used_cums.add(best[1])
+    return sorted(chosen)
 
 
 def estimate_rows(
@@ -117,6 +133,29 @@ def estimate_rows(
                 est += n * (ov / (bhi - blo))
             i += 1
     return est
+
+
+def _hash_slot_tokens(spark: SparkSession, n: int) -> list[int]:
+    """For each partition slot i in [0, n) find the smallest int token with
+    ``pmod(murmur3(token), n) == i`` — so ``repartition(n, token_col)``
+    (HashPartitioning, same Murmur3 as ``F.hash``) routes rows to exact
+    partitions without range-boundary sampling."""
+    m = max(64, 16 * n)
+    while True:
+        rows = (
+            spark.range(m)
+            .select(
+                F.col("id").cast("int").alias("tok"),
+                F.pmod(F.hash(F.col("id").cast("int")), F.lit(n)).alias("slot"),
+            )
+            .groupBy("slot")
+            .agg(F.min("tok").alias("tok"))
+            .collect()
+        )
+        if len(rows) == n:
+            by_slot = {r["slot"]: r["tok"] for r in rows}
+            return [by_slot[i] for i in range(n)]
+        m *= 4  # vanishingly rare: some slot unhit in 16n probes
 
 
 def write_indexed_balanced(
@@ -149,13 +188,21 @@ def write_indexed_balanced(
         if cuts
         else F.lit(0)
     )
+    n_parts = len(cuts) + 1
+    # Exact fid→partition routing.  repartitionByRange picks boundaries by
+    # SAMPLING and can merge two fids into one partition under skew (and
+    # plain repartition(n, fid) hash-collides fids), so neither guarantees
+    # one file per split.  Instead map each fid to a token whose Murmur3
+    # hash lands in its own partition slot — the shuffle is then an exact,
+    # deterministic routing with no sampling (and no driver data collect:
+    # the token probe is an O(n_files) metadata job).
+    tokens = _hash_slot_tokens(df.sparkSession, n_parts)
+    tok = F.element_at(F.array(*[F.lit(t) for t in tokens]), fid + 1).cast("int")
     (
-        out.withColumn("_fid", fid)
-        # range-partition on the small ordered fid domain: one fid per
-        # file (hash partitioning could collide two fids into one file)
-        .repartitionByRange(max(len(cuts) + 1, 1), F.col("_fid"))
+        out.withColumn("_tok", tok)
+        .repartition(n_parts, F.col("_tok"))
         .sortWithinPartitions("cell")
-        .drop("_fid")
+        .drop("_tok")
         .write.mode("overwrite")
         .parquet(path)
     )

@@ -90,8 +90,9 @@ def test_histogram_roundtrip_and_estimates(spark, tmp_path):
 def test_split_points_even_shares():
     hist = [(0, 100, 1000), (100, 200, 10), (200, 300, 10), (300, 400, 980)]
     # total 2000, target 500/share; bin granularity caps what's reachable:
-    # the two heavy bins force cuts at their upper bounds
-    assert rowhist.split_points(hist, 4) == [100, 400]
+    # the heavy first bin absorbs two targets, so the remaining cuts borrow
+    # the neighboring edges — n-1 distinct cuts, no empty share
+    assert rowhist.split_points(hist, 4) == [100, 200, 300]
     fine = [(i * 10, (i + 1) * 10, 100) for i in range(40)]  # uniform
     cuts = rowhist.split_points(fine, 4)
     assert cuts == [100, 200, 300]
