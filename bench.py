@@ -29,8 +29,10 @@ HEADLINE = [
     "dwithin_join",
     "line_dwithin_join",
     "line_intersects_join",
+    "line_crosses_join",
     "poly_poly_join",
     "poly_within_join",
+    "extent_touches_join",
     "extent_join_tiered",
     "extent_join_bigbig",
     "knn_join",

@@ -143,18 +143,25 @@ def cell_to_bounds(cell: np.ndarray, tier: int) -> tuple[np.ndarray, ...]:
 # Bounding-box covers and the adaptive tier rule
 # ---------------------------------------------------------------------------
 
-def _grid_range(nmin: float, nmax: float, tier: int) -> tuple[int, int]:
+def _grid_range(
+    nmin: float, nmax: float, tier: int, closed: bool = False
+) -> tuple[int, int]:
     """Inclusive grid-coordinate range covering normalized [nmin, nmax].
 
     A max value lying exactly on a cell boundary does NOT open the next cell —
     this is what makes a bbox exactly matching a tier-t cell produce exactly
     one id at tier t (TieredSFCIndexStrategyTest.java:140-168).
+
+    ``closed=True`` keeps the boundary cell open (plain floor — the same
+    convention as the Column-math covers in sqlcells/_extent_cells): a
+    QUERY-side cover must meet partners that only touch the extent's upper
+    edge, which live in the next cell.
     """
     r = 1 << tier
     g0 = min(max(int(np.floor(nmin * r)), 0), r - 1)
     hi = nmax * r
     g1 = int(np.floor(hi))
-    if g1 == hi and g1 > g0:  # exactly on boundary → stay in previous cell
+    if not closed and g1 == hi and g1 > g0:  # exactly on boundary → previous cell
         g1 -= 1
     g1 = min(max(g1, g0), r - 1)
     return g0, g1
@@ -224,13 +231,14 @@ def tier_for_bbox(
 
 
 def cells_for_bbox_at_tier(
-    bbox: tuple[float, float, float, float], tier: int, cap: int | None = None
+    bbox: tuple[float, float, float, float], tier: int, cap: int | None = None,
+    closed: bool = False,
 ) -> np.ndarray:
     """All covering cell ids of bbox at a fixed tier (ordered, deduped)."""
     out = []
     for b in split_bbox_antimeridian(bbox):
-        x0, x1 = _grid_range(norm_lon(b[0]).item(), norm_lon_upper(b[2]), tier)
-        y0, y1 = _grid_range(norm_lat(b[1]).item(), norm_lat(b[3]).item(), tier)
+        x0, x1 = _grid_range(norm_lon(b[0]).item(), norm_lon_upper(b[2]), tier, closed)
+        y0, y1 = _grid_range(norm_lat(b[1]).item(), norm_lat(b[3]).item(), tier, closed)
         xs = np.arange(x0, x1 + 1, dtype=np.int64)
         ys = np.arange(y0, y1 + 1, dtype=np.int64)
         gx, gy = np.meshgrid(xs, ys)
@@ -245,13 +253,16 @@ def cells_for_bbox(
     bbox: tuple[float, float, float, float],
     max_dup: int = DEFAULT_MAX_DUP,
     max_tier: int = MAX_TIER,
+    closed: bool = False,
 ) -> tuple[int, np.ndarray]:
     """Adaptive (tier, covering cells) for an extent — the insert path.
 
     Returns the finest tier with <= max_dup covering cells and those cells.
+    ``closed``: boundary-closed upper edges (query-side covers; see
+    _grid_range).
     """
     t = tier_for_bbox(bbox, max_dup=max_dup, max_tier=max_tier)
-    return t, cells_for_bbox_at_tier(bbox, t)
+    return t, cells_for_bbox_at_tier(bbox, t, closed=closed)
 
 
 def neighbor_cells(lon: float, lat: float, tier: int, ring: int = 1) -> np.ndarray:

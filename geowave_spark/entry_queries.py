@@ -424,6 +424,83 @@ def q_poly_within_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# integer-grid boxes for the interior-aware predicate joins: event boxes
+# snapped to the 1° grid share edges/corners with these integer polygons, so
+# `touches` (boundary-only contact) actually occurs in the data
+SNAP_POLYGONS: list[tuple[str, int, int, int, int]] = [
+    ("snap_eu", 0, 40, 30, 60),
+    ("snap_us", -120, 30, -80, 50),
+    ("snap_sa", -70, -30, -40, 0),
+    ("snap_asia", 60, 10, 110, 45),
+    ("snap_oce", 110, -40, 155, -10),
+    ("snap_af", -10, -30, 40, 20),
+    ("snap_north", -180, 60, 180, 86),
+    ("snap_south", -180, -86, 180, -60),
+]
+
+
+def _event_snap_box_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event extents snapped to the integer degree grid (1-3° × 1-2°
+    boxes), so exact boundary contact against SNAP_POLYGONS exists."""
+    ev = _events(spark, sf_dir)
+    x0 = F.least(F.floor(F.col("lon")), F.lit(176)).cast("int")
+    y0 = F.least(F.floor(F.col("lat")), F.lit(86)).cast("int")
+    x1 = (x0 + (F.col("event_id") % 3 + 1)).cast("int")
+    y1 = (y0 + (F.col("event_id") % 2 + 1)).cast("int")
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        x0, F.lit(" "), y0, F.lit(", "),
+        x1, F.lit(" "), y0, F.lit(", "),
+        x1, F.lit(" "), y1, F.lit(", "),
+        x0, F.lit(" "), y1, F.lit(", "),
+        x0, F.lit(" "), y0, F.lit("))"),
+    )
+    return ev.select(
+        "event_id", wkt.alias("wkt"),
+        x0.cast("double").alias("bx0"), y0.cast("double").alias("by0"),
+        x1.cast("double").alias("bx1"), y1.cast("double").alias("by1"),
+    )
+
+
+def _snap_poly_df(spark: SparkSession) -> DataFrame:
+    rows = [(pid, box_wkt(x0, y0, x1, y1)) for pid, x0, y0, x1, y1 in SNAP_POLYGONS]
+    return spark.createDataFrame(rows, ["polygon_id", "wkt"])
+
+
+def q_extent_touches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-only contact (GeomTouches) over the snapped-grid workload
+    via the general geometry join — interiors must NOT intersect."""
+    ext = _event_snap_box_df(spark, sf_dir)
+    return spatial_join.geometry_join(
+        ext, _snap_poly_df(spark), predicate="touches",
+        left_id="event_id", right_id="polygon_id",
+        left_bbox_cols=("bx0", "by0", "bx1", "by1"),
+    )
+
+
+def q_extent_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial interior overlap (GeomOverlaps): interiors intersect and
+    neither geometry covers the other."""
+    ext = _event_snap_box_df(spark, sf_dir)
+    return spatial_join.geometry_join(
+        ext, _snap_poly_df(spark), predicate="overlaps",
+        left_id="event_id", right_id="polygon_id",
+        left_bbox_cols=("bx0", "by0", "bx1", "by1"),
+    )
+
+
+def q_line_crosses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINESTRING segments crossing polygon interiors (GeomCrosses): the
+    line passes through the interior AND exits the closed polygon."""
+    segs = _event_seg_df(spark, sf_dir)
+    polys = _poly_df(spark, [p for p in PIP_POLYGONS if p[0].startswith(("big_", "mid_", "small_"))])
+    return spatial_join.geometry_join(
+        segs, polys, predicate="crosses",
+        left_id="event_id", right_id="polygon_id",
+        left_bbox_cols=("bx0", "by0", "bx1", "by1"),
+    )
+
+
 def q_extent_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General tiered join: derived per-event extents × polygon workload."""
     ex = _event_extents(spark, sf_dir).withColumnRenamed("event_id", "extent_id")
@@ -1043,6 +1120,85 @@ def _oracle_line_intersects() -> str:
     )
 
 
+_SQL_SNAP_BOX = (
+    "eb AS (SELECT event_id, "
+    "CAST(least(floor(lon), CAST(176 AS DOUBLE)) AS DOUBLE) AS x0, "
+    "CAST(least(floor(lat), CAST(86 AS DOUBLE)) AS DOUBLE) AS y0, "
+    "CAST(least(floor(lon), CAST(176 AS DOUBLE)) + (event_id % 3 + 1) AS DOUBLE) AS x1, "
+    "CAST(least(floor(lat), CAST(86 AS DOUBLE)) + (event_id % 2 + 1) AS DOUBLE) AS y1 "
+    "FROM ev)"
+)
+
+# closed-box interval algebra — EXACT geometry semantics for axis-aligned
+# boxes (what the snapped workload is made of)
+_SQL_BOX_IX = "e.x0 <= p.x1 AND p.x0 <= e.x1 AND e.y0 <= p.y1 AND p.y0 <= e.y1"
+_SQL_BOX_INTERIORS = "e.x0 < p.x1 AND p.x0 < e.x1 AND e.y0 < p.y1 AND p.y0 < e.y1"
+_SQL_E_COV_P = "e.x0 <= p.x0 AND e.y0 <= p.y0 AND e.x1 >= p.x1 AND e.y1 >= p.y1"
+_SQL_P_COV_E = "p.x0 <= e.x0 AND p.y0 <= e.y0 AND p.x1 >= e.x1 AND p.y1 >= e.y1"
+
+
+def _oracle_extent_touches() -> str:
+    return (
+        f"WITH {EV_CTE}, {_SQL_SNAP_BOX}, {_sql_poly_values(SNAP_POLYGONS)} "
+        f"SELECT DISTINCT e.event_id, p.polygon_id FROM eb e JOIN p ON "
+        f"({_SQL_BOX_IX}) AND NOT ({_SQL_BOX_INTERIORS})"
+    )
+
+
+def _oracle_extent_overlaps() -> str:
+    return (
+        f"WITH {EV_CTE}, {_SQL_SNAP_BOX}, {_sql_poly_values(SNAP_POLYGONS)} "
+        f"SELECT DISTINCT e.event_id, p.polygon_id FROM eb e JOIN p ON "
+        f"({_SQL_BOX_INTERIORS}) AND NOT ({_SQL_E_COV_P}) AND NOT ({_SQL_P_COV_E})"
+    )
+
+
+def _sql_seg_proper_cross(a, b) -> str:
+    """Proper segment crossing — interiors cross, touch/collinear excluded
+    (geom._segments_proper_cross_any for a single pair)."""
+    o1 = _sql_cross(a[0], a[1], a[2], a[3], b[0], b[1])
+    o2 = _sql_cross(a[0], a[1], a[2], a[3], b[2], b[3])
+    o3 = _sql_cross(b[0], b[1], b[2], b[3], a[0], a[1])
+    o4 = _sql_cross(b[0], b[1], b[2], b[3], a[2], a[3])
+    return f"({o1} * {o2} < 0 AND {o3} * {o4} < 0)"
+
+
+def _oracle_line_crosses() -> str:
+    """crosses(segment, box) in pure SQL, the exact decomposition of the
+    engine's kernel: (proper cross with any box edge OR a witness sample —
+    endpoint/midpoint — strictly inside) AND NOT both endpoints in the
+    closed box."""
+    seg = ("es.ax", "es.ay", "es.bx", "es.by")
+    edges = [
+        ("p.x0", "p.y0", "p.x1", "p.y0"),
+        ("p.x1", "p.y0", "p.x1", "p.y1"),
+        ("p.x1", "p.y1", "p.x0", "p.y1"),
+        ("p.x0", "p.y1", "p.x0", "p.y0"),
+    ]
+    proper = " OR ".join(_sql_seg_proper_cross(seg, e) for e in edges)
+    strict = " OR ".join(
+        f"({px} > p.x0 AND {px} < p.x1 AND {py} > p.y0 AND {py} < p.y1)"
+        for px, py in (
+            ("es.ax", "es.ay"),
+            ("es.bx", "es.by"),
+            ("(es.ax + es.bx) / CAST(2.0 AS DOUBLE)", "(es.ay + es.by) / CAST(2.0 AS DOUBLE)"),
+        )
+    )
+    covered = (
+        "es.ax >= p.x0 AND es.ax <= p.x1 AND es.ay >= p.y0 AND es.ay <= p.y1 "
+        "AND es.bx >= p.x0 AND es.bx <= p.x1 AND es.by >= p.y0 AND es.by <= p.y1"
+    )
+    polys = [p for p in PIP_POLYGONS if p[0].startswith(("big_", "mid_", "small_"))]
+    return (
+        f"WITH {EV_CTE}, {_sql_poly_values(polys)}, "
+        "es AS (SELECT event_id, lon AS ax, lat AS ay, "
+        f"least(lon + CAST({3.0!r} AS DOUBLE), CAST({179.9!r} AS DOUBLE)) AS bx, "
+        f"least(lat + CAST({1.5!r} AS DOUBLE), CAST({89.9!r} AS DOUBLE)) AS by FROM ev) "
+        f"SELECT DISTINCT es.event_id, p.polygon_id FROM es JOIN p ON "
+        f"(({proper}) OR ({strict})) AND NOT ({covered})"
+    )
+
+
 def _oracle_poly_poly() -> str:
     """Box extents × {boxes, rect-with-rect-hole, multipolygon of boxes}:
     each case reduces to exact interval algebra (boundary-inclusive
@@ -1601,6 +1757,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_intersects_join": q_line_intersects,
     "poly_poly_join": q_poly_poly_join,
     "poly_within_join": q_poly_within_join,
+    "extent_touches_join": q_extent_touches,
+    "extent_overlaps_join": q_extent_overlaps,
+    "line_crosses_join": q_line_crosses,
     "extent_join_tiered": q_extent_join,
     "extent_join_bigbig": q_extent_join_bigbig,
     "knn_join": q_knn_join,
@@ -1658,6 +1817,9 @@ def build_oracles() -> dict[str, str]:
         "line_intersects_join": _oracle_line_intersects(),
         "poly_poly_join": _oracle_poly_poly(),
         "poly_within_join": _oracle_poly_within(),
+        "extent_touches_join": _oracle_extent_touches(),
+        "extent_overlaps_join": _oracle_extent_overlaps(),
+        "line_crosses_join": _oracle_line_crosses(),
         "extent_join_tiered": _oracle_extent_join(),
         "extent_join_bigbig": _oracle_extent_join_bigbig(),
         "knn_join": _oracle_knn(),

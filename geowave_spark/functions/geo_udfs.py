@@ -42,6 +42,7 @@ def cover_keys(
     max_cells: int = cells.JOIN_MAX_CELLS,
     buffer: float = 0.0,
     trim: bool = True,
+    closed: bool = False,
 ) -> pd.Series:
     """WKT series → list[int64] packed covering keys (adaptive tier).
 
@@ -49,12 +50,20 @@ def cover_keys(
     cover = adaptive-tier cells of the bbox, trimmed to cells the true
     geometry touches (RDDUtils.trimIndexIds:158-184) — for a diagonal
     LINESTRING track the trim drops the off-diagonal bbox cells.
+
+    ``closed=True`` makes the cover boundary-CLOSED on the upper edges: an
+    extent whose max lon/lat lies exactly on a cell line also covers the
+    adjacent cell (nextafter nudge).  The insert-path default keeps the
+    reference's exact-fit rule (one id for a tier-aligned extent,
+    TieredSFCIndexStrategyTest.java:140-168); query-side covers in the
+    general geometry join need the closed form so boundary-only contact
+    (touches, shared edges) still meets the partner's keys.
     """
     out = []
     for wkt in wkts:
         p = geom.geometry_from_wkt(wkt)
         bbox = _ring_bbox(p, buffer)
-        tier, cs = cells.cells_for_bbox(bbox, max_dup=max_cells)
+        tier, cs = cells.cells_for_bbox(bbox, max_dup=max_cells, closed=closed)
         if trim and not buffer and cs.size > 3:
             # drop covering cells that miss the true geometry; for unwrapped
             # antimeridian polygons also test the +360-shifted copy
@@ -266,6 +275,125 @@ def st_equals_wkt(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
     """Topological equality (GeomEquals)."""
     got = _group_vectorized(wkt_a, wkt_b, geom.equals_pair, _scalar_group)
     return pd.Series(got.astype(bool))
+
+
+def _box_interval_group(gb, left_wkts: np.ndarray, scalar_fn, box_formula):
+    """Shared box×box fast path: when gb is a closed box and a left geometry
+    is a box, the predicate reduces to exact interval algebra —
+    ``box_formula(a, b)`` vectorized over the left boxes; everything else
+    falls back to the scalar kernel."""
+    gs = [geom.geometry_from_wkt(w) for w in left_wkts]
+    out = np.zeros(len(gs), dtype=bool)
+    excl: set[int] = set()
+    if isinstance(gb, geom.Polygon) and gb.is_box():
+        box_idx = [i for i, g in enumerate(gs) if isinstance(g, geom.Polygon) and g.is_box()]
+        if box_idx:
+            a = np.array([gs[i].bbox for i in box_idx], dtype=np.float64)
+            out[box_idx] = box_formula(a, np.array(gb.bbox, dtype=np.float64))
+            excl = set(box_idx)
+    for i in range(len(gs)):
+        if i not in excl:
+            out[i] = scalar_fn(gs[i], gb)
+    return out
+
+
+def _box_touches(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    ix = (a[:, 0] <= b[2]) & (b[0] <= a[:, 2]) & (a[:, 1] <= b[3]) & (b[1] <= a[:, 3])
+    interiors = (a[:, 0] < b[2]) & (b[0] < a[:, 2]) & (a[:, 1] < b[3]) & (b[1] < a[:, 3])
+    return ix & ~interiors
+
+
+def _box_overlaps(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    interiors = (a[:, 0] < b[2]) & (b[0] < a[:, 2]) & (a[:, 1] < b[3]) & (b[1] < a[:, 3])
+    a_cov_b = (a[:, 0] <= b[0]) & (a[:, 1] <= b[1]) & (a[:, 2] >= b[2]) & (a[:, 3] >= b[3])
+    b_cov_a = (b[0] <= a[:, 0]) & (b[1] <= a[:, 1]) & (b[2] >= a[:, 2]) & (b[3] >= a[:, 3])
+    return interiors & ~a_cov_b & ~b_cov_a
+
+
+def _box_contains(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    # positive-area b inside closed a always shares interior → covers==contains
+    return (a[:, 0] <= b[0]) & (a[:, 1] <= b[1]) & (a[:, 2] >= b[2]) & (a[:, 3] >= b[3])
+
+
+def _touches_group(gb, left_wkts: np.ndarray, scalar_fn) -> np.ndarray:
+    return _box_interval_group(gb, left_wkts, scalar_fn, _box_touches)
+
+
+def _overlaps_group(gb, left_wkts: np.ndarray, scalar_fn) -> np.ndarray:
+    return _box_interval_group(gb, left_wkts, scalar_fn, _box_overlaps)
+
+
+def _contains_group(gb, left_wkts: np.ndarray, scalar_fn) -> np.ndarray:
+    return _box_interval_group(gb, left_wkts, scalar_fn, _box_contains)
+
+
+def _crosses_group(gb, left_wkts: np.ndarray, scalar_fn) -> np.ndarray:
+    """crosses group kernel: single-segment lefts against a box gb reduce
+    to vectorized row-wise kernels (proper edge crossing OR a strict-inside
+    witness sample, and not covered by the closed box) — exactly the
+    scalar crosses_pair(line, area) decomposition; others fall back."""
+    gs = [geom.geometry_from_wkt(w) for w in left_wkts]
+    out = np.zeros(len(gs), dtype=bool)
+    excl: set[int] = set()
+    if isinstance(gb, geom.Polygon) and gb.is_box():
+        bx0, by0, bx1, by1 = gb.bbox
+        seg_idx = [
+            i for i, g in enumerate(gs) if isinstance(g, geom.LineString) and len(g.coords) == 2
+        ]
+        if seg_idx:
+            A = np.array([gs[i].coords.ravel() for i in seg_idx], dtype=np.float64)
+            proper = geom.segments_proper_cross_rowwise(A, gb.segments())
+            mx, my = (A[:, 0] + A[:, 2]) / 2.0, (A[:, 1] + A[:, 3]) / 2.0
+            strict = np.zeros(len(seg_idx), dtype=bool)
+            for px, py in ((A[:, 0], A[:, 1]), (A[:, 2], A[:, 3]), (mx, my)):
+                strict |= (px > bx0) & (px < bx1) & (py > by0) & (py < by1)
+            covered = (
+                (A[:, 0] >= bx0) & (A[:, 0] <= bx1) & (A[:, 1] >= by0) & (A[:, 1] <= by1)
+                & (A[:, 2] >= bx0) & (A[:, 2] <= bx1) & (A[:, 3] >= by0) & (A[:, 3] <= by1)
+            )
+            out[seg_idx] = (proper | strict) & ~covered
+            excl = set(seg_idx)
+    for i in range(len(gs)):
+        if i not in excl:
+            out[i] = scalar_fn(gs[i], gb)
+    return out
+
+
+@F.pandas_udf(T.BooleanType())
+def st_touches_wkt(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
+    """JTS-touches: boundary contact only (GeomTouches)."""
+    got = _group_vectorized(wkt_a, wkt_b, geom.touches_pair, _touches_group)
+    return pd.Series(got.astype(bool))
+
+
+@F.pandas_udf(T.BooleanType())
+def st_crosses_wkt(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
+    """JTS-crosses: interiors meet in a lower-dimension set (GeomCrosses)."""
+    got = _group_vectorized(wkt_a, wkt_b, geom.crosses_pair, _crosses_group)
+    return pd.Series(got.astype(bool))
+
+
+@F.pandas_udf(T.BooleanType())
+def st_overlaps_wkt(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
+    """JTS-overlaps: same-dimension interior overlap, neither covering the
+    other (GeomOverlaps)."""
+    got = _group_vectorized(wkt_a, wkt_b, geom.overlaps_pair, _overlaps_group)
+    return pd.Series(got.astype(bool))
+
+
+@F.pandas_udf(T.BooleanType())
+def st_contains_wkt(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
+    """JTS-contains: covers with interior contact (GeomContains)."""
+    got = _group_vectorized(wkt_a, wkt_b, geom.contains_pair, _contains_group)
+    return pd.Series(got.astype(bool))
+
+
+@F.pandas_udf(T.BooleanType())
+def st_disjoint_wkt(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
+    """JTS-disjoint = NOT intersects (GeomDisjoint).  As a join this is
+    the anti-join output, not a cell equi-join predicate."""
+    got = _group_vectorized(wkt_a, wkt_b, geom.intersects_pair, _intersects_group)
+    return pd.Series(~got.astype(bool))
 
 
 _BBOX_SCHEMA = T.StructType(

@@ -38,6 +38,11 @@ SQL_UDFS = {
     "st_covers": "boolean",
     "st_within": "boolean",
     "st_equals": "boolean",
+    "st_contains": "boolean",
+    "st_touches": "boolean",
+    "st_crosses": "boolean",
+    "st_overlaps": "boolean",
+    "st_disjoint": "boolean",
 }
 
 
@@ -84,7 +89,16 @@ def register_sql_udfs(spark: SparkSession) -> None:
         d = _group_vectorized(wa, wb, geom.distance_pair, _distance_group)
         return pd.Series(d <= radius.to_numpy())
 
-    from .geo_udfs import st_covers_wkt, st_equals_wkt, st_within_wkt
+    from .geo_udfs import (
+        st_contains_wkt,
+        st_covers_wkt,
+        st_crosses_wkt,
+        st_disjoint_wkt,
+        st_equals_wkt,
+        st_overlaps_wkt,
+        st_touches_wkt,
+        st_within_wkt,
+    )
 
     spark.udf.register("st_intersects", st_intersects_wkt)
     spark.udf.register("st_distance", st_distance_wkt)
@@ -92,6 +106,13 @@ def register_sql_udfs(spark: SparkSession) -> None:
     spark.udf.register("st_covers", st_covers_wkt)
     spark.udf.register("st_within", st_within_wkt)
     spark.udf.register("st_equals", st_equals_wkt)
+    # interior-aware remainder of the registered 9-op family
+    # (UDFRegistrySPI.java:16-27)
+    spark.udf.register("st_contains", st_contains_wkt)
+    spark.udf.register("st_touches", st_touches_wkt)
+    spark.udf.register("st_crosses", st_crosses_wkt)
+    spark.udf.register("st_overlaps", st_overlaps_wkt)
+    spark.udf.register("st_disjoint", st_disjoint_wkt)
 
 
 _SPATIAL_SQL_RE = (

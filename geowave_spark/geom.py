@@ -432,6 +432,19 @@ def segments_touch_rowwise(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     return (proper | touch).any(axis=1)
 
 
+def segments_proper_cross_rowwise(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Per-row PROPER crossing: row i is True iff segment A[i] properly
+    crosses (interiors cross; touch/collinear excluded) ANY segment of B —
+    the (n,) reduction of _segments_proper_cross_any."""
+    ax1, ay1, ax2, ay2 = (A[:, i][:, None] for i in range(4))
+    bx1, by1, bx2, by2 = (B[:, i][None, :] for i in range(4))
+    o1 = _orient_sign(ax1, ay1, ax2, ay2, bx1, by1)
+    o2 = _orient_sign(ax1, ay1, ax2, ay2, bx2, by2)
+    o3 = _orient_sign(bx1, by1, bx2, by2, ax1, ay1)
+    o4 = _orient_sign(bx1, by1, bx2, by2, ax2, ay2)
+    return ((o1 * o2 < 0) & (o3 * o4 < 0)).any(axis=1)
+
+
 def segments_dist_rowwise(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     """Per-row min distance from segment A[i] to the segment set B
     (ignoring crossings — callers mask crossing rows to 0)."""
@@ -542,11 +555,13 @@ def covers_pair(ga, gb) -> bool:
     if isinstance(gb, Point):
         return bool(np.any(ga.contains(np.array([gb.x]), np.array([gb.y]))))
     if not _has_area(ga):
-        raise ValueError(
-            "covers is supported for area geometries (POLYGON/MULTIPOLYGON) "
-            "or point operands; line-covers-line needs collinear-overlap "
-            "arrangement (unsupported)"
-        )
+        # lower-dim cover: a 0/1-dim geometry never covers an area; a line
+        # covers a line iff every witness sample (vertices + segment
+        # midpoints) lies on it — same sampling caveat as the area tests
+        if _has_area(gb) or isinstance(ga, Point):
+            return False
+        sp = _sample_points(gb)
+        return bool(np.all(ga.contains(sp[:, 0], sp[:, 1])))
     ax0, ay0, ax1, ay1 = ga.bbox
     bx0, by0, bx1, by1 = gb.bbox
     if bx0 < ax0 or bx1 > ax1 or by0 < ay0 or by1 > ay1:
@@ -572,8 +587,12 @@ def covers_pair(ga, gb) -> bool:
     if _has_area(gb):
         Sg = gb.segments()
         for hole in _hole_rings(ga):
-            hx = np.concatenate([hole[:-1, 0], (hole[:-1, 0] + hole[1:, 0]) / 2.0])
-            hy = np.concatenate([hole[:-1, 1], (hole[:-1, 1] + hole[1:, 1]) / 2.0])
+            # sample the hole boundary AND its centroid: the centroid closes
+            # the exact-fit case (gb fills the hole precisely, every boundary
+            # sample lying on gb's own boundary)
+            cx, cy = float(hole[:-1, 0].mean()), float(hole[:-1, 1].mean())
+            hx = np.concatenate([hole[:-1, 0], (hole[:-1, 0] + hole[1:, 0]) / 2.0, [cx]])
+            hy = np.concatenate([hole[:-1, 1], (hole[:-1, 1] + hole[1:, 1]) / 2.0, [cy]])
             strict = np.nonzero(gb.contains(hx, hy))[0]
             if strict.size:
                 on_boundary = _on_segment_exact(
@@ -618,6 +637,231 @@ def equals_pair(ga, gb) -> bool:
             bool(np.array_equal(ca, cb)) or bool(np.array_equal(ca, cb[::-1]))
         )
     return covers_pair(ga, gb) and covers_pair(gb, ga)
+
+
+# ---------------------------------------------------------------------------
+# Interior-aware predicates (touches / crosses / overlaps / contains /
+# disjoint) — completes the reference's registered 9-op family
+# (GeomFunctionRegistry.java:26-42, UDFRegistrySPI.java:16-27) as true
+# geometry predicates rather than interval algebra.  Same witness-sampling
+# design (and measure-zero caveats) as covers_pair above.
+# ---------------------------------------------------------------------------
+
+
+def _dim(g) -> int:
+    """Topological dimension: POINT 0, LINESTRING 1, POLYGON 2; a multi
+    geometry takes the max of its parts (JTS Geometry.getDimension)."""
+    if isinstance(g, Point):
+        return 0
+    if isinstance(g, LineString):
+        return 1
+    if isinstance(g, Polygon):
+        return 2
+    return max(_dim(p) for p in g.parts)
+
+
+def _nondeg_segments(g) -> np.ndarray:
+    """Segments with positive length (zero-length rows break the
+    collinearity test — orient() is 0 against everything)."""
+    S = g.segments()
+    m = (S[:, 0] != S[:, 2]) | (S[:, 1] != S[:, 3])
+    return S[m]
+
+
+def _sample_points(g) -> np.ndarray:
+    """Witness samples along a geometry's segments: both endpoints plus the
+    midpoint of every segment, (k, 2)."""
+    S = g.segments()
+    mid = np.stack([(S[:, 0] + S[:, 2]) / 2.0, (S[:, 1] + S[:, 3]) / 2.0], axis=1)
+    return np.concatenate([S[:, :2], S[:, 2:], mid])
+
+
+def _boundary_points(g) -> np.ndarray:
+    """Boundary of a 1-dim geometry under the Mod-2 rule (JTS default
+    boundary node rule): endpoints occurring an odd number of times; a
+    closed ring has an empty boundary.  (k, 2)."""
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    parts = g.parts if isinstance(g, MultiGeometry) else [g]
+    for p in parts:
+        if isinstance(p, LineString):
+            c = p.coords
+            cnt[(float(c[0, 0]), float(c[0, 1]))] += 1
+            cnt[(float(c[-1, 0]), float(c[-1, 1]))] += 1
+    pts = [pt for pt, n in cnt.items() if n % 2 == 1]
+    return np.array(pts, dtype=np.float64).reshape(-1, 2)
+
+
+def _strictly_inside(g_area, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Points in the OPEN interior of an area geometry: contained and not
+    exactly on any boundary segment (exact-double on-segment test, so a SQL
+    oracle using strict inequalities on boxes reproduces it)."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    inside = g_area.contains(xs, ys)
+    if inside.any():
+        S = g_area.segments()
+        onb = _on_segment_exact(
+            xs[:, None], ys[:, None],
+            S[None, :, 0], S[None, :, 1], S[None, :, 2], S[None, :, 3],
+        ).any(axis=1)
+        inside = inside & ~onb
+    return inside
+
+
+def _collinear_overlap_any(A: np.ndarray, B: np.ndarray) -> bool:
+    """Any segment pair collinear with positive-length overlap (the 1-dim
+    intersection witness for line overlaps).  A, B are nondegenerate."""
+    if not A.size or not B.size:
+        return False
+    ax1, ay1, ax2, ay2 = (A[:, i][:, None] for i in range(4))
+    bx1, by1, bx2, by2 = (B[:, i][None, :] for i in range(4))
+    col = (
+        (_orient_sign(ax1, ay1, ax2, ay2, bx1, by1) == 0)
+        & (_orient_sign(ax1, ay1, ax2, ay2, bx2, by2) == 0)
+    )
+    ox = np.minimum(np.maximum(ax1, ax2), np.maximum(bx1, bx2)) - np.maximum(
+        np.minimum(ax1, ax2), np.minimum(bx1, bx2)
+    )
+    oy = np.minimum(np.maximum(ay1, ay2), np.maximum(by1, by2)) - np.maximum(
+        np.minimum(ay1, ay2), np.minimum(by1, by2)
+    )
+    return bool((col & ((ox > 0) | (oy > 0))).any())
+
+
+def _line_vertex_interior_contact(ga, gb) -> bool:
+    """A vertex of line ga lying on line gb where the contact point is
+    interior to BOTH (vertex not a Mod-2 boundary endpoint of ga; contact
+    not at a boundary endpoint of gb) — the T/V-junction interior witness."""
+    va = ga.vertices()
+    on = gb.contains(va[:, 0], va[:, 1])
+    if not on.any():
+        return False
+    bda = {(float(x), float(y)) for x, y in _boundary_points(ga)}
+    bdb = {(float(x), float(y)) for x, y in _boundary_points(gb)}
+    for x, y in va[on]:
+        p = (float(x), float(y))
+        if p not in bda and p not in bdb:
+            return True
+    return False
+
+
+def interiors_intersect_pair(ga, gb) -> bool:
+    """interior(ga) ∩ interior(gb) ≠ ∅ — the discriminator between
+    `touches` and the interior-sharing predicates (DE-9IM cell [0,0]).
+
+    Witnesses per dimension pair:
+    * 0×0: coordinate equality; 0×1: point on the line away from its
+      boundary endpoints; 0×2: point strictly inside.
+    * 1×1: proper segment crossing, collinear positive-length overlap, or
+      an interior T/V vertex contact.
+    * 1×2: proper boundary crossing or a line sample strictly inside.
+    * 2×2: proper boundary crossing, a sample of one strictly inside the
+      other, or one covering the other (equal/nested sharing boundary).
+    """
+    ax0, ay0, ax1, ay1 = ga.bbox
+    bx0, by0, bx1, by1 = gb.bbox
+    if ax0 > bx1 or bx0 > ax1 or ay0 > by1 or by0 > ay1:
+        return False
+    if _dim(ga) > _dim(gb):
+        ga, gb = gb, ga
+    da, db = _dim(ga), _dim(gb)
+    if da == 0:
+        pts = ga.vertices()
+        if db == 0:
+            vb = gb.vertices()
+            return bool(
+                ((pts[:, None, 0] == vb[None, :, 0]) & (pts[:, None, 1] == vb[None, :, 1])).any()
+            )
+        if db == 1:
+            on = gb.contains(pts[:, 0], pts[:, 1])
+            if not on.any():
+                return False
+            bdb = {(float(x), float(y)) for x, y in _boundary_points(gb)}
+            return any((float(x), float(y)) not in bdb for x, y in pts[on])
+        return bool(_strictly_inside(gb, pts[:, 0], pts[:, 1]).any())
+    if db == 1:  # line × line
+        A, B = _nondeg_segments(ga), _nondeg_segments(gb)
+        if _segments_proper_cross_any(A, B):
+            return True
+        if _collinear_overlap_any(A, B):
+            return True
+        return _line_vertex_interior_contact(ga, gb) or _line_vertex_interior_contact(gb, ga)
+    if da == 1:  # line × area
+        if _segments_proper_cross_any(ga.segments(), gb.segments()):
+            return True
+        sp = _sample_points(ga)
+        return bool(_strictly_inside(gb, sp[:, 0], sp[:, 1]).any())
+    # area × area
+    if _segments_proper_cross_any(ga.segments(), gb.segments()):
+        return True
+    sa = _sample_points(ga)
+    if bool(_strictly_inside(gb, sa[:, 0], sa[:, 1]).any()):
+        return True
+    sb = _sample_points(gb)
+    if bool(_strictly_inside(ga, sb[:, 0], sb[:, 1]).any()):
+        return True
+    # equal or nested with all samples exactly on the shared boundary: a
+    # positive-area geometry covered by the other still shares interior
+    return covers_pair(ga, gb) or covers_pair(gb, ga)
+
+
+def touches_pair(ga, gb) -> bool:
+    """JTS-`touches`: the geometries intersect but only on their
+    boundaries (no interior-interior contact)."""
+    return intersects_pair(ga, gb) and not interiors_intersect_pair(ga, gb)
+
+
+def disjoint_pair(ga, gb) -> bool:
+    """JTS-`disjoint` = NOT intersects.  As a JOIN this is the anti-join
+    (`anti_join_matches`) — a cell equi-join cannot enumerate disjoint
+    pairs directly."""
+    return not intersects_pair(ga, gb)
+
+
+def crosses_pair(ga, gb) -> bool:
+    """JTS-`crosses`: interiors intersect in a set of strictly lower
+    dimension than max(dim(a), dim(b)).
+
+    * line × line: interiors meet at point(s) only (a collinear overlap
+      makes the intersection 1-dim → overlaps, not crosses).
+    * mixed dims: the lower-dim geometry's interior enters the higher's
+      interior AND part of it lies outside the closed higher geometry.
+    * point × point / area × area: always false (JTS semantics).
+    """
+    da, db = _dim(ga), _dim(gb)
+    if da == db:
+        if da != 1:
+            return False
+        if _collinear_overlap_any(_nondeg_segments(ga), _nondeg_segments(gb)):
+            return False
+        return interiors_intersect_pair(ga, gb)
+    lo, hi = (ga, gb) if da < db else (gb, ga)
+    if not interiors_intersect_pair(lo, hi):
+        return False
+    return not covers_pair(hi, lo)
+
+
+def overlaps_pair(ga, gb) -> bool:
+    """JTS-`overlaps`: same dimension, interiors intersect in a set of
+    that same dimension, and neither covers the other."""
+    da, db = _dim(ga), _dim(gb)
+    if da != db or da == 0:
+        return False
+    if da == 1:
+        if not _collinear_overlap_any(_nondeg_segments(ga), _nondeg_segments(gb)):
+            return False
+    elif not interiors_intersect_pair(ga, gb):
+        return False
+    return not covers_pair(ga, gb) and not covers_pair(gb, ga)
+
+
+def contains_pair(ga, gb) -> bool:
+    """JTS-`contains`: covers AND interiors intersect (a geometry does not
+    `contain` one lying wholly on its boundary — GeomContains vs
+    GeomCovers distinction)."""
+    return covers_pair(ga, gb) and interiors_intersect_pair(ga, gb)
 
 
 def distance_pair(ga, gb) -> float:

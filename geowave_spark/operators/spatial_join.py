@@ -610,18 +610,36 @@ def anti_join_matches(points: DataFrame, pairs: DataFrame, point_id: str = "imag
     return points.join(pairs.select(point_id), point_id, "left_anti")
 
 
+# join-expressible pairwise predicates (all ⊆ intersects, so the cell-cover
+# candidate generation is a valid superset for each; `disjoint` is the one
+# registry member that is NOT a cell join — use anti_join_matches)
+GEOMETRY_JOIN_PREDICATES = (
+    "intersects", "dwithin", "within", "covers", "contains",
+    "touches", "crosses", "overlaps", "equals",
+)
+
+_PAIRWISE_UDF = {
+    "within": lambda la, ra: geo_udfs.st_within_wkt(la, ra),
+    "covers": lambda la, ra: geo_udfs.st_covers_wkt(la, ra),
+    "contains": lambda la, ra: geo_udfs.st_contains_wkt(la, ra),
+    "touches": lambda la, ra: geo_udfs.st_touches_wkt(la, ra),
+    "crosses": lambda la, ra: geo_udfs.st_crosses_wkt(la, ra),
+    "overlaps": lambda la, ra: geo_udfs.st_overlaps_wkt(la, ra),
+    "equals": lambda la, ra: geo_udfs.st_equals_wkt(la, ra),
+}
+
+
 def _pairwise_refine(j: DataFrame, predicate: str, radius: float) -> DataFrame:
-    """Shared exact pairwise refine over (_lwkt, _rwkt) candidate columns:
-    intersects / dwithin / within (left in right) / covers (left covers
-    right) — the registered UDF family (GeomFunctionRegistry.java:26-42)."""
+    """Shared exact pairwise refine over (_lwkt, _rwkt) candidate columns —
+    the full registered UDF family (GeomFunctionRegistry.java:26-42):
+    intersects / dwithin / within / covers / contains / touches / crosses /
+    overlaps / equals, each left-vs-right."""
     la, ra = F.col("_lwkt"), F.col("_rwkt")
     if predicate == "intersects":
         return j.filter(geo_udfs.st_intersects_wkt(la, ra))
     if predicate == "dwithin":
         return j.filter(geo_udfs.st_distance_wkt(la, ra) <= F.lit(float(radius)))
-    if predicate == "within":
-        return j.filter(geo_udfs.st_within_wkt(la, ra))
-    return j.filter(geo_udfs.st_covers_wkt(la, ra))
+    return j.filter(_PAIRWISE_UDF[predicate](la, ra))
 
 
 def geometry_join(
@@ -666,7 +684,7 @@ def geometry_join(
 
     from .. import geom
 
-    if predicate not in ("intersects", "dwithin", "within", "covers"):
+    if predicate not in GEOMETRY_JOIN_PREDICATES:
         raise ValueError(f"unknown predicate {predicate!r}")
     buffer = radius if predicate == "dwithin" else 0.0
     spark = left.sparkSession
@@ -677,6 +695,10 @@ def geometry_join(
     covers = geo_udfs.cover_keys(
         pd.Series([w for _, w in rows]),
         max_cells=max_cells, buffer=buffer, trim=not buffer,
+        # boundary-closed cover: a right geometry whose upper edge lies
+        # exactly on a cell line still meets left extents touching it from
+        # the next cell (the Column-math left cover is already closed)
+        closed=not buffer,
     )
     cell_rows: list[tuple] = []
     r_tiers: set[int] = set()
@@ -779,7 +801,7 @@ def geometry_join_shuffle(
     splits the wrap) or should be pre-split by the caller — here their
     envelope is clamped into range, keeping only the in-range extent.
     """
-    if predicate not in ("intersects", "dwithin", "within", "covers"):
+    if predicate not in GEOMETRY_JOIN_PREDICATES:
         raise ValueError(f"unknown predicate {predicate!r}")
     buffer = radius if predicate == "dwithin" else 0.0
 

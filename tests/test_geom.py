@@ -150,11 +150,10 @@ def test_covers_within_equals_family():
         assert geom.covers_pair(a, b) == want
     assert geom.equals_pair(sq, P("POLYGON ((4 0, 4 4, 0 4, 0 0, 4 0))"))
     assert not geom.equals_pair(sq, hole)
-    try:
-        geom.covers_pair(P("LINESTRING (0 0, 1 1)"), P("LINESTRING (0 0, 1 1)"))
-        raise AssertionError("line-covers-line should be explicitly unsupported")
-    except ValueError:
-        pass
+    # line-covers-line: witness-sampled collinear coverage (round-2 add;
+    # fuller matrix in tests/test_geom_relate.py)
+    assert geom.covers_pair(P("LINESTRING (0 0, 1 1)"), P("LINESTRING (0 0, 1 1)"))
+    assert not geom.covers_pair(P("LINESTRING (0 0, 1 1)"), P("LINESTRING (0 0, 2 2)"))
 
 
 def test_covers_equals_review_counterexamples():
