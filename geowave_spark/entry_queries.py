@@ -712,6 +712,19 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+DECON_W = 4  # n-gram window; every 40th document plays the benchmark set
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test overlap detection: corpus docs sharing any w-gram with a
+    held-out 'benchmark' slice (broadcast benchmark shingles, narrow
+    corpus pass)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 40 == 0)
+    corpus = docs.filter(F.col("doc_id") % 40 != 0)
+    return dedup.decontaminate_ngrams(corpus, bench, w=DECON_W)
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
 
@@ -1528,6 +1541,30 @@ _SQL_DOC_SHINGLE_HASHES = (
 )
 
 
+def _sql_doc_shingles(w: int) -> str:
+    """Parameterized twin of _SQL_DOC_SHINGLE_HASHES for any w (the exact
+    arithmetic fold of dedup._doc_shingle_hashes)."""
+    fold = "0"
+    for j in range(w):
+        fold = f"(({fold}) * 31 + th[i + {j}]) % {dedup.MOD40}"
+    return (
+        f"tkh AS (SELECT doc_id, list_transform({SQL_TOKS}, x -> {sql_h60('x')}) AS th FROM documents), "
+        "sh AS (SELECT DISTINCT doc_id, h FROM (SELECT doc_id, unnest("
+        f"CASE WHEN len(th) >= {w} THEN list_transform(range(1, len(th) - {w - 2}), i -> {fold}) "
+        "ELSE [] END) AS h FROM tkh))"
+    )
+
+
+def _oracle_decontaminate() -> str:
+    return (
+        f"WITH {_sql_doc_shingles(DECON_W)}, "
+        "b AS (SELECT doc_id AS bench_id, h FROM sh WHERE doc_id % 40 = 0), "
+        "c AS (SELECT doc_id, h FROM sh WHERE doc_id % 40 <> 0) "
+        "SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared "
+        "FROM c JOIN b ON c.h = b.h GROUP BY c.doc_id, b.bench_id"
+    )
+
+
 def _oracle_jaccard(threshold: float = 0.5) -> str:
     return (
         f"WITH {_SQL_DOC_SHINGLE_HASHES}, "
@@ -1783,6 +1820,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram_value": q_histogram,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_jaccard,
+    "decontaminate_ngrams": q_decontaminate,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
     "simhash64": q_simhash,
@@ -1844,6 +1882,7 @@ def build_oracles() -> dict[str, str]:
         "histogram_value": _oracle_histogram(),
         "dedup_exact": _oracle_dedup_exact(),
         "dedup_ngram_jaccard": _oracle_jaccard(),
+        "decontaminate_ngrams": _oracle_decontaminate(),
         "dedup_minhash_lsh": _oracle_minhash(),
         "dedup_clusters": _oracle_dedup_clusters(),
         "dbscan": _oracle_dbscan(),

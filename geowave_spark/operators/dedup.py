@@ -20,7 +20,7 @@ extend the engine for training-data pipelines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 MOD40 = 1 << 40  # fingerprint modulus — keeps the rolling hash in int64
@@ -127,6 +127,50 @@ def perm_coeffs(n_perm: int) -> list[tuple[int, int, int]]:
         (h(f"mh:{i}:a") % (1 << 30) | 1, h(f"mh:{i}:b") % (1 << 30) | 1, h(f"mh:{i}:c") % (1 << 30))
         for i in range(n_perm)
     ]
+
+
+def decontaminate_ngrams(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+    max_bench_df: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any w-token
+    n-gram with an evaluation-set document (the standard train/test overlap
+    sweep run before LLM training; 8-13 token windows are the common
+    convention).
+
+    Scale shape: the benchmark side (eval sets — thousands of docs, tiny
+    next to a 100 TB corpus) is reduced to DISTINCT shingle hashes and
+    BROADCAST; the corpus streams through one narrow tokenize + arithmetic
+    shingle pass (one md5 per token, `_doc_shingle_hashes`) into a
+    broadcast hash join — the only shuffle is the final map-side-combined
+    count per (corpus doc, benchmark doc).
+
+    ``max_bench_df``: optionally drop benchmark shingles appearing in more
+    than this many benchmark docs (boilerplate carries no contamination
+    signal and only fans out the join) — the same stop-shingle cap as
+    ngram_jaccard_pairs.
+
+    Output: (doc_id, bench_id, n_shared) — count of distinct shared
+    w-gram hashes; any row at all marks the corpus doc contaminated.
+    """
+    c = _doc_shingle_hashes(corpus, text_col, id_col, w)
+    b = _doc_shingle_hashes(benchmark, text_col, bench_id_col, w).withColumnRenamed(
+        "doc_id", "bench_id"
+    )
+    if max_bench_df is not None:
+        wdf = Window.partitionBy("h")
+        b = b.withColumn("_df", F.count(F.lit(1)).over(wdf)).filter(
+            F.col("_df") <= max_bench_df
+        ).drop("_df")
+    j = c.join(F.broadcast(b), "h")
+    return j.groupBy("doc_id", "bench_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared")
+    )
 
 
 def ngram_jaccard_pairs(
