@@ -714,6 +714,32 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DECON_W = 4  # n-gram window; every 40th document plays the benchmark set
 
+# deterministic corpus-mixing rates (power-of-two rates: thresholds are
+# exact integers in the 60-bit hash space on both engines)
+SAMPLE_RATES = {"click": 0.5, "error": 0.25, "purchase": 0.125, "signup": 1.0}
+SAMPLE_K = 100
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample (hash gate — identical
+    rows at any parallelism; df.sample() can't promise that)."""
+    from .operators import sampling
+
+    ev = _load(spark, sf_dir, "events")
+    return sampling.stratified_sample(
+        ev, SAMPLE_RATES, "event_type", "event_id", salt="s1"
+    ).select("event_id", "event_type")
+
+
+def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic reservoir: exactly k rows per stratum by hash order."""
+    from .operators import sampling
+
+    ev = _load(spark, sf_dir, "events")
+    return sampling.sample_exact_k(
+        ev, SAMPLE_K, "event_type", "event_id", salt="s2"
+    ).select("event_id", "event_type")
+
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test overlap detection: corpus docs sharing any w-gram with a
@@ -1555,6 +1581,29 @@ def _sql_doc_shingles(w: int) -> str:
     )
 
 
+def _oracle_stratified_sample() -> str:
+    from .operators import sampling
+
+    case = " ".join(
+        f"WHEN '{s}' THEN {sampling.sample_threshold(r)}"
+        for s, r in sorted(SAMPLE_RATES.items())
+    )
+    g = sql_h60("(CAST(event_id AS VARCHAR) || ':s1')")
+    return (
+        "SELECT event_id, event_type FROM events "
+        f"WHERE {g} < (CASE event_type {case} ELSE 0 END)"
+    )
+
+
+def _oracle_sample_exact_k() -> str:
+    g = sql_h60("(CAST(event_id AS VARCHAR) || ':s2')")
+    return (
+        f"WITH rk AS (SELECT event_id, event_type, row_number() OVER "
+        f"(PARTITION BY event_type ORDER BY {g}, event_id) AS r FROM events) "
+        f"SELECT event_id, event_type FROM rk WHERE r <= {SAMPLE_K}"
+    )
+
+
 def _oracle_decontaminate() -> str:
     return (
         f"WITH {_sql_doc_shingles(DECON_W)}, "
@@ -1821,6 +1870,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "decontaminate_ngrams": q_decontaminate,
+    "stratified_sample": q_stratified_sample,
+    "sample_exact_k": q_sample_exact_k,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
     "simhash64": q_simhash,
@@ -1883,6 +1934,8 @@ def build_oracles() -> dict[str, str]:
         "dedup_exact": _oracle_dedup_exact(),
         "dedup_ngram_jaccard": _oracle_jaccard(),
         "decontaminate_ngrams": _oracle_decontaminate(),
+        "stratified_sample": _oracle_stratified_sample(),
+        "sample_exact_k": _oracle_sample_exact_k(),
         "dedup_minhash_lsh": _oracle_minhash(),
         "dedup_clusters": _oracle_dedup_clusters(),
         "dbscan": _oracle_dbscan(),
