@@ -767,9 +767,15 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup clustering (LSH candidates → Jaccard verify →
-    connected components) — iterative, rows-only; union-find equality
-    pinned in tests/test_dedup_clusters.py."""
+    connected components) — oracle-backed via a recursive-CTE transitive
+    closure; union-find equality also pinned in tests/test_dedup_clusters.py."""
     return dedup.dedup_clusters(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: cluster near-dups, keep the
+    longest doc per cluster (the full corpus-dedup pipeline output)."""
+    return dedup.dedup_keep_best(_docs(spark, sf_dir), threshold=0.5)
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1675,6 +1681,22 @@ def _oracle_dedup_clusters(threshold: float = 0.5, n_perm: int = 16, bands: int 
     )
 
 
+def _oracle_dedup_keep_best(threshold: float = 0.5, n_perm: int = 16, bands: int = 4) -> str:
+    """Clusters oracle extended with the keep-longest selection (same CTE
+    chain, final per-cluster argmax via QUALIFY)."""
+    base = _oracle_dedup_clusters(threshold, n_perm, bands)
+    final = "SELECT doc_id, min(label) AS canonical_id FROM reach GROUP BY doc_id"
+    assert base.endswith(final)
+    return (
+        base[: -len(final)]
+        + ", comp AS (" + final + ") "
+        "SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars "
+        "FROM comp c JOIN documents d ON d.doc_id = c.doc_id "
+        "QUALIFY row_number() OVER (PARTITION BY c.canonical_id "
+        "ORDER BY length(d.text) DESC, d.doc_id) = 1"
+    )
+
+
 _SQL_SIMHASH = (
     "toks AS (SELECT DISTINCT doc_id, tok FROM "
     f"(SELECT doc_id, unnest({SQL_TOKS}) AS tok FROM documents)), "
@@ -1874,6 +1896,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_exact_k": q_sample_exact_k,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_keep_best": q_dedup_keep_best,
     "simhash64": q_simhash,
     "dedup_simhash_pairs": q_simhash_pairs,
     "text_quality": q_text_quality,
@@ -1938,6 +1961,7 @@ def build_oracles() -> dict[str, str]:
         "sample_exact_k": _oracle_sample_exact_k(),
         "dedup_minhash_lsh": _oracle_minhash(),
         "dedup_clusters": _oracle_dedup_clusters(),
+        "dedup_keep_best": _oracle_dedup_keep_best(),
         "dbscan": _oracle_dbscan(),
         "simhash64": _oracle_simhash(),
         "dedup_simhash_pairs": _oracle_simhash_pairs(),

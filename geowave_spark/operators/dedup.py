@@ -109,6 +109,43 @@ def _doc_shingle_hashes(docs: DataFrame, text_col: str, id_col: str, w: int) -> 
     return th.select("doc_id", F.explode(sh).alias("h")).distinct()
 
 
+def dedup_keep_best(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_perm: int = 16,
+    bands: int = 4,
+    w: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Quality-aware canonical selection — the end-to-end shape a corpus
+    builder actually runs: cluster near-dups (`dedup_clusters`), then keep
+    ONE representative per cluster, preferring the longest document
+    (ties → smallest id; length is the standard keep-the-superset heuristic
+    for near-dup groups).
+
+    Output: the kept rows as (doc_id, n_chars).  Scale: adds one
+    per-cluster top-1 window over the cluster output (clusters are tiny;
+    the window partitions by canonical_id, so it parallelizes across
+    clusters).
+    """
+    cl = dedup_clusters(docs, threshold, n_perm, bands, w, text_col, id_col, max_iter)
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    )
+    j = cl.join(scored, "doc_id")
+    win = Window.partitionBy("canonical_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        j.withColumn("_rk", F.row_number().over(win))
+        .filter(F.col("_rk") == 1)
+        .select("doc_id", "n_chars")
+    )
+
+
 P61 = (1 << 61) - 1  # Mersenne prime modulus for the affine perm hashes
 _M30 = (1 << 30) - 1
 
