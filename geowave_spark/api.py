@@ -134,11 +134,15 @@ class GeometryFrame:
         id_col: str,
         wkt_col: str = "wkt",
         bbox_cols: tuple[str, str, str, str] | None = None,
+        is_box: bool = False,
     ):
         self.df = df
         self.id_col = id_col
         self.wkt_col = wkt_col
         self.bbox_cols = bbox_cols
+        # declare every geometry an axis-aligned box == its envelope:
+        # box×box candidates then refine JVM-side (no Arrow, no WKT moves)
+        self.is_box = is_box
 
     def join(
         self,
@@ -159,7 +163,7 @@ class GeometryFrame:
                 self.df, right, predicate=pred, radius=radius,
                 left_id=self.id_col, right_id=right_id,
                 left_wkt=self.wkt_col, right_wkt=right_wkt,
-                left_bbox_cols=self.bbox_cols,
+                left_bbox_cols=self.bbox_cols, left_is_box=self.is_box,
             )
         return spatial_join.geometry_join_shuffle(
             self.df, right, predicate=pred, radius=radius,

@@ -408,7 +408,7 @@ def q_poly_poly_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_join.geometry_join(
         ext, polys, predicate="intersects",
         left_id="event_id", right_id="polygon_id",
-        left_bbox_cols=("bx0", "by0", "bx1", "by1"),
+        left_bbox_cols=("bx0", "by0", "bx1", "by1"), left_is_box=True,
     )
 
 
@@ -420,7 +420,7 @@ def q_poly_within_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_join.geometry_join(
         ext, polys, predicate="within",
         left_id="event_id", right_id="polygon_id",
-        left_bbox_cols=("bx0", "by0", "bx1", "by1"),
+        left_bbox_cols=("bx0", "by0", "bx1", "by1"), left_is_box=True,
     )
 
 
@@ -474,7 +474,7 @@ def q_extent_touches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_join.geometry_join(
         ext, _snap_poly_df(spark), predicate="touches",
         left_id="event_id", right_id="polygon_id",
-        left_bbox_cols=("bx0", "by0", "bx1", "by1"),
+        left_bbox_cols=("bx0", "by0", "bx1", "by1"), left_is_box=True,
     )
 
 
@@ -485,7 +485,7 @@ def q_extent_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_join.geometry_join(
         ext, _snap_poly_df(spark), predicate="overlaps",
         left_id="event_id", right_id="polygon_id",
-        left_bbox_cols=("bx0", "by0", "bx1", "by1"),
+        left_bbox_cols=("bx0", "by0", "bx1", "by1"), left_is_box=True,
     )
 
 

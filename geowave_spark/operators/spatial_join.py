@@ -642,6 +642,28 @@ def _pairwise_refine(j: DataFrame, predicate: str, radius: float) -> DataFrame:
     return j.filter(_PAIRWISE_UDF[predicate](la, ra))
 
 
+def _box_box_predicate(predicate: str):
+    """JVM Column twin of each predicate for axis-aligned box × box pairs
+    (exact interval algebra — the geometry IS its bbox).  Columns:
+    left (_lx0.._ly1), right (_rx0.._ry1, unbuffered)."""
+    l0, m0, l1, m1 = (F.col(c) for c in ("_lx0", "_ly0", "_lx1", "_ly1"))
+    r0, s0, r1, s1 = (F.col(c) for c in ("_rx0", "_ry0", "_rx1", "_ry1"))
+    ix = (l0 <= r1) & (r0 <= l1) & (m0 <= s1) & (s0 <= m1)
+    interiors = (l0 < r1) & (r0 < l1) & (m0 < s1) & (s0 < m1)
+    l_cov_r = (l0 <= r0) & (m0 <= s0) & (l1 >= r1) & (m1 >= s1)
+    r_cov_l = (r0 <= l0) & (s0 <= m0) & (r1 >= l1) & (s1 >= m1)
+    return {
+        "intersects": ix,
+        "touches": ix & ~interiors,
+        "overlaps": interiors & ~l_cov_r & ~r_cov_l,
+        "within": r_cov_l,
+        "covers": l_cov_r,
+        "contains": l_cov_r,  # positive-area boxes: covers == contains
+        "equals": (l0 == r0) & (m0 == s0) & (l1 == r1) & (m1 == s1),
+        "crosses": F.lit(False),  # area × area never crosses
+    }.get(predicate)
+
+
 def geometry_join(
     left: DataFrame,
     right: DataFrame,
@@ -653,6 +675,7 @@ def geometry_join(
     right_wkt: str = "wkt",
     max_cells: int = cells.JOIN_MAX_CELLS,
     left_bbox_cols: tuple[str, str, str, str] | None = None,
+    left_is_box: bool = False,
 ) -> DataFrame:
     """General geometry × geometry join — ANY supported WKT on both sides
     (LINESTRING tracks, polygons with holes, multi-geometries, points).
@@ -660,6 +683,12 @@ def geometry_join(
     ``left_bbox_cols=(x0, y0, x1, y1)``: when the caller already has the
     left envelopes as columns, pass them to skip the WKT→bbox Arrow pass
     entirely (one fewer scan of the big side).
+
+    ``left_is_box=True`` declares every left geometry an axis-aligned box
+    equal to its envelope: candidates whose right geometry is also a box
+    then refine with JVM interval algebra inside the join's codegen stage
+    — zero Python and zero WKT movement for the box×box majority; only
+    non-box right geometries take the Arrow refine.
 
     The reference's full TieredSpatialJoin over arbitrary JTS geometries
     (TieredSpatialJoin.java:75-377; its flagship IT is hail points ×
@@ -705,6 +734,9 @@ def geometry_join(
     for (rid, wkt), keys in zip(rows, covers):
         g = geom.geometry_from_wkt(wkt)
         bx0, by0, bx1, by1 = g.bbox
+        # this right geometry IS its bbox (axis-aligned box, no holes, in
+        # range): box×box candidates can refine JVM-side (interval algebra)
+        rbox = bool(g.is_box() and bx1 <= 180.0)
         keys = np.asarray(keys, dtype=np.int64)
         if not keys.size:
             continue
@@ -716,14 +748,15 @@ def geometry_join(
             for k in cells.pack_key(t, tc).tolist():
                 cell_rows.append(
                     (int(k), rid, float(bx0 - buffer), float(by0 - buffer),
-                     float(bx1 + buffer), float(by1 + buffer))
+                     float(bx1 + buffer), float(by1 + buffer), rbox)
                 )
     if not r_tiers:
         return left.select(left_id).limit(0).crossJoin(right.select(right_id).limit(0))
 
     right_cells = F.broadcast(
         spark.createDataFrame(
-            cell_rows, "key long, _rid string, _rx0 double, _ry0 double, _rx1 double, _ry1 double"
+            cell_rows,
+            "key long, _rid string, _rx0 double, _ry0 double, _rx1 double, _ry1 double, _rbox boolean",
         )
     )
     right_wkts = F.broadcast(
@@ -758,8 +791,30 @@ def geometry_join(
         (F.col("_lx0") <= F.col("_rx1")) & (F.col("_lx1") >= F.col("_rx0"))
         & (F.col("_ly0") <= F.col("_ry1")) & (F.col("_ly1") >= F.col("_ry0"))
     ) | (F.col("_rx1") > 180.0)
-    j = j.filter(prefilter).join(right_wkts, "_rid")
-    j = _pairwise_refine(j, predicate, radius)
+    j = j.filter(prefilter)
+
+    box_pred = _box_box_predicate(predicate) if left_is_box and not buffer else None
+    if box_pred is not None:
+        # box×box candidates never touch Python OR the WKT column: the
+        # interval-algebra predicate refines them inside the same codegen
+        # stage (the common case — box workloads stay 100% JVM); only
+        # candidates with a non-box right geometry take the Arrow refine.
+        # Which rids are boxes is known driver-side — no runtime probe.
+        j_box = j.filter(F.col("_rbox")).filter(box_pred).select(
+            F.col(left_id), F.col("_rid").alias(right_id)
+        )
+        if all(r[6] for r in cell_rows):  # every right geometry is a box
+            return j_box.dropDuplicates([left_id, right_id])
+        j_gen = _pairwise_refine(
+            j.filter(~F.col("_rbox")).join(right_wkts, "_rid"), predicate, radius
+        )
+        return (
+            j_box.unionByName(
+                j_gen.select(F.col(left_id), F.col("_rid").alias(right_id))
+            ).dropDuplicates([left_id, right_id])
+        )
+
+    j = _pairwise_refine(j.join(right_wkts, "_rid"), predicate, radius)
     return (
         j.select(F.col(left_id), F.col("_rid").alias(right_id))
         .dropDuplicates([left_id, right_id])

@@ -58,6 +58,29 @@ def test_general_polygon_join_uses_pandas_refine_only(spark, sf_dir):
     assert plan.count("ArrowEvalPython") == 1
 
 
+def test_box_geometry_join_is_jvm_only(spark, sf_dir):
+    """geometry_join with left_is_box over an all-box right side refines
+    entirely in codegen: no Python of any kind in the plan, and results
+    equal the Arrow-refine path."""
+    ext = eq._event_snap_box_df(spark, sf_dir)
+    polys = eq._snap_poly_df(spark)
+    fast = spatial_join.geometry_join(
+        ext, polys, predicate="touches",
+        left_id="event_id", right_id="polygon_id",
+        left_bbox_cols=("bx0", "by0", "bx1", "by1"), left_is_box=True,
+    )
+    plan = _plan(fast)
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+    slow = spatial_join.geometry_join(
+        ext, polys, predicate="touches",
+        left_id="event_id", right_id="polygon_id",
+        left_bbox_cols=("bx0", "by0", "bx1", "by1"),
+    )
+    a = set((r[0], r[1]) for r in fast.collect())
+    b = set((r[0], r[1]) for r in slow.collect())
+    assert a == b and a
+
+
 def test_knn_plan_is_jvm_only(spark, sf_dir):
     plan = _plan(eq.q_knn_join(spark, sf_dir))
     assert "EvalPython" not in plan
