@@ -345,3 +345,60 @@ def test_unwrapped_right_geometry_matches_across_meridian(spark):
         f"SELECT st_intersects('LINESTRING (-178.0 -15.0, -177.0 -14.0)', '{am_box}') AS i"
     ).collect()[0]
     assert r["i"] is True
+
+
+def test_interior_predicates_join_matches_brute_force(spark):
+    """touches / crosses / overlaps / contains through the FULL join path
+    (cover → cell equi-join → prefilter → refine) equal brute-force
+    nested-loop evaluation of the same kernels, on a grid-snapped workload
+    where boundary-only contact is common (the candidate-generation trap:
+    touch cells sit exactly on cell lines)."""
+    rng = np.random.RandomState(99)
+    lefts = []
+    for i in range(300):
+        x0 = int(rng.randint(-176, 172))
+        y0 = int(rng.randint(-86, 82))
+        w, h = int(rng.randint(1, 5)), int(rng.randint(1, 4))
+        kind = i % 3
+        if kind == 0:  # integer box
+            wkt = (f"POLYGON (({x0} {y0}, {x0+w} {y0}, {x0+w} {y0+h}, "
+                   f"{x0} {y0+h}, {x0} {y0}))")
+        elif kind == 1:  # segment with integer endpoints
+            wkt = f"LINESTRING ({x0} {y0}, {x0+w} {y0+h})"
+        else:  # integer point
+            wkt = f"POINT ({x0} {y0})"
+        lefts.append((i, wkt))
+    rights = [
+        ("r_eu", "POLYGON ((0 40, 30 40, 30 60, 0 60, 0 40))"),
+        ("r_hole", "POLYGON ((-75 -35, -40 -35, -40 0, -75 0, -75 -35), "
+                   "(-65 -25, -50 -25, -50 -10, -65 -10, -65 -25))"),
+        ("r_line", "LINESTRING (-120 30, -80 50, -40 30)"),
+        ("r_mp", "MULTIPOLYGON (((95 15, 125 15, 125 40, 95 40, 95 15)), "
+                 "((-15 -65, 25 -65, 25 -45, -15 -45, -15 -65)))"),
+        ("r_box", "POLYGON ((60 -30, 110 -30, 110 10, 60 10, 60 -30))"),
+    ]
+    ldf = spark.createDataFrame(lefts, ["left_id", "wkt"])
+    rdf = spark.createDataFrame(rights, ["right_id", "wkt"])
+    kernels = {
+        "touches": geom.touches_pair,
+        "crosses": geom.crosses_pair,
+        "overlaps": geom.overlaps_pair,
+        "contains": geom.contains_pair,
+        "within": geom.within_pair,
+        "intersects": geom.intersects_pair,
+    }
+    parsed_r = [(rid, geom.geometry_from_wkt(w)) for rid, w in rights]
+    for pred, fn in kernels.items():
+        got = set(
+            (r[0], r[1])
+            for r in spatial_join.geometry_join(
+                ldf, rdf, predicate=pred, left_id="left_id", right_id="right_id"
+            ).collect()
+        )
+        want = set()
+        for lid, lw in lefts:
+            gl = geom.geometry_from_wkt(lw)
+            for rid, gr in parsed_r:
+                if fn(gl, gr):
+                    want.add((lid, rid))
+        assert got == want, (pred, got ^ want)
