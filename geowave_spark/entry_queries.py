@@ -1464,6 +1464,46 @@ def _oracle_interval_compare() -> str:
     return f"WITH {EV_CTE}, {_SQL_EX_CTE} SELECT event_id, {sel} FROM ex"
 
 
+HOTSPOT_TIER = 6
+
+
+def q_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gi*-style hotspot z-scores over the tier-6 grid (the KDE surface's
+    significance-test twin)."""
+    from .operators import stats as stats_ops
+
+    return stats_ops.hotspot_cells(_events(spark, sf_dir), tier=HOTSPOT_TIER)
+
+
+def _oracle_hotspot() -> str:
+    t, r = HOTSPOT_TIER, 1 << HOTSPOT_TIER
+    offs = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    mean = "(CAST(s._s1 AS DOUBLE) / CAST(s._nn AS DOUBLE))"
+    var = f"(CAST(s._s2 AS DOUBLE) / CAST(s._nn AS DOUBLE) - {mean} * {mean})"
+    w = "CAST(rg.ring_cnt AS DOUBLE)"
+    denom = (
+        f"(sqrt({var}) * sqrt((CAST(s._nn AS DOUBLE) * {w} - {w} * {w}) / "
+        "(CAST(s._nn AS DOUBLE) - 1.0)))"
+    )
+    z = f"((CAST(rg.ring_sum AS DOUBLE) - {w} * {mean}) / {denom})"
+    return (
+        f"WITH {EV_CTE}, "
+        f"g AS (SELECT {sql_grid('lon', 'lon', t)} AS gx, {sql_grid('lat', 'lat', t)} AS gy FROM ev), "
+        "c AS (SELECT gx, gy, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY gx, gy), "
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS _nn, CAST(sum(n) AS BIGINT) AS _s1, "
+        "CAST(sum(n * n) AS BIGINT) AS _s2 FROM c), "
+        f"o(dx, dy) AS (VALUES {offs}), "
+        f"nb AS (SELECT c.gx, c.gy, ((c.gx + o.dx) % {r} + {r}) % {r} AS tx, c.gy + o.dy AS ty "
+        "FROM c CROSS JOIN o), "
+        "rg AS (SELECT nb.gx, nb.gy, CAST(sum(c2.n) AS BIGINT) AS ring_sum, "
+        "CAST(count(*) AS BIGINT) AS ring_cnt "
+        "FROM nb JOIN c c2 ON c2.gx = nb.tx AND c2.gy = nb.ty GROUP BY nb.gx, nb.gy) "
+        "SELECT rg.gx, rg.gy, c.n, rg.ring_sum, rg.ring_cnt, "
+        f"CASE WHEN {denom} > 0.0 THEN CAST(floor({z} * 1000000.0 + 0.5) AS BIGINT) END AS gi_mu "
+        "FROM rg JOIN c ON c.gx = rg.gx AND c.gy = rg.gy CROSS JOIN s"
+    )
+
+
 def _oracle_cell_ids() -> str:
     in10, out10 = sql_cell_select(10, "cell10")
     in4, out4 = sql_cell_select(4, "cell4")
@@ -1880,6 +1920,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_compare": q_interval_compare,
     "cell_ids": q_cell_ids,
     "subsample_cells": q_subsample,
+    "hotspot_cells": q_hotspot_cells,
     "tile_assignment": q_tile_assignment,
     "tile_counts_l8": q_tile_counts,
     "tile_pyramid_rollup": q_tile_pyramid,
@@ -1944,6 +1985,7 @@ def build_oracles() -> dict[str, str]:
         "interval_compare": _oracle_interval_compare(),
         "cell_ids": _oracle_cell_ids(),
         "subsample_cells": _oracle_subsample(),
+        "hotspot_cells": _oracle_hotspot(),
         "tile_assignment": _oracle_tiles([4, 8, 12]),
         "tile_counts_l8": _oracle_tile_counts(8),
         "tile_pyramid_rollup": _oracle_tile_counts(5),

@@ -205,3 +205,81 @@ def approx_stats(df: DataFrame, col: str) -> DataFrame:
         F.approx_count_distinct(col).alias("approx_distinct"),
         F.count(col).alias("n"),
     )
+
+
+def hotspot_cells(
+    points: DataFrame,
+    tier: int = 6,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Getis-Ord Gi*-style hotspot detection over the tier-t cell grid —
+    the statistical-significance twin of the KDE heat surface
+    (KDERunner.java:234-316): which cells are significantly hotter than
+    the occupied-cell population, not just visually dense.
+
+    Per occupied cell: ``n`` (points), ``ring_sum``/``ring_cnt`` (3x3
+    neighborhood incl. self — lon wraps across the antimeridian, lat edges
+    simply have fewer occupied neighbors), and ``gi_mu`` — the Gi* z-score
+    in integer micro-units, binary weights, with mean/std taken over the
+    OCCUPIED-cell population (the empty-cell universe is excluded: a
+    documented simplification for sparse global grids, where including
+    billions of empty ocean cells would drown every statistic).
+
+    Plan shape (all JVM): one groupBy (cell counts) -> 9-way offset
+    explode of the occupied cells -> self-equi-join on (gx, gy) ->
+    groupBy; the global mean/std is a 1-row aggregate joined back by
+    broadcast.  No driver collect, no Python.
+    """
+    r = 1 << tier
+    g = points.select(
+        sqlcells.grid_coord(sqlcells.norm_lon(F.col(lon_col)), tier).alias("gx"),
+        sqlcells.grid_coord(sqlcells.norm_lat(F.col(lat_col)), tier).alias("gy"),
+    )
+    counts = g.groupBy("gx", "gy").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    counts = counts.localCheckpoint()  # feeds 3 consumers below, compute once
+    stats = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("_nn"),
+        F.sum("n").cast("long").alias("_s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("_s2"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    nb = (
+        counts.select("gx", "gy", F.explode(offsets).alias("_o"))
+        .select(
+            "gx",
+            "gy",
+            F.pmod(F.col("gx") + F.col("_o.dx"), F.lit(r)).alias("_tx"),
+            (F.col("gy") + F.col("_o.dy")).alias("_ty"),  # out-of-range never joins
+        )
+    )
+    ring = (
+        nb.join(
+            counts.select(
+                F.col("gx").alias("_tx"), F.col("gy").alias("_ty"), F.col("n").alias("_nb")
+            ),
+            ["_tx", "_ty"],
+        )
+        .groupBy("gx", "gy")
+        .agg(
+            F.sum("_nb").cast("long").alias("ring_sum"),
+            F.count(F.lit(1)).cast("long").alias("ring_cnt"),
+        )
+    )
+    j = ring.join(counts, ["gx", "gy"]).join(F.broadcast(stats))
+    # identical op sequence to the SQL oracle — IEEE-exact cross-engine
+    nn = F.col("_nn").cast("double")
+    mean = F.col("_s1").cast("double") / nn
+    var = F.col("_s2").cast("double") / nn - mean * mean
+    sd = F.sqrt(var)
+    w = F.col("ring_cnt").cast("double")
+    denom = sd * F.sqrt((nn * w - w * w) / (nn - F.lit(1.0)))
+    z = (F.col("ring_sum").cast("double") - w * mean) / denom
+    gi = F.when(denom > 0.0, F.floor(z * F.lit(1e6) + F.lit(0.5)).cast("long"))
+    return j.select("gx", "gy", "n", "ring_sum", "ring_cnt", gi.alias("gi_mu"))

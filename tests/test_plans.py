@@ -161,3 +161,26 @@ def test_loose_range_lookup_semantics(spark, sf_dir, tmp_path):
     loose_idx = stats.range_lookup(stored, bbox, loose=True).count()
     assert exact_idx == exact
     assert loose_idx >= exact_idx
+
+
+def test_hotspot_cells_jvm_only_and_sane(spark, sf_dir):
+    """Gi* hotspot: all-JVM plan; a deliberately planted dense cluster
+    scores the top z, and z ordering follows neighborhood mass."""
+    from geowave_spark.operators import stats as stats_ops
+
+    base = eq._events(spark, sf_dir)
+    # plant a hot cluster: copy 300 events into one city block
+    hot = base.limit(300).withColumn("lon", F.lit(2.35)).withColumn("lat", F.lit(48.85))
+    pts = base.unionByName(hot)
+    out = stats_ops.hotspot_cells(pts, tier=6)
+    plan = _plan(out)
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+    rows = out.collect()
+    top = max(rows, key=lambda r: (r["gi_mu"] is not None, r["gi_mu"]))
+    # the planted block's cell at tier 6: grid coord of (2.35, 48.85)
+    import numpy as np
+    from geowave_spark import cells
+    gx = int(cells.grid_coord(cells.norm_lon(np.float64(2.35)), 6))
+    gy = int(cells.grid_coord(cells.norm_lat(np.float64(48.85)), 6))
+    assert (top["gx"], top["gy"]) == (gx, gy)
+    assert top["n"] >= 300
