@@ -1150,6 +1150,45 @@ def _sql_seg_touch(a, b) -> str:
     )
 
 
+KNN_GEOM_K = 3
+
+
+def q_knn_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k nearest events per LINESTRING track (NN over arbitrary geometry
+    queries — NNMapReduce generalization, iterative radius growth)."""
+    from .operators import knn
+
+    ev = _events(spark, sf_dir)
+    out = knn.knn_geometry(
+        ev, _tracks_df(spark).withColumnRenamed("polygon_id", "query_id"),
+        k=KNN_GEOM_K, point_id="event_id",
+    )
+    return out.select(
+        "query_id", "event_id", _mu(F.col("dist")).alias("dist_mu"), "rank"
+    )
+
+
+def _oracle_knn_geometry() -> str:
+    t_raw = (
+        "((lon - ax) * (bx - ax) + (lat - ay) * (by - ay)) / "
+        "((bx - ax) * (bx - ax) + (by - ay) * (by - ay))"
+    )
+    return (
+        f"WITH {EV_CTE}, {_sql_track_segments()}, "
+        "cand AS (SELECT e.event_id, s.track_id, e.lon, e.lat, s.ax, s.ay, s.bx, s.by, "
+        f"least(greatest({t_raw}, CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) AS t "
+        "FROM ev e CROSS JOIN seg s), "
+        "sd AS (SELECT event_id, track_id, "
+        "sqrt((lon - (ax + t * (bx - ax))) * (lon - (ax + t * (bx - ax))) + "
+        "(lat - (ay + t * (by - ay))) * (lat - (ay + t * (by - ay)))) AS dist FROM cand), "
+        "d AS (SELECT event_id, track_id, min(dist) AS dist FROM sd GROUP BY event_id, track_id), "
+        "rk AS (SELECT track_id, event_id, dist, "
+        "row_number() OVER (PARTITION BY track_id ORDER BY dist, event_id) AS rank FROM d) "
+        f"SELECT track_id AS query_id, event_id, {sql_mu('dist')} AS dist_mu, rank "
+        f"FROM rk WHERE rank <= {KNN_GEOM_K}"
+    )
+
+
 def _oracle_line_intersects() -> str:
     touch = _sql_seg_touch(
         ("es.ax1", "es.ay1", "es.ax2", "es.ay2"),
@@ -1912,6 +1951,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extent_join_bigbig": q_extent_join_bigbig,
     "knn_join": q_knn_join,
     "knn_adaptive": q_knn_adaptive,
+    "knn_geometry": q_knn_geometry,
     "range_query": q_range_query,
     "hier_range_query": q_hier_range,
     "st_range_query": q_st_range,
@@ -1977,6 +2017,7 @@ def build_oracles() -> dict[str, str]:
         "extent_join_bigbig": _oracle_extent_join_bigbig(),
         "knn_join": _oracle_knn(),
         "knn_adaptive": _oracle_knn_adaptive(),
+        "knn_geometry": _oracle_knn_geometry(),
         "range_query": _oracle_range(),
         "hier_range_query": _oracle_hier_range(),
         "st_range_query": _oracle_st_range(),

@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import cells, sqlcells
+from ..functions import geo_udfs
 from .spatial_join import add_point_cols
 
 def _tier_offsets_expr() -> Column:
@@ -194,6 +195,72 @@ def knn_adaptive(
                 leftovers = topk.join(
                     counts.filter(F.col("_n") >= k).select(query_id), query_id, "left_anti"
                 ).select(query_id, point_id, "dist", "rank")
+                results = results.unionByName(leftovers)
+            break
+        d = min(d * 4.0, float(max_distance))
+    return results
+
+
+def knn_geometry(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    point_id: str = "image_id",
+    query_id: str = "query_id",
+    wkt_col: str = "wkt",
+    p_lon: str = "lon",
+    p_lat: str = "lat",
+    init_distance: float = 0.5,
+    max_distance: float = 403.0,
+) -> DataFrame:
+    """k nearest POINTS per query GEOMETRY (LINESTRING / POLYGON / MULTI*)
+    — the reference's NN join runs over arbitrary SimpleFeatures with JTS
+    planar distance (NNMapReduce.java:94-260), not just point pairs; this
+    is that generalization, with knn_adaptive's iterative radius growth.
+
+    Per round: buffered-cover dwithin join at radius d (candidates only),
+    exact geometry distance refine (st_distance_point, vectorized per
+    distinct query geometry), per-query top-k window; queries with >= k
+    neighbors inside d are provably complete (the buffered cover reaches
+    radius d), the rest re-join at 4d.  Output: (query_id, point_id,
+    dist, rank), ties by point id.
+    """
+    from .spatial_join import tiered_spatial_join
+
+    remaining = queries.select(
+        F.col(query_id).alias("polygon_id"), F.col(wkt_col).alias("wkt")
+    )
+    pts = points.select(point_id, p_lon, p_lat)
+    results = None
+    d = float(init_distance)
+    while True:
+        pairs = tiered_spatial_join(
+            pts, remaining, predicate="dwithin", radius=d,
+            point_id=point_id, lon_col=p_lon, lat_col=p_lat,
+        )
+        cand = (
+            pairs.join(pts, point_id)
+            .join(F.broadcast(remaining), "polygon_id")
+            .withColumn(
+                "dist", geo_udfs.st_distance_point(F.col("wkt"), F.col(p_lon), F.col(p_lat))
+            )
+        )
+        w = Window.partitionBy("polygon_id").orderBy(
+            F.col("dist").asc(), F.col(point_id).asc()
+        )
+        topk = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+        counts = topk.groupBy("polygon_id").agg(F.count(F.lit(1)).alias("_n"))
+        done_qids = counts.filter(F.col("_n") >= k).select("polygon_id")
+        done = topk.join(done_qids, "polygon_id", "left_semi").select(
+            F.col("polygon_id").alias(query_id), F.col(point_id), "dist", "rank"
+        )
+        results = done if results is None else results.unionByName(done)
+        remaining = remaining.join(done_qids, "polygon_id", "left_anti").localCheckpoint()
+        if d >= max_distance or remaining.limit(1).count() == 0:
+            if d >= max_distance:
+                leftovers = topk.join(done_qids, "polygon_id", "left_anti").select(
+                    F.col("polygon_id").alias(query_id), F.col(point_id), "dist", "rank"
+                )
                 results = results.unionByName(leftovers)
             break
         d = min(d * 4.0, float(max_distance))

@@ -402,3 +402,27 @@ def test_interior_predicates_join_matches_brute_force(spark):
                 if fn(gl, gr):
                     want.add((lid, rid))
         assert got == want, (pred, got ^ want)
+
+
+def test_knn_geometry_linestring_queries(spark):
+    """knn_geometry: k nearest events per LINESTRING track, exact vs a
+    brute-force crossJoin ranked with the same exact geometry-distance
+    kernel (NNMapReduce runs over arbitrary SimpleFeatures — this is the
+    point×geometry generalization of knn_adaptive)."""
+    from pyspark.sql import Window
+
+    from geowave_spark.operators import knn
+
+    ev = eq._events(spark, SF_DIR)
+    tracks = eq._tracks_df(spark).withColumnRenamed("polygon_id", "query_id")
+    k = 3
+    got = knn.knn_geometry(ev, tracks, k=k, point_id="event_id")
+    cand = tracks.crossJoin(ev.select("event_id", "lon", "lat")).select(
+        "query_id", "event_id",
+        geo_udfs.st_distance_point(F.col("wkt"), F.col("lon"), F.col("lat")).alias("dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("event_id").asc())
+    want = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    g = sorted(map(tuple, got.select("query_id", "event_id", "dist", "rank").collect()))
+    ww = sorted(map(tuple, want.select("query_id", "event_id", "dist", "rank").collect()))
+    assert g == ww and len(g) == tracks.count() * k
