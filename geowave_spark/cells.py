@@ -196,13 +196,16 @@ def split_bbox_antimeridian(
     return [bbox]
 
 
-def count_cells_for_bbox(bbox: tuple[float, float, float, float], tier: int) -> int:
+def count_cells_for_bbox(
+    bbox: tuple[float, float, float, float], tier: int, closed: bool = False
+) -> int:
     """Covering-cell count of bbox at tier (closed form, cf. getEstimatedIdCount
-    ZOrderSFC.java:83-94)."""
+    ZOrderSFC.java:83-94).  ``closed`` counts the boundary-closed cover
+    (query-side convention, see _grid_range)."""
     total = 0
     for b in split_bbox_antimeridian(bbox):
-        x0, x1 = _grid_range(norm_lon(b[0]).item(), norm_lon_upper(b[2]), tier)
-        y0, y1 = _grid_range(norm_lat(b[1]).item(), norm_lat(b[3]).item(), tier)
+        x0, x1 = _grid_range(norm_lon(b[0]).item(), norm_lon_upper(b[2]), tier, closed=closed)
+        y0, y1 = _grid_range(norm_lat(b[1]).item(), norm_lat(b[3]).item(), tier, closed=closed)
         total += (x1 - x0 + 1) * (y1 - y0 + 1)
     return total
 
@@ -218,14 +221,18 @@ def tier_for_bbox(
     bbox: tuple[float, float, float, float],
     max_dup: int = DEFAULT_MAX_DUP,
     max_tier: int = MAX_TIER,
+    closed: bool = False,
 ) -> int:
     """Adaptive insert rule: FINEST tier whose covering count <= max_dup.
 
     TieredSFCIndexStrategy.java:334-379 (walk tiers finest→coarsest, place at
     the first whose estimated duplicate count fits the budget).
+    ``closed``: size the tier on the boundary-closed cover, so a closed
+    query cover never exceeds max_dup either (it can be one row/col wider
+    than the open cover at the same tier).
     """
     for t in range(max_tier, -1, -1):
-        if count_cells_for_bbox(bbox, t) <= max_dup:
+        if count_cells_for_bbox(bbox, t, closed=closed) <= max_dup:
             return t
     return 0
 
@@ -261,7 +268,7 @@ def cells_for_bbox(
     ``closed``: boundary-closed upper edges (query-side covers; see
     _grid_range).
     """
-    t = tier_for_bbox(bbox, max_dup=max_dup, max_tier=max_tier)
+    t = tier_for_bbox(bbox, max_dup=max_dup, max_tier=max_tier, closed=closed)
     return t, cells_for_bbox_at_tier(bbox, t, closed=closed)
 
 

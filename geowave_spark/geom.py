@@ -369,12 +369,14 @@ def _on_segment_exact(px, py, sx1, sy1, sx2, sy2):
     )
 
 
-def _segments_touch_any(A: np.ndarray, B: np.ndarray) -> bool:
-    """Any segment of A (n,4) touches/crosses any segment of B (m,4).
+def _segments_touch_matrix(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """(n,m) boolean: segment A[i] touches/crosses segment B[j].
 
     Boundary-inclusive: proper crossings via the orientation test, touches
     and collinear overlaps via endpoint-on-segment tests (an endpoint of an
-    overlap always lies on the other segment).
+    overlap always lies on the other segment).  Single source for the
+    any/rowwise reductions below — keep in sync with the SQL oracle
+    formulas (_sql_seg_touch in entry_queries.py).
     """
     ax1, ay1, ax2, ay2 = (A[:, i][:, None] for i in range(4))
     bx1, by1, bx2, by2 = (B[:, i][None, :] for i in range(4))
@@ -389,7 +391,25 @@ def _segments_touch_any(A: np.ndarray, B: np.ndarray) -> bool:
         | _on_segment_exact(ax1, ay1, bx1, by1, bx2, by2)
         | _on_segment_exact(ax2, ay2, bx1, by1, bx2, by2)
     )
-    return bool((proper | touch).any())
+    return proper | touch
+
+
+def _segments_proper_cross_matrix(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """(n,m) boolean: segment A[i] PROPERLY crosses segment B[j]
+    (interiors cross; touch/collinear excluded).  Single source for the
+    any/rowwise reductions — keep in sync with _sql_seg_proper_cross."""
+    ax1, ay1, ax2, ay2 = (A[:, i][:, None] for i in range(4))
+    bx1, by1, bx2, by2 = (B[:, i][None, :] for i in range(4))
+    o1 = _orient_sign(ax1, ay1, ax2, ay2, bx1, by1)
+    o2 = _orient_sign(ax1, ay1, ax2, ay2, bx2, by2)
+    o3 = _orient_sign(bx1, by1, bx2, by2, ax1, ay1)
+    o4 = _orient_sign(bx1, by1, bx2, by2, ax2, ay2)
+    return (o1 * o2 < 0) & (o3 * o4 < 0)
+
+
+def _segments_touch_any(A: np.ndarray, B: np.ndarray) -> bool:
+    """Any segment of A (n,4) touches/crosses any segment of B (m,4)."""
+    return bool(_segments_touch_matrix(A, B).any())
 
 
 def _segments_min_dist(A: np.ndarray, B: np.ndarray) -> float:
@@ -415,34 +435,15 @@ def _segments_min_dist(A: np.ndarray, B: np.ndarray) -> float:
 def segments_touch_rowwise(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     """Per-row any-touch: row i of the result is True iff segment A[i]
     touches/crosses ANY segment of B — the (n,) reduction of
-    _segments_touch_any used by the vectorized batch refine."""
-    ax1, ay1, ax2, ay2 = (A[:, i][:, None] for i in range(4))
-    bx1, by1, bx2, by2 = (B[:, i][None, :] for i in range(4))
-    o1 = _orient_sign(ax1, ay1, ax2, ay2, bx1, by1)
-    o2 = _orient_sign(ax1, ay1, ax2, ay2, bx2, by2)
-    o3 = _orient_sign(bx1, by1, bx2, by2, ax1, ay1)
-    o4 = _orient_sign(bx1, by1, bx2, by2, ax2, ay2)
-    proper = (o1 != o2) & (o3 != o4)
-    touch = (
-        _on_segment_exact(bx1, by1, ax1, ay1, ax2, ay2)
-        | _on_segment_exact(bx2, by2, ax1, ay1, ax2, ay2)
-        | _on_segment_exact(ax1, ay1, bx1, by1, bx2, by2)
-        | _on_segment_exact(ax2, ay2, bx1, by1, bx2, by2)
-    )
-    return (proper | touch).any(axis=1)
+    _segments_touch_matrix used by the vectorized batch refine."""
+    return _segments_touch_matrix(A, B).any(axis=1)
 
 
 def segments_proper_cross_rowwise(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     """Per-row PROPER crossing: row i is True iff segment A[i] properly
     crosses (interiors cross; touch/collinear excluded) ANY segment of B —
-    the (n,) reduction of _segments_proper_cross_any."""
-    ax1, ay1, ax2, ay2 = (A[:, i][:, None] for i in range(4))
-    bx1, by1, bx2, by2 = (B[:, i][None, :] for i in range(4))
-    o1 = _orient_sign(ax1, ay1, ax2, ay2, bx1, by1)
-    o2 = _orient_sign(ax1, ay1, ax2, ay2, bx2, by2)
-    o3 = _orient_sign(bx1, by1, bx2, by2, ax1, ay1)
-    o4 = _orient_sign(bx1, by1, bx2, by2, ax2, ay2)
-    return ((o1 * o2 < 0) & (o3 * o4 < 0)).any(axis=1)
+    the (n,) reduction of _segments_proper_cross_matrix."""
+    return _segments_proper_cross_matrix(A, B).any(axis=1)
 
 
 def segments_dist_rowwise(A: np.ndarray, B: np.ndarray) -> np.ndarray:
@@ -530,13 +531,7 @@ def intersects_pair(ga, gb) -> bool:
 
 def _segments_proper_cross_any(A: np.ndarray, B: np.ndarray) -> bool:
     """Any PROPER crossing (interiors cross; touches/collinear excluded)."""
-    ax1, ay1, ax2, ay2 = (A[:, i][:, None] for i in range(4))
-    bx1, by1, bx2, by2 = (B[:, i][None, :] for i in range(4))
-    o1 = _orient_sign(ax1, ay1, ax2, ay2, bx1, by1)
-    o2 = _orient_sign(ax1, ay1, ax2, ay2, bx2, by2)
-    o3 = _orient_sign(bx1, by1, bx2, by2, ax1, ay1)
-    o4 = _orient_sign(bx1, by1, bx2, by2, ax2, ay2)
-    return bool(((o1 * o2 < 0) & (o3 * o4 < 0)).any())
+    return bool(_segments_proper_cross_matrix(A, B).any())
 
 
 def covers_pair(ga, gb) -> bool:
@@ -576,6 +571,13 @@ def covers_pair(ga, gb) -> bool:
     if not bool(np.all(ga.contains(mx, my))):
         return False
     if _segments_proper_cross_any(ga.segments(), S):
+        return False
+    # subdivision witnesses close the exit-re-enter-through-two-vertices
+    # family (a gb edge leaving ga between two ga boundary vertices with
+    # its global midpoint still inside): every cut midpoint must be in
+    # the closed ga too
+    cm = _cut_midpoints(S, ga.segments())
+    if cm.size and not bool(np.all(ga.contains(cm[:, 0], cm[:, 1]))):
         return False
     # a hole of ga lying strictly inside gb punches gb out of ga even
     # though no gb vertex/edge touches it: witness via hole vertices AND
@@ -630,12 +632,22 @@ def equals_pair(ga, gb) -> bool:
     a_area, b_area = _has_area(ga), _has_area(gb)
     if a_area != b_area:
         return False
-    if not a_area:  # line × line: same vertex chain either direction
-        ca = ga.vertices()
-        cb = gb.vertices()
-        return len(ca) == len(cb) and (
-            bool(np.array_equal(ca, cb)) or bool(np.array_equal(ca, cb[::-1]))
-        )
+    if not a_area:
+        # line × line: equal multisets of per-part vertex chains, each
+        # part canonicalized over its own direction (a MULTILINESTRING's
+        # part order and per-part orientation are not significant — JTS
+        # GeomEquals is topological).  Collinear re-segmentations (one
+        # line split into two collinear parts) remain out of scope.
+        def canon(g):
+            parts = g.parts if isinstance(g, MultiGeometry) else [g]
+            out = []
+            for p in parts:
+                fwd = tuple(map(tuple, p.coords.tolist()))
+                rev = tuple(map(tuple, p.coords[::-1].tolist()))
+                out.append(min(fwd, rev))
+            return sorted(out)
+
+        return canon(ga) == canon(gb)
     return covers_pair(ga, gb) and covers_pair(gb, ga)
 
 
@@ -674,6 +686,56 @@ def _sample_points(g) -> np.ndarray:
     S = g.segments()
     mid = np.stack([(S[:, 0] + S[:, 2]) / 2.0, (S[:, 1] + S[:, 3]) / 2.0], axis=1)
     return np.concatenate([S[:, :2], S[:, 2:], mid])
+
+
+def _cut_midpoints(A: np.ndarray, S: np.ndarray) -> np.ndarray:
+    """Midpoints of every sub-segment of A (n,4) obtained by cutting each
+    segment at its contacts with the segment set S (m,4): non-parallel
+    intersection parameters plus S-endpoints lying exactly on the segment
+    (which covers collinear contacts), merged with {0,1}.  (k,2).
+
+    These witnesses make the interior/coverage tests exact for
+    piecewise-linear inputs: a segment that enters an area through two
+    boundary VERTICES (corner-to-corner diagonal — no proper edge
+    crossing, global midpoint on the boundary) still yields a
+    strictly-interior cut midpoint, the family plain endpoint+midpoint
+    sampling misses on grid-aligned data."""
+    A = np.asarray(A, dtype=np.float64)
+    S = np.asarray(S, dtype=np.float64)
+    if A.size:
+        A = A[(A[:, 0] != A[:, 2]) | (A[:, 1] != A[:, 3])]
+    if not A.size or not S.size:
+        return np.empty((0, 2), dtype=np.float64)
+    ax1, ay1, ax2, ay2 = (A[:, i][:, None] for i in range(4))
+    sx1, sy1, sx2, sy2 = (S[:, i][None, :] for i in range(4))
+    adx, ady = ax2 - ax1, ay2 - ay1
+    sdx, sdy = sx2 - sx1, sy2 - sy1
+    denom = adx * sdy - ady * sdx
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((sx1 - ax1) * sdy - (sy1 - ay1) * sdx) / denom
+        u = ((sx1 - ax1) * ady - (sy1 - ay1) * adx) / denom
+    cross_ok = (denom != 0) & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
+    len2 = adx * adx + ady * ady  # (n,1), nonzero by the filter above
+    end_ts, end_oks = [], []
+    for px, py in ((sx1, sy1), (sx2, sy2)):
+        end_oks.append(_on_segment_exact(px, py, ax1, ay1, ax2, ay2))
+        end_ts.append(((px - ax1) * adx + (py - ay1) * ady) / len2)
+    pts = []
+    for i in range(A.shape[0]):
+        ts = [0.0, 1.0]
+        ts.extend(t[i, cross_ok[i]].tolist())
+        for tp, ok in zip(end_ts, end_oks):
+            ts.extend(tp[i, ok[i]].tolist())
+        ts = sorted(set(ts))
+        if len(ts) > 2:
+            tm = (np.asarray(ts[:-1]) + np.asarray(ts[1:])) / 2.0
+            pts.append(
+                np.stack([A[i, 0] + tm * (A[i, 2] - A[i, 0]),
+                          A[i, 1] + tm * (A[i, 3] - A[i, 1])], axis=1)
+            )
+    if not pts:
+        return np.empty((0, 2), dtype=np.float64)
+    return np.concatenate(pts)
 
 
 def _boundary_points(g) -> np.ndarray:
@@ -791,15 +853,21 @@ def interiors_intersect_pair(ga, gb) -> bool:
     if da == 1:  # line × area
         if _segments_proper_cross_any(ga.segments(), gb.segments()):
             return True
-        sp = _sample_points(ga)
+        sp = np.concatenate(
+            [_sample_points(ga), _cut_midpoints(ga.segments(), gb.segments())]
+        )
         return bool(_strictly_inside(gb, sp[:, 0], sp[:, 1]).any())
     # area × area
     if _segments_proper_cross_any(ga.segments(), gb.segments()):
         return True
-    sa = _sample_points(ga)
+    sa = np.concatenate(
+        [_sample_points(ga), _cut_midpoints(ga.segments(), gb.segments())]
+    )
     if bool(_strictly_inside(gb, sa[:, 0], sa[:, 1]).any()):
         return True
-    sb = _sample_points(gb)
+    sb = np.concatenate(
+        [_sample_points(gb), _cut_midpoints(gb.segments(), ga.segments())]
+    )
     if bool(_strictly_inside(ga, sb[:, 0], sb[:, 1]).any()):
         return True
     # equal or nested with all samples exactly on the shared boundary: a

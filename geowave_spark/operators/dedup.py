@@ -390,7 +390,10 @@ def dedup_clusters(
     pinned in tests.
     """
     cands = minhash_lsh_pairs(docs, n_perm, bands, w, text_col, id_col)
-    sh = _doc_shingle_hashes(docs, text_col, id_col, w).localCheckpoint()
+    # persist (not localCheckpoint): sh is read 3x (self-join + sizes) but
+    # needs no lineage truncation, and persist() is releasable below —
+    # unpersist() on a localCheckpoint'd frame is a silent no-op
+    sh = _doc_shingle_hashes(docs, text_col, id_col, w).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

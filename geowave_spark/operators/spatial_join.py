@@ -717,6 +717,16 @@ def geometry_join(
         raise ValueError(f"unknown predicate {predicate!r}")
     buffer = radius if predicate == "dwithin" else 0.0
     spark = left.sparkSession
+    if not probe_broadcastable(right, right_wkt):
+        # build-side guard: never materialize an unbounded right side on
+        # the driver — route oversized builds to the keyed-shuffle twin
+        # (same output contract) instead of OOMing below
+        return geometry_join_shuffle(
+            left, right, predicate=predicate, radius=radius,
+            left_id=left_id, right_id=right_id,
+            left_wkt=left_wkt, right_wkt=right_wkt,
+            left_bbox_cols=left_bbox_cols,
+        )
     rows = [(r[0], r[1]) for r in right.select(right_id, right_wkt).collect()]
     if not rows:
         return left.select(left_id).limit(0).crossJoin(right.select(right_id).limit(0))
@@ -851,10 +861,11 @@ def geometry_join_shuffle(
     ``left_bbox_cols``: precomputed left envelopes — skips the WKT→bbox
     Arrow pass (same contract as geometry_join).
 
-    Geometries must lie in [-180, 180]: unwrapped antimeridian WKTs
-    (x1 > 180) belong on the broadcast `geometry_join` path (whose cover
-    splits the wrap) or should be pre-split by the caller — here their
-    envelope is clamped into range, keeping only the in-range extent.
+    Unwrapped antimeridian WKTs (x1 > 180, the LongitudeDefinition
+    convention) are handled like the broadcast path: the envelope is SPLIT
+    into its [-180,180] images ([x0,180] plus [-180, x1-360]) so the cell
+    cover reaches both sides of the wrap; exactness then comes from the
+    pairwise refine, which also evaluates the -360-shifted image.
     """
     if predicate not in GEOMETRY_JOIN_PREDICATES:
         raise ValueError(f"unknown predicate {predicate!r}")
@@ -869,16 +880,28 @@ def geometry_join_shuffle(
                 "_bb", geo_udfs.st_bbox(F.col(wkt_col))
             )
             x0c, y0c, x1c, y1c = (F.col(f"_bb.{c}") for c in ("x0", "y0", "x1", "y1"))
-        # clamp the padded envelope into [-180, 180]: dwithin padding past
-        # the antimeridian would make norm_lon wrap the cover into the far
-        # hemisphere and silently LOSE same-side matches (the pairwise
-        # kernel is planar, so no cross-meridian match exists to keep)
+        # antimeridian-crossing envelopes (x1 > 180) split into two
+        # in-range images; everything else keeps one row (_seg = 0).
+        # dwithin padding below -180 is clamped, not wrapped: the pairwise
+        # kernel is planar, so no cross-meridian match exists there to keep
+        b = b.withColumn(
+            "_seg",
+            F.explode(
+                F.when((x1c + pad) > 180.0, F.array(F.lit(0), F.lit(1)))
+                .otherwise(F.array(F.lit(0)))
+            ),
+        )
+        wrapped = F.col("_seg") == 1
         return b.select(
             id_col,
             F.col(wkt_col).alias(f"{prefix}wkt"),
-            F.greatest(x0c - pad, F.lit(-180.0)).alias(f"{prefix}x0"),
+            F.when(wrapped, F.lit(-180.0))
+            .otherwise(F.greatest(x0c - pad, F.lit(-180.0)))
+            .alias(f"{prefix}x0"),
             (y0c - pad).alias(f"{prefix}y0"),
-            F.least(x1c + pad, F.lit(180.0)).alias(f"{prefix}x1"),
+            F.when(wrapped, x1c + pad - 360.0)
+            .otherwise(F.least(x1c + pad, F.lit(180.0)))
+            .alias(f"{prefix}x1"),
             (y1c + pad).alias(f"{prefix}y1"),
         )
 
@@ -904,11 +927,13 @@ def geometry_join_shuffle(
     )
     if not carry_wkt:
         # narrow path: dedupe candidate id pairs BEFORE touching any WKT,
-        # then join the geometry text back by id for the refine
+        # then join the geometry text back by id for the refine (the WKT
+        # lookups dedupe by id: split antimeridian envelopes carry the
+        # same WKT on both _seg rows)
         pairs = j.select(left_id, right_id).dropDuplicates([left_id, right_id])
         j = pairs.join(
-            lb.select(left_id, "_lwkt"), left_id
-        ).join(rb.select(right_id, "_rwkt"), right_id)
+            lb.select(left_id, "_lwkt").dropDuplicates([left_id]), left_id
+        ).join(rb.select(right_id, "_rwkt").dropDuplicates([right_id]), right_id)
     j = _pairwise_refine(j, predicate, radius)
     out = j.select(left_id, right_id)
     return out if not carry_wkt else out.dropDuplicates([left_id, right_id])

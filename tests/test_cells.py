@@ -185,3 +185,29 @@ def test_exact_fit_query_ranges_single_value():
     tier4, cover4 = cells.cells_for_bbox(bbox)
     assert tier4 == t + 1 and cover4.size == 4
     assert len(cells.ranges_for_cover(cover4)) == 1
+
+
+def test_closed_cover_respects_max_dup_budget():
+    """Regression (r2 review): the closed (query-side) cover used to pick
+    its tier from the OPEN cover count, so a tier-aligned bbox whose open
+    cover exactly hit max_dup could emit a closed cover over the cap
+    (e.g. 8x10 -> 9x11 = 99 > 80)."""
+    from geowave_spark import cells
+
+    t = 8
+    r = 1 << t
+    # tier-aligned 8x10 block: open cover = 80 = JOIN_MAX_CELLS at tier t
+    bbox = (
+        10 / r * 360 - 180, 20 / r * 180 - 90,
+        18 / r * 360 - 180, 30 / r * 180 - 90,
+    )
+    budget = cells.JOIN_MAX_CELLS
+    assert cells.count_cells_for_bbox(bbox, t) == budget
+    assert cells.count_cells_for_bbox(bbox, t, closed=True) == 99  # 9x11
+    for closed in (False, True):
+        tier, cover = cells.cells_for_bbox(bbox, max_dup=budget, closed=closed)
+        assert cover.size <= budget, (closed, tier, cover.size)
+        assert cover.size == cells.count_cells_for_bbox(bbox, tier, closed=closed)
+    # the open cover stays at the aligned tier; the closed one backs off
+    assert cells.cells_for_bbox(bbox, max_dup=budget)[0] == t
+    assert cells.cells_for_bbox(bbox, max_dup=budget, closed=True)[0] == t - 1

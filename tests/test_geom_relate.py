@@ -270,3 +270,42 @@ def test_closed_cover_includes_boundary_cell():
     assert 45.0 not in lat_starts_open          # exact-fit insert semantics
     assert 45.0 in lat_starts_closed            # closed query cover
     assert set(open_cover.tolist()) <= set(closed_cover.tolist())
+
+
+def test_corner_incidence_subdivision_witnesses():
+    """Grid-aligned corner incidences (segment entering an area through
+    boundary VERTICES, no proper edge crossing) resolve exactly via the
+    boundary-subdivision witnesses (_cut_midpoints): the pre-fix sampling
+    (endpoints + global midpoint) returned touches=True for a diagonal
+    that passes straight through the interior."""
+    W = geom.geometry_from_wkt
+    b = W("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+    diag = W("LINESTRING (-5 -5, 7 7)")  # through corners (0,0) and (1,1)
+    assert geom.crosses_pair(diag, b)
+    assert not geom.touches_pair(diag, b)
+    # corner graze: bends AT the corner, interior never entered
+    graze = W("LINESTRING (-5 5, 0 0, 5 -5)")
+    assert geom.touches_pair(graze, b) and not geom.crosses_pair(graze, b)
+    # covers: exit-re-enter through two boundary vertices with the global
+    # midpoint on the boundary (U-shape notch mouth)
+    u = W("POLYGON ((0 0, 10 0, 10 10, 6 10, 6 2, 4 2, 4 10, 0 10, 0 0))")
+    assert not geom.covers_pair(u, W("LINESTRING (2 10, 6 10)"))
+    assert geom.covers_pair(u, W("LINESTRING (1 10, 3 10)"))
+    # area x area: box inscribed in a diamond (all contacts at vertices)
+    dia = W("POLYGON ((0.5 -0.5, 1.5 0.5, 0.5 1.5, -0.5 0.5, 0.5 -0.5))")
+    assert geom.contains_pair(dia, b) and not geom.overlaps_pair(dia, b)
+    # shifted diamond: corner-contact overlap, neither covers
+    dia2 = W("POLYGON ((1.0 -0.5, 2.0 0.5, 1.0 1.5, 0.0 0.5, 1.0 -0.5))")
+    assert geom.overlaps_pair(dia2, b) and not geom.touches_pair(dia2, b)
+
+
+def test_equals_multipart_canonicalization():
+    """MULTILINESTRING equality ignores part order and per-part direction
+    (JTS GeomEquals is topological)."""
+    W = geom.geometry_from_wkt
+    a = W("MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))")
+    assert geom.equals_pair(a, W("MULTILINESTRING ((3 3, 2 2), (0 0, 1 1))"))
+    assert geom.equals_pair(a, W("MULTILINESTRING ((2 2, 3 3), (0 0, 1 1))"))
+    assert not geom.equals_pair(a, W("MULTILINESTRING ((0 0, 1 1), (2 2, 3 4))"))
+    assert not geom.equals_pair(a, W("LINESTRING (0 0, 1 1)"))
+    assert geom.equals_pair(W("LINESTRING (0 0, 1 1)"), W("LINESTRING (1 1, 0 0)"))
