@@ -2,8 +2,8 @@
 
 ``entry(spark)`` runs the flagship tiered point-in-polygon join at sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
-training-data-pipeline extensions (61 queries); ``oracle_sql()`` returns
-exactly-matching DuckDB SQL for the 55 SQL-expressible ones (engineered for
+training-data-pipeline extensions (62 queries); ``oracle_sql()`` returns
+exactly-matching DuckDB SQL for the 56 SQL-expressible ones (engineered for
 bit-exact value parity — see geowave_spark/entry_queries.py; the 6 others
 are iterative/approximate/codec-output operators whose exactness is pinned
 against local oracles in tests/).  Verified value-exact at sf0.001, sf0.01

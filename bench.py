@@ -9,6 +9,10 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 set at local[8] and local[32] on the SAME input and reports throughput at
 both plus scaling efficiency (the BASELINE.json two-cluster-size criterion,
 evidenced by parallelism levels in this sandbox).
+
+`python bench.py --skew` measures the hot-cell skew defenses: a 50%-in-
+one-cell workload through the forced shuffle join, AQE-only vs
+histogram-planned salting (numbers recorded in BENCH.md).
 """
 
 from __future__ import annotations
@@ -189,6 +193,113 @@ def big_shuffle_join(spark, n_poly: int, n_pts: int) -> dict:
     }
 
 
+def skew_join(spark, n_uniform: int, n_hot: int, n_poly: int, salt: int) -> dict:
+    """Pathological hot-cell workload: half the points piled into ONE
+    ~0.04-degree box (a single cell at the polygons' join tier), joined
+    against a non-broadcastable polygon side through the forced shuffle
+    path.  ``salt=0`` leaves AQE skew-join splitting as the only defense;
+    ``salt>1`` adds the histogram-driven polygon-replication salting
+    (plans/skew.py)."""
+    from pyspark.sql import functions as F
+
+    from geowave_spark import sqlcells
+    from geowave_spark.operators import spatial_join
+
+    def box_wkt(lon, lat, s):
+        return F.concat(
+            F.lit("POLYGON (("),
+            lon, F.lit(" "), lat, F.lit(", "),
+            lon + s, F.lit(" "), lat, F.lit(", "),
+            lon + s, F.lit(" "), lat + s, F.lit(", "),
+            lon, F.lit(" "), lat + s, F.lit(", "),
+            lon, F.lit(" "), lat, F.lit("))"),
+        )
+
+    uni_polys = (
+        spark.range(0, n_poly, 1, 64)
+        .select(F.col("id").alias("polygon_id"))
+        .withColumn("lon", sqlcells.derived_lon(F.col("polygon_id")))
+        .withColumn("lat", sqlcells.derived_lat(F.col("polygon_id")))
+    )
+    # 32 polygons overlapping the hot box: the hot cell key survives the
+    # equi-join, so its 50%-of-all-points group lands on one task unsalted
+    hot_polys = (
+        spark.range(0, 32, 1, 1)
+        .select((F.col("id") + n_poly).alias("polygon_id"))
+        .withColumn("lon", F.lit(10.0) + (F.col("polygon_id") % 8).cast("double") * 0.004)
+        .withColumn("lat", F.lit(10.0) + ((F.col("polygon_id") / 8) % 4).cast("double") * 0.004)
+    )
+    polys = uni_polys.unionByName(hot_polys).select(
+        F.col("polygon_id").cast("string").alias("polygon_id"),
+        box_wkt(F.col("lon"), F.col("lat"), 0.05).alias("wkt"),
+    )
+    uni_pts = (
+        spark.range(0, n_uniform, 1, 64)
+        .select((F.col("id") + 10_000_000).alias("event_id"))
+        .withColumn("lon", sqlcells.derived_lon(F.col("event_id")))
+        .withColumn("lat", sqlcells.derived_lat(F.col("event_id")))
+    )
+    hot_pts = (
+        spark.range(0, n_hot, 1, 64)
+        .select((F.col("id") + 50_000_000).alias("event_id"))
+        .withColumn("lon", F.lit(10.0) + (F.col("event_id") % 997).cast("double") * (0.04 / 997))
+        .withColumn("lat", F.lit(10.0) + (F.col("event_id") % 991).cast("double") * (0.04 / 991))
+    )
+    pts = uni_pts.unionByName(hot_pts)
+    t0 = time.monotonic()
+    pairs = spatial_join.tiered_spatial_join(
+        pts, polys, point_id="event_id", broadcast_polygons=False, salt=salt
+    ).count()
+    sec = time.monotonic() - t0
+    return {"salt": salt, "pairs": pairs, "sec": round(sec, 3)}
+
+
+def bench_skew(cpus: int) -> dict:
+    """Hot-cell skew evidence: same workload unsalted (AQE skew-join only)
+    vs histogram-planned salting; result counts must agree."""
+    from geowave_spark.plans import skew as skewplan
+    from geowave_spark.session import get_spark
+
+    spark = get_spark(f"skew-{cpus}", cpus=cpus, shuffle_partitions=max(64, cpus))
+    try:
+        n_uniform = n_hot = 1_000_000
+        base = skew_join(spark, n_uniform, n_hot, 200_000, salt=0)
+        # plan the salt from the point-side histogram (one aggregate):
+        # hottest coarse cell ~ n_hot rows, target 128k rows/slice
+        from pyspark.sql import functions as F
+
+        from geowave_spark import sqlcells
+
+        hot_pts = (
+            spark.range(0, n_hot, 1, 64)
+            .select((F.col("id") + 50_000_000).alias("event_id"))
+            .withColumn("lon", F.lit(10.0) + (F.col("event_id") % 997).cast("double") * (0.04 / 997))
+            .withColumn("lat", F.lit(10.0) + (F.col("event_id") % 991).cast("double") * (0.04 / 991))
+        )
+        uni_pts = (
+            spark.range(0, n_uniform, 1, 64)
+            .select((F.col("id") + 10_000_000).alias("event_id"))
+            .withColumn("lon", sqlcells.derived_lon(F.col("event_id")))
+            .withColumn("lat", sqlcells.derived_lat(F.col("event_id")))
+        )
+        salt = skewplan.plan_shuffle_join_salt(
+            uni_pts.unionByName(hot_pts), tier=10, target_rows_per_task=128_000
+        )
+        salted = skew_join(spark, n_uniform, n_hot, 200_000, salt=salt)
+        assert base["pairs"] == salted["pairs"], (base, salted)
+        return {
+            "n_points": n_uniform + n_hot,
+            "hot_fraction": 0.5,
+            "n_polygons": 200_032,
+            "pairs": base["pairs"],
+            "unsalted_sec": base["sec"],
+            "planned_salt": salt,
+            "salted_sec": salted["sec"],
+        }
+    finally:
+        spark.stop()
+
+
 def scaling_once(cpus: int, n_rows: int) -> float:
     from geowave_spark.session import get_spark
 
@@ -214,6 +325,9 @@ def bench_big_shuffle(cpus: int) -> dict:
 
 def main() -> None:
     scaling = "--scaling" in sys.argv
+    if "--skew" in sys.argv:
+        print(json.dumps({"skew": bench_skew(CPUS)}))
+        return
     times, total, n_rows = bench_once(CPUS)
     headline_sec = sum(times[n] for n in HEADLINE)
     out = {

@@ -700,6 +700,16 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.fixed_bin_histogram(_load(spark, sf_dir, "events"))
 
 
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector zonal statistics: count/sum/min/max of the event measure per
+    polygon zone (the integer-cents measure keeps cross-engine sums
+    bit-exact — float sums are order-dependent)."""
+    ev = _events(spark, sf_dir).withColumn("value_c", _cents(F.col("value")))
+    return stats.zonal_statistics(
+        ev, _poly_df(spark, PIP_POLYGONS), value_col="value_c"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Queries — dedup / text / similarity
 # ---------------------------------------------------------------------------
@@ -1618,6 +1628,17 @@ def _oracle_id_lookup() -> str:
     )
 
 
+def _oracle_zonal_stats() -> str:
+    c = sql_cents("e.value")
+    return (
+        f"WITH {EV_CTE}, {_sql_poly_values(PIP_POLYGONS)} "
+        f"SELECT p.polygon_id, CAST(COUNT(*) AS BIGINT) AS n_points, "
+        f"CAST(SUM({c}) AS BIGINT) AS sum_value_c, "
+        f"MIN({c}) AS min_value_c, MAX({c}) AS max_value_c "
+        f"FROM ev e JOIN p ON {_SQL_PIP_PRED} GROUP BY p.polygon_id"
+    )
+
+
 def _oracle_stats_summary() -> str:
     return (
         f"WITH {EV_CTE} SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
@@ -1961,6 +1982,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cell_ids": q_cell_ids,
     "subsample_cells": q_subsample,
     "hotspot_cells": q_hotspot_cells,
+    "zonal_stats": q_zonal_stats,
     "tile_assignment": q_tile_assignment,
     "tile_counts_l8": q_tile_counts,
     "tile_pyramid_rollup": q_tile_pyramid,
@@ -2027,6 +2049,7 @@ def build_oracles() -> dict[str, str]:
         "cell_ids": _oracle_cell_ids(),
         "subsample_cells": _oracle_subsample(),
         "hotspot_cells": _oracle_hotspot(),
+        "zonal_stats": _oracle_zonal_stats(),
         "tile_assignment": _oracle_tiles([4, 8, 12]),
         "tile_counts_l8": _oracle_tile_counts(8),
         "tile_pyramid_rollup": _oracle_tile_counts(5),

@@ -283,3 +283,41 @@ def hotspot_cells(
     z = (F.col("ring_sum").cast("double") - w * mean) / denom
     gi = F.when(denom > 0.0, F.floor(z * F.lit(1e6) + F.lit(0.5)).cast("long"))
     return j.select("gx", "gy", "n", "ring_sum", "ring_cnt", gi.alias("gi_mu"))
+
+
+def zonal_statistics(
+    points: DataFrame,
+    polygons: DataFrame,
+    value_col: str = "value",
+    point_id: str = "event_id",
+    polygon_id: str = "polygon_id",
+    **join_kwargs,
+) -> DataFrame:
+    """Vector zonal statistics: per-zone aggregates of a point measure —
+    count, sum, min, max of ``value_col`` per polygon.
+
+    The classic raster/vector zonal-stats rollup as ONE declarative plan:
+    zone assignment is the tiered point-in-polygon join (zero-shuffle
+    broadcast path for small zone sets, keyed shuffle + AQE/salting for
+    big ones), then Catalyst's partial/final aggregation keyed by zone id
+    — the per-region twin of the reference's statistics framework
+    (BoundingBoxDataStatistics/CountDataStatistics per adapter,
+    core/store/.../statistics), which only aggregates per TABLE, not per
+    query region.
+
+    A point inside k overlapping zones contributes to all k; points in no
+    zone are absent.  For bit-exact cross-engine sums feed an
+    integer-quantized measure (floats sum order-dependently).
+    """
+    from .spatial_join import tiered_spatial_join
+
+    pairs = tiered_spatial_join(
+        points, polygons, point_id=point_id, polygon_id=polygon_id, **join_kwargs
+    )
+    j = pairs.join(points.select(point_id, value_col), point_id)
+    return j.groupBy(polygon_id).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum(value_col).alias(f"sum_{value_col}"),
+        F.min(value_col).alias(f"min_{value_col}"),
+        F.max(value_col).alias(f"max_{value_col}"),
+    )
