@@ -426,3 +426,26 @@ def test_knn_geometry_linestring_queries(spark):
     g = sorted(map(tuple, got.select("query_id", "event_id", "dist", "rank").collect()))
     ww = sorted(map(tuple, want.select("query_id", "event_id", "dist", "rank").collect()))
     assert g == ww and len(g) == tracks.count() * k
+
+
+def test_geometry_join_routes_oversized_build_to_shuffle(spark, monkeypatch):
+    """Regression (r2 review): geometry_join used to collect the entire
+    right side driver-side with no guard; it now probes the build side and
+    routes oversized builds to geometry_join_shuffle with identical
+    results."""
+    L = spark.createDataFrame(
+        [(f"l{i}", f"LINESTRING ({i}.0 0.0, {i}.5 0.5)") for i in range(20)],
+        ["left_id", "wkt"],
+    )
+    R = spark.createDataFrame(
+        [(f"r{i}", f"LINESTRING ({i}.2 0.1, {i}.7 0.6)") for i in range(20)],
+        ["right_id", "wkt"],
+    )
+    expect = sorted(map(tuple, spatial_join.geometry_join(
+        L, R, predicate="dwithin", radius=0.3).collect()))
+    assert expect  # non-trivial workload
+    # shrink the build budget so the same call must take the shuffle route
+    monkeypatch.setattr(spatial_join, "BROADCAST_MAX_POLYGONS", 5)
+    routed = sorted(map(tuple, spatial_join.geometry_join(
+        L, R, predicate="dwithin", radius=0.3).collect()))
+    assert routed == expect
