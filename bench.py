@@ -48,6 +48,7 @@ HEADLINE = [
     "st_range_query",
     "st_join",
     "subsample_cells",
+    "zonal_stats",
 ]
 # ... plus the training-data-pipeline set
 PIPELINE = [
