@@ -1260,8 +1260,11 @@ def _sql_seg_proper_cross(a, b) -> str:
 def _oracle_line_crosses() -> str:
     """crosses(segment, box) in pure SQL, the exact decomposition of the
     engine's kernel: (proper cross with any box edge OR a witness sample —
-    endpoint/midpoint — strictly inside) AND NOT both endpoints in the
-    closed box."""
+    endpoint/midpoint/clip-midpoint — strictly inside) AND NOT both
+    endpoints in the closed box.  The clip-midpoint witness (Liang-Barsky
+    against the box, op-for-op geom.segment_box_clip_mid_strict) closes
+    the corner-to-corner entry family where the global midpoint lands on
+    the boundary."""
     seg = ("es.ax", "es.ay", "es.bx", "es.by")
     edges = [
         ("p.x0", "p.y0", "p.x1", "p.y0"),
@@ -1278,6 +1281,35 @@ def _oracle_line_crosses() -> str:
             ("(es.ax + es.bx) / CAST(2.0 AS DOUBLE)", "(es.ay + es.by) / CAST(2.0 AS DOUBLE)"),
         )
     )
+    dxe, dye = "(es.bx - es.ax)", "(es.by - es.ay)"
+
+    def _axis_ts(d: str, a: str, lo: str, hi: str) -> tuple:
+        t0 = (
+            f"CASE WHEN {d} > 0 THEN ({lo} - {a}) / {d} "
+            f"WHEN {d} < 0 THEN ({hi} - {a}) / {d} "
+            f"WHEN {a} >= {lo} AND {a} <= {hi} THEN CAST(0.0 AS DOUBLE) "
+            f"ELSE CAST(2.0 AS DOUBLE) END"
+        )
+        t1 = (
+            f"CASE WHEN {d} > 0 THEN ({hi} - {a}) / {d} "
+            f"WHEN {d} < 0 THEN ({lo} - {a}) / {d} "
+            f"WHEN {a} >= {lo} AND {a} <= {hi} THEN CAST(1.0 AS DOUBLE) "
+            f"ELSE CAST(-1.0 AS DOUBLE) END"
+        )
+        return t0, t1
+
+    t0x, t1x = _axis_ts(dxe, "es.ax", "p.x0", "p.x1")
+    t0y, t1y = _axis_ts(dye, "es.ay", "p.y0", "p.y1")
+    t0 = f"GREATEST(CAST(0.0 AS DOUBLE), ({t0x}), ({t0y}))"
+    t1 = f"LEAST(CAST(1.0 AS DOUBLE), ({t1x}), ({t1y}))"
+    tm = f"(({t0} + {t1}) / CAST(2.0 AS DOUBLE))"
+    cpx = f"(es.ax + {tm} * {dxe})"
+    cpy = f"(es.ay + {tm} * {dye})"
+    clip = (
+        f"({t0} <= {t1} AND {cpx} > p.x0 AND {cpx} < p.x1 "
+        f"AND {cpy} > p.y0 AND {cpy} < p.y1)"
+    )
+    strict = f"{strict} OR {clip}"
     covered = (
         "es.ax >= p.x0 AND es.ax <= p.x1 AND es.ay >= p.y0 AND es.ay <= p.y1 "
         "AND es.bx >= p.x0 AND es.bx <= p.x1 AND es.by >= p.y0 AND es.by <= p.y1"

@@ -347,6 +347,12 @@ def _crosses_group(gb, left_wkts: np.ndarray, scalar_fn) -> np.ndarray:
             strict = np.zeros(len(seg_idx), dtype=bool)
             for px, py in ((A[:, 0], A[:, 1]), (A[:, 2], A[:, 3]), (mx, my)):
                 strict |= (px > bx0) & (px < bx1) & (py > by0) & (py < by1)
+            # clip-midpoint witness (Liang-Barsky): a segment entering the
+            # box corner-to-corner has NO proper edge crossing and its
+            # global midpoint may sit on the boundary, yet the midpoint of
+            # its clipped sub-segment is strictly interior — the vectorized
+            # twin of the scalar kernel's _cut_midpoints witnesses
+            strict |= geom.segment_box_clip_mid_strict(A, bx0, by0, bx1, by1)
             covered = (
                 (A[:, 0] >= bx0) & (A[:, 0] <= bx1) & (A[:, 1] >= by0) & (A[:, 1] <= by1)
                 & (A[:, 2] >= bx0) & (A[:, 2] <= bx1) & (A[:, 3] >= by0) & (A[:, 3] <= by1)

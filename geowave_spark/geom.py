@@ -446,6 +446,49 @@ def segments_proper_cross_rowwise(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     return _segments_proper_cross_matrix(A, B).any(axis=1)
 
 
+def segment_box_clip_mid_strict(
+    A: np.ndarray, bx0: float, by0: float, bx1: float, by1: float
+) -> np.ndarray:
+    """Per-row clip-midpoint witness: True iff the midpoint of segment
+    A[i]'s Liang-Barsky clip against the closed box lies STRICTLY inside
+    the open box.  By convexity this holds exactly when the segment's
+    interior meets the open box (a clipped chord's midpoint is on the
+    boundary only if the whole chord lies in one box face) — the
+    vectorized equivalent of the scalar kernel's cut-midpoint witnesses
+    for corner-to-corner entries.  Op order mirrors the SQL oracle
+    (_oracle_line_crosses) exactly."""
+    ax, ay = A[:, 0], A[:, 1]
+    dx, dy = A[:, 2] - A[:, 0], A[:, 3] - A[:, 1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t0x = np.where(
+            dx > 0, (bx0 - ax) / dx,
+            np.where(dx < 0, (bx1 - ax) / dx,
+                     np.where((ax >= bx0) & (ax <= bx1), 0.0, 2.0)),
+        )
+        t1x = np.where(
+            dx > 0, (bx1 - ax) / dx,
+            np.where(dx < 0, (bx0 - ax) / dx,
+                     np.where((ax >= bx0) & (ax <= bx1), 1.0, -1.0)),
+        )
+        t0y = np.where(
+            dy > 0, (by0 - ay) / dy,
+            np.where(dy < 0, (by1 - ay) / dy,
+                     np.where((ay >= by0) & (ay <= by1), 0.0, 2.0)),
+        )
+        t1y = np.where(
+            dy > 0, (by1 - ay) / dy,
+            np.where(dy < 0, (by0 - ay) / dy,
+                     np.where((ay >= by0) & (ay <= by1), 1.0, -1.0)),
+        )
+    t0 = np.maximum(0.0, np.maximum(t0x, t0y))
+    t1 = np.minimum(1.0, np.minimum(t1x, t1y))
+    tm = (t0 + t1) / 2.0
+    px, py = ax + tm * dx, ay + tm * dy
+    return (
+        (t0 <= t1) & (px > bx0) & (px < bx1) & (py > by0) & (py < by1)
+    )
+
+
 def segments_dist_rowwise(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     """Per-row min distance from segment A[i] to the segment set B
     (ignoring crossings — callers mask crossing rows to 0)."""
@@ -556,6 +599,13 @@ def covers_pair(ga, gb) -> bool:
         if _has_area(gb) or isinstance(ga, Point):
             return False
         sp = _sample_points(gb)
+        # subdivide gb's segments at contacts with ga's segments/endpoints:
+        # a gb segment bridging a GAP in a dashed multi-part ga can have all
+        # of vertices+midpoints on ga while the gap midpoint is not — the
+        # cut midpoints (cuts at ga endpoint contacts) expose the gap
+        cm = _cut_midpoints(gb.segments(), ga.segments())
+        if cm.size:
+            sp = np.concatenate([sp, cm])
         return bool(np.all(ga.contains(sp[:, 0], sp[:, 1])))
     ax0, ay0, ax1, ay1 = ga.bbox
     bx0, by0, bx1, by1 = gb.bbox
@@ -589,12 +639,23 @@ def covers_pair(ga, gb) -> bool:
     if _has_area(gb):
         Sg = gb.segments()
         for hole in _hole_rings(ga):
-            # sample the hole boundary AND its centroid: the centroid closes
-            # the exact-fit case (gb fills the hole precisely, every boundary
-            # sample lying on gb's own boundary)
-            cx, cy = float(hole[:-1, 0].mean()), float(hole[:-1, 1].mean())
-            hx = np.concatenate([hole[:-1, 0], (hole[:-1, 0] + hole[1:, 0]) / 2.0, [cx]])
-            hy = np.concatenate([hole[:-1, 1], (hole[:-1, 1] + hole[1:, 1]) / 2.0, [cy]])
+            # sample the hole boundary AND a guaranteed-interior point: the
+            # interior point closes the exact-fit case (gb fills the hole
+            # precisely, every boundary sample lying on gb's own boundary).
+            # NOTE: a vertex-mean "centroid" is NOT safe here — for a
+            # non-convex (U/L-shaped) hole it can land in ga's solid
+            # material, turning a valid cover into a false negative; the
+            # scanline construction below is strictly inside the ring.
+            ip = _ring_interior_point(hole)
+            extra = np.empty((0,), dtype=np.float64) if ip is None else None
+            hx = np.concatenate(
+                [hole[:-1, 0], (hole[:-1, 0] + hole[1:, 0]) / 2.0,
+                 extra if ip is None else np.array([ip[0]])]
+            )
+            hy = np.concatenate(
+                [hole[:-1, 1], (hole[:-1, 1] + hole[1:, 1]) / 2.0,
+                 extra if ip is None else np.array([ip[1]])]
+            )
             strict = np.nonzero(gb.contains(hx, hy))[0]
             if strict.size:
                 on_boundary = _on_segment_exact(
@@ -604,6 +665,31 @@ def covers_pair(ga, gb) -> bool:
                 if not bool(on_boundary.all()):
                     return False
     return True
+
+
+def _ring_interior_point(ring: np.ndarray):
+    """A point strictly interior to a simple ring, by scanline: choose a
+    horizontal line at a y strictly between two distinct vertex y-levels
+    (so it passes through no vertex and lies along no edge), intersect it
+    with the ring's edges, and take the midpoint of the first crossing
+    pair — interior for ANY simple ring, convex or not.  Returns None for
+    degenerate (zero-height) rings."""
+    ys = np.unique(ring[:-1, 1])
+    if ys.size < 2:
+        return None
+    mid = (ys[0] + ys[-1]) / 2.0
+    i = int(np.searchsorted(ys, mid, side="right"))
+    i = min(max(i, 1), ys.size - 1)
+    y = (ys[i - 1] + ys[i]) / 2.0
+    if y <= ys[i - 1] or y >= ys[i]:  # adjacent-float degenerate band
+        return None
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    m = ((y0 <= y) & (y1 > y)) | ((y1 <= y) & (y0 > y))
+    if int(m.sum()) < 2:
+        return None
+    xs = np.sort(x0[m] + (y - y0[m]) * (x1[m] - x0[m]) / (y1[m] - y0[m]))
+    return float((xs[0] + xs[1]) / 2.0), float(y)
 
 
 def _hole_rings(g) -> list:

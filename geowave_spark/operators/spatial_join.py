@@ -123,7 +123,14 @@ def polygon_cover_local(
     from .. import geom
 
     wkts = pd.Series([w for _, w in rows])
-    keys_per_poly = geo_udfs.cover_keys(wkts, max_cells=max_cells, buffer=buffer, trim=not buffer)
+    # buffered (dwithin) covers are boundary-CLOSED: a point at exactly
+    # distance `radius` sitting on a cell line past the buffered bbox's
+    # upper edge floors into the next cell; the open (exact-fit insert
+    # rule) cover would drop its candidate cell even though the refine's
+    # <= accepts the pair (same rationale as geometry_join's closed cover)
+    keys_per_poly = geo_udfs.cover_keys(
+        wkts, max_cells=max_cells, buffer=buffer, trim=not buffer, closed=bool(buffer)
+    )
     out: list[tuple] = []
     tiers: set[int] = set()
     import numpy as np
@@ -736,8 +743,11 @@ def geometry_join(
         max_cells=max_cells, buffer=buffer, trim=not buffer,
         # boundary-closed cover: a right geometry whose upper edge lies
         # exactly on a cell line still meets left extents touching it from
-        # the next cell (the Column-math left cover is already closed)
-        closed=not buffer,
+        # the next cell (the Column-math left cover is already closed).
+        # Buffered (dwithin) covers need this too: a partner at EXACTLY
+        # distance `radius` on a cell line past the buffered bbox's upper
+        # edge lands in the next cell, and the refine's <= would accept it.
+        closed=True,
     )
     cell_rows: list[tuple] = []
     r_tiers: set[int] = set()
