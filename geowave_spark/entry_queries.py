@@ -719,7 +719,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    """Near-dup pairs with the hot-key cap ON (the 100 TB configuration):
+    stop-shingles above the data-driven df cap are dropped before the
+    self-join, and the oracle replicates the cap so exactness holds."""
+    docs = _docs(spark, sf_dir)
+    cap = dedup.default_hot_key_cap(docs.count())
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_df=cap)
 
 
 DECON_W = 4  # n-gram window; every 40th document plays the benchmark set
@@ -762,7 +767,12 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+    """LSH candidate pairs with the hot-bucket cap ON (the 100 TB
+    configuration) — degenerate (band, bucket) groups above the
+    data-driven cap are dropped; the oracle replicates the cap."""
+    docs = _docs(spark, sf_dir)
+    cap = dedup.default_hot_key_cap(docs.count())
+    return dedup.minhash_lsh_pairs(docs, max_bucket_size=cap)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -839,7 +849,26 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.embedding_neardup_pairs(_embs(spark, sf_dir), threshold_mu=950_000)
+    """Embedding near-dup over the corpus PLUS planted near-duplicates.
+
+    (r2 review: random synthetic embeddings contain no cosine >= 0.95
+    pairs, so the oracle check was a vacuous 0 == 0.)  Each vec_id < 32
+    gets a deterministic jittered twin (id + 10^6, first coordinate
+    + 0.25 in double) — true near-dups the operator must find; the oracle
+    plants the identical rows, so any kernel break now disagrees."""
+    em = _embs(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = em.filter(F.col("vec_id") < 32).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.expr(
+            "concat(array(embedding[0] + CAST(0.25 AS DOUBLE)), "
+            "slice(embedding, 2, size(embedding) - 1))"
+        ).alias("embedding"),
+    )
+    return similarity.embedding_neardup_pairs(
+        em.unionByName(planted), threshold_mu=950_000
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -878,9 +907,18 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT/anti-join surface: customers with no URGENT-priority order.
+
+    (r2 review: the all-orders variant returned 0 rows at sf0.01 — every
+    customer has some order — making the oracle check vacuous; the
+    priority-restricted anti-join is non-empty at every SF.)"""
     cust = _load(spark, sf_dir, "customer")
-    orders = _load(spark, sf_dir, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select("c_custkey")
+    urgent = _load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey")
 
 
 # ---------------------------------------------------------------------------
@@ -1752,12 +1790,21 @@ def _oracle_decontaminate() -> str:
     )
 
 
+_SQL_HOT_KEY_CAP = "GREATEST(64, (SELECT count(*) FROM documents) // 100)"
+# dedup.default_hot_key_cap in SQL — integer-only, so both engines agree
+
+
 def _oracle_jaccard(threshold: float = 0.5) -> str:
+    """Mirrors q_dedup_jaccard with the df cap ON: stop-shingles above the
+    data-driven cap are dropped BEFORE sizes and intersections (consistent
+    capped-set Jaccard, dedup.ngram_jaccard_pairs max_df semantics)."""
     return (
         f"WITH {_SQL_DOC_SHINGLE_HASHES}, "
-        "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id), "
+        f"keep AS (SELECT h FROM sh GROUP BY h HAVING count(*) <= {_SQL_HOT_KEY_CAP}), "
+        "shf AS (SELECT s.doc_id, s.h FROM sh s JOIN keep USING (h)), "
+        "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shf GROUP BY doc_id), "
         "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i "
-        "FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY doc_a, doc_b), "
+        "FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY doc_a, doc_b), "
         "j AS (SELECT doc_a, doc_b, i / (sa.n_sh + sb.n_sh - i) AS jac FROM inter "
         "JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b) "
         f"SELECT doc_a, doc_b, {sql_mu('jac')} AS jaccard_mu FROM j WHERE jac >= CAST({threshold!r} AS DOUBLE)"
@@ -1774,9 +1821,11 @@ def _oracle_minhash(n_perm: int = 16, bands: int = 4) -> str:
         "sigs AS (SELECT doc_id, perm, "
         f"min((a * (h >> 30) + b * (h & 1073741823) + c) % {dedup.P61}) AS sig "
         "FROM sh CROSS JOIN perms GROUP BY doc_id, perm), "
-        f"bands AS (SELECT doc_id, perm // {rpb} AS band, {hb} AS bucket FROM sigs GROUP BY doc_id, band) "
-        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a "
-        "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"
+        f"bands AS (SELECT doc_id, perm // {rpb} AS band, {hb} AS bucket FROM sigs GROUP BY doc_id, band), "
+        f"keepb AS (SELECT band, bucket FROM bands GROUP BY band, bucket HAVING count(*) <= {_SQL_HOT_KEY_CAP}), "
+        "bandsf AS (SELECT bands.* FROM bands JOIN keepb USING (band, bucket)) "
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bandsf a "
+        "JOIN bandsf b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"
     )
 
 
@@ -1950,7 +1999,10 @@ def _oracle_ann_lsh(k: int = 10, nq: int = 32) -> str:
 
 def _oracle_embed_neardup(threshold_mu: int = 950_000) -> str:
     return (
-        "WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), "
+        "WITH vb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), "
+        "v0 AS (SELECT vec_id, e FROM vb UNION ALL "
+        "SELECT vec_id + 1000000, list_concat([e[1] + CAST(0.25 AS DOUBLE)], e[2:]) "
+        "FROM vb WHERE vec_id < 32), "
         f"v AS (SELECT vec_id, e, {_sql_bucket('e')} AS bucket FROM v0), "
         f"c AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {sql_mu(_sql_cos('a.e', 'b.e'))} AS cos_mu "
         "FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) "
@@ -1980,7 +2032,8 @@ def _oracle_window_topk() -> str:
 def _oracle_set_except() -> str:
     return (
         "SELECT c_custkey FROM customer "
-        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "AND o_orderpriority = '1-URGENT')"
     )
 
 

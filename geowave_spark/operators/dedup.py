@@ -26,6 +26,16 @@ from pyspark.sql import functions as F
 MOD40 = 1 << 40  # fingerprint modulus — keeps the rolling hash in int64
 
 
+def default_hot_key_cap(n_docs: int) -> int:
+    """Data-driven stop-shingle / hot-bucket cap: ~1% of the corpus with a
+    floor of 64.  A shingle (or LSH bucket) shared by >1% of documents
+    carries ~zero near-dup signal while costing O(df²) candidate rows; the
+    1% ceiling bounds the worst join group at (n/100)² ≪ n².  Integer-only
+    (floor division) so the DuckDB oracle reproduces it exactly via
+    ``GREATEST(64, count(*) // 100)``."""
+    return max(64, int(n_docs) // 100)
+
+
 def h60(col: Column) -> Column:
     """Deterministic 60-bit hash of a string column (same value in DuckDB
     via ``('0x' || substr(md5(x),1,15))::BIGINT``)."""

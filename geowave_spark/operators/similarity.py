@@ -340,7 +340,6 @@ def pq_ann_topk(
     books = np.asarray(codebooks)
     m, kk, sub = books.shape
     enc = pq_encode(vectors, books, id_col, vec_col)
-    v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v")).join(enc, id_col)
 
     qrows = queries.select(
         F.col(id_col).alias(query_id), _as_double(F.col(vec_col)).alias("_qv")
@@ -357,7 +356,11 @@ def pq_ann_topk(
             q_out, f"{query_id} long, _qv array<double>, _tbl array<array<double>>"
         )
     )
-    cand = v.crossJoin(qdf).withColumn(
+    # ADC scan over (id, codes) ONLY — the full `_v` vectors never enter
+    # the candidate stage (that's the point of PQ: the scan ships m bytes
+    # per row, not the d-dim double array); `_v` is joined back for just
+    # the <= rerank survivors per query below
+    cand = enc.crossJoin(qdf.drop("_qv")).withColumn(
         "_adc",
         F.expr(
             f"aggregate(transform(sequence(0, {m - 1}), "
@@ -365,8 +368,19 @@ def pq_ann_topk(
         ),
     )
     w1 = Window.partitionBy(query_id).orderBy(F.col("_adc").asc(), F.col(id_col).asc())
-    short = cand.withColumn("_r", F.row_number().over(w1)).filter(F.col("_r") <= rerank)
-    rer = short.withColumn("cos_mu", cosine_mu(F.col("_qv"), F.col("_v")))
+    short = (
+        cand.withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= rerank)
+        .select(query_id, id_col, "_adc")
+    )
+    v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    # survivors are <= rerank * |queries| rows — broadcast them into the
+    # vector table (a tiny semi-join-shaped probe, not a full-vector scan)
+    rer = (
+        v.join(F.broadcast(short), id_col)
+        .join(F.broadcast(qdf.select(query_id, "_qv")), query_id)
+        .withColumn("cos_mu", cosine_mu(F.col("_qv"), F.col("_v")))
+    )
     w2 = Window.partitionBy(query_id).orderBy(F.col("cos_mu").desc(), F.col(id_col).asc())
     return (
         rer.withColumn("rank", F.row_number().over(w2))

@@ -444,6 +444,20 @@ def tiered_extent_join(
     from .. import geom
 
     spark = extents.sparkSession
+    if not probe_broadcastable(polygons, wkt_col):
+        # build-side guard (same as geometry_join's): never materialize an
+        # unbounded polygon side on the driver — derive its bboxes and
+        # route to the BIG×BIG shuffle twin, whose output contract
+        # (bbox-intersect pairs, same id columns) matches this join's
+        pb = polygons.withColumn("_b", geo_udfs.st_bbox(F.col(wkt_col))).select(
+            F.col(polygon_id),
+            F.col("_b.x0").alias("_rx0"), F.col("_b.y0").alias("_ry0"),
+            F.col("_b.x1").alias("_rx1"), F.col("_b.y1").alias("_ry1"),
+        )
+        return tiered_extent_join_shuffle(
+            extents, pb, left_id=extent_id, right_id=polygon_id,
+            lcols=(x0, y0, x1, y1), rcols=("_rx0", "_ry0", "_rx1", "_ry1"),
+        )
     rows = [(r[0], r[1]) for r in polygons.select(polygon_id, wkt_col).collect()]
     if not rows:
         return extents.select(extent_id).limit(0).crossJoin(polygons.select(polygon_id).limit(0))

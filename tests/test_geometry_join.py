@@ -449,3 +449,28 @@ def test_geometry_join_routes_oversized_build_to_shuffle(spark, monkeypatch):
     routed = sorted(map(tuple, spatial_join.geometry_join(
         L, R, predicate="dwithin", radius=0.3).collect()))
     assert routed == expect
+
+
+def test_tiered_extent_join_routes_oversized_build_to_shuffle(spark, monkeypatch):
+    """Regression (r2 review): tiered_extent_join collected the polygon
+    side unguarded; it now probes the build side and routes oversized
+    builds to tiered_extent_join_shuffle with identical results."""
+    ex = spark.createDataFrame(
+        [(f"e{i}", i * 1.0, 0.0, i * 1.0 + 0.8, 0.8) for i in range(25)],
+        ["extent_id", "x0", "y0", "x1", "y1"],
+    )
+    polys = spark.createDataFrame(
+        [
+            (
+                f"p{i}",
+                f"POLYGON (({i}.5 0.2, {i + 1}.2 0.2, {i + 1}.2 0.9, {i}.5 0.9, {i}.5 0.2))",
+            )
+            for i in range(25)
+        ],
+        ["polygon_id", "wkt"],
+    )
+    expect = sorted(map(tuple, spatial_join.tiered_extent_join(ex, polys).collect()))
+    assert expect  # non-trivial workload
+    monkeypatch.setattr(spatial_join, "BROADCAST_MAX_POLYGONS", 5)
+    routed = sorted(map(tuple, spatial_join.tiered_extent_join(ex, polys).collect()))
+    assert routed == expect

@@ -184,3 +184,19 @@ def test_hotspot_cells_jvm_only_and_sane(spark, sf_dir):
     gy = int(cells.grid_coord(cells.norm_lat(np.float64(48.85)), 6))
     assert (top["gx"], top["gy"]) == (gx, gy)
     assert top["n"] >= 300
+
+
+def test_pq_ann_scan_is_codes_only(spark, sf_dir):
+    """Regression (r2 review): the PQ ADC candidate stage used to carry
+    the full `_v` vectors, defeating the m-byte compressed scan.  The
+    fold stage must reference codes only; `_v` joins back for just the
+    <= rerank survivors."""
+    out = eq.q_ann_pq(spark, sf_dir)
+    out.count()
+    plan = _plan(out)
+    adc_lines = [ln for ln in plan.splitlines() if "AS _adc#" in ln]
+    assert adc_lines, "ADC fold stage missing from plan"
+    for ln in adc_lines:
+        assert "_v#" not in ln and "embedding#" not in ln, ln
+    # the shortlist that meets the vectors again is a broadcast probe
+    assert "BroadcastHashJoin" in plan
