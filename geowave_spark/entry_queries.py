@@ -2038,13 +2038,218 @@ def _oracle_set_except() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Consolidated queries (r2 review item #6): the driver records correctness
+# rows for the first ~50 registry entries only, so near-duplicate entries
+# are merged (union with a tag column / wide join) until every operator's
+# query fits inside the checked window.  The original single-operator
+# functions remain for bench.py (BENCH_EXTRA) and tests.
+# ---------------------------------------------------------------------------
+
+def q_pip_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi- and anti-join outputs of the tiered PIP join, tagged."""
+    s = q_pip_semi(spark, sf_dir).withColumn("kind", F.lit("semi"))
+    a = q_pip_anti(spark, sf_dir).withColumn("kind", F.lit("anti"))
+    return s.unionByName(a)
+
+
+def q_knn_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-radius and adaptive (ring-growth) kNN join, tagged."""
+    f = q_knn_join(spark, sf_dir).withColumn("kind", F.lit("fixed"))
+    a = q_knn_adaptive(spark, sf_dir).withColumn("kind", F.lit("adaptive"))
+    return f.unionByName(a)
+
+
+def q_range_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bbox range scan (tiered layout) + composite-index (hier) range
+    lookup, tagged by source index."""
+    r = (
+        q_range_query(spark, sf_dir)
+        .withColumn("src", F.lit("bbox"))
+        .withColumn("kind", F.lit(None).cast("long"))
+    )
+    h = q_hier_range(spark, sf_dir).select(
+        "event_id",
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("long").alias("value_c"),
+        F.lit("hier").alias("src"),
+        "kind",
+    )
+    return r.unionByName(h)
+
+
+def q_tile_pyramid_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-8 tile counts plus their level-5 rollup — one true pyramid
+    query (subsumes the former separate tile_counts_l8 entry)."""
+    t8 = tiling.tile_counts(_events(spark, sf_dir), [8], point_id="event_id")
+    lvl8 = t8.select(
+        F.col("level").cast("long").alias("level"), "tile_x", "tile_y", "n_images"
+    )
+    lvl5 = tiling.retile(t8, 8, 5).select(
+        F.col("level").cast("long").alias("level"), "tile_x", "tile_y", "n_images"
+    )
+    return lvl8.unionByName(lvl5)
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster membership + quality-keeper selection, tagged."""
+    c = q_dedup_clusters(spark, sf_dir).select(
+        F.lit("member").alias("kind"), "doc_id", F.col("canonical_id").alias("v")
+    )
+    k = q_dedup_keep_best(spark, sf_dir).select(
+        F.lit("keeper").alias("kind"), "doc_id", F.col("n_chars").alias("v")
+    )
+    return c.unionByName(k)
+
+
+def q_simhash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures + banded near-dup pairs, tagged."""
+    s = q_simhash(spark, sf_dir).select(
+        F.lit("sig").alias("kind"),
+        F.col("doc_id").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        F.col("simhash").alias("v"),
+    )
+    p = q_simhash_pairs(spark, sf_dir).select(
+        F.lit("pair").alias("kind"),
+        F.col("doc_a").alias("a"),
+        F.col("doc_b").alias("b"),
+        F.col("hamming").alias("v"),
+    )
+    return s.unionByName(p)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four text-analysis operators joined per doc (quality, lang-id,
+    token counts, fingerprint) — one wide row per document."""
+    q = q_text_quality(spark, sf_dir)
+    l = q_lang_id(spark, sf_dir)
+    t = q_token_counts(spark, sf_dir)
+    fp = q_fingerprint(spark, sf_dir)
+    return q.join(l, "doc_id").join(t, "doc_id").join(fp, "doc_id")
+
+
+def q_sampling_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated Bernoulli sample + exact-k reservoir, tagged."""
+    s = q_stratified_sample(spark, sf_dir).withColumn("kind", F.lit("bernoulli"))
+    k = q_sample_exact_k(spark, sf_dir).withColumn("kind", F.lit("topk"))
+    return s.unionByName(k)
+
+
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF and PQ ANN top-k (both centroid-trained → rows-only), tagged."""
+    i = q_ann_ivf(spark, sf_dir).withColumn("method", F.lit("ivf"))
+    p = q_ann_pq(spark, sf_dir).withColumn("method", F.lit("pq"))
+    return i.unionByName(p)
+
+
+def q_image_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode statistics + resize pipeline (engine codecs →
+    rows-only), tagged with null-padded value columns."""
+    d = q_image_decode_stats(spark, sf_dir).select(
+        F.lit("decode").alias("kind"),
+        "image_id",
+        F.col("mean_r_mu").alias("a"),
+        F.col("mean_g_mu").alias("b"),
+        F.lit(None).cast("long").alias("c"),
+    )
+    r = q_image_resize(spark, sf_dir).select(
+        F.lit("resize").alias("kind"),
+        "image_id",
+        F.col("w").alias("a"),
+        F.col("h").alias("b"),
+        F.col("bytes_crc").alias("c"),
+    )
+    return d.unionByName(r)
+
+
+def _oracle_pip_semi_anti() -> str:
+    return (
+        f"SELECT *, 'semi' AS kind FROM ({_oracle_pip_semi()}) UNION ALL "
+        f"SELECT *, 'anti' AS kind FROM ({_oracle_pip_anti()})"
+    )
+
+
+def _oracle_knn_modes() -> str:
+    return (
+        f"SELECT *, 'fixed' AS kind FROM ({_oracle_knn()}) UNION ALL "
+        f"SELECT *, 'adaptive' AS kind FROM ({_oracle_knn_adaptive()})"
+    )
+
+
+def _oracle_range_indexed() -> str:
+    return (
+        "SELECT event_id, event_type, value_c, 'bbox' AS src, "
+        f"CAST(NULL AS BIGINT) AS kind FROM ({_oracle_range()}) "
+        "UNION ALL SELECT event_id, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), "
+        f"'hier', kind FROM ({_oracle_hier_range()})"
+    )
+
+
+def _oracle_tile_pyramid_full() -> str:
+    return (
+        f"WITH t8 AS ({_oracle_tile_counts(8)}) SELECT * FROM t8 "
+        "UNION ALL SELECT CAST(5 AS BIGINT) AS level, tile_x, tile_y, "
+        "CAST(sum(n_images) AS BIGINT) AS n_images FROM "
+        "(SELECT tile_x >> 3 AS tile_x, tile_y >> 3 AS tile_y, n_images FROM t8) "
+        "GROUP BY tile_x, tile_y"
+    )
+
+
+def _oracle_dedup_canonical() -> str:
+    base = _oracle_dedup_clusters()
+    final = "SELECT doc_id, min(label) AS canonical_id FROM reach GROUP BY doc_id"
+    assert base.endswith(final)
+    return (
+        base[: -len(final)]
+        + ", comp AS (" + final + ") "
+        "SELECT 'member' AS kind, doc_id, canonical_id AS v FROM comp "
+        "UNION ALL SELECT 'keeper' AS kind, doc_id, n_chars AS v FROM ("
+        "SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars, "
+        "row_number() OVER (PARTITION BY c.canonical_id "
+        "ORDER BY length(d.text) DESC, d.doc_id) AS rn "
+        "FROM comp c JOIN documents d ON d.doc_id = c.doc_id) WHERE rn = 1"
+    )
+
+
+def _oracle_simhash_family(max_hamming: int = 3) -> str:
+    return (
+        f"WITH {_SQL_SIMHASH} "
+        "SELECT 'sig' AS kind, doc_id AS a, CAST(NULL AS BIGINT) AS b, simhash AS v FROM sh "
+        "UNION ALL SELECT 'pair', a.doc_id, b.doc_id, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) "
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+        f"AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"
+    )
+
+
+def _oracle_text_stats() -> str:
+    return (
+        "SELECT q.doc_id, q.n_chars, q.n_tokens, q.avg_token_len_mu, "
+        "q.stopword_ratio_mu, q.alpha_ratio_mu, l.lang_guess, l.hits, "
+        "t.n_ws_tokens, t.n_bpe_tokens, fp.fingerprint "
+        f"FROM ({_oracle_text_quality()}) q "
+        f"JOIN ({_oracle_lang_id()}) l ON l.doc_id = q.doc_id "
+        f"JOIN ({_oracle_token_counts()}) t ON t.doc_id = q.doc_id "
+        f"JOIN ({_oracle_fingerprint()}) fp ON fp.doc_id = q.doc_id"
+    )
+
+
+def _oracle_sampling_gated() -> str:
+    return (
+        f"SELECT *, 'bernoulli' AS kind FROM ({_oracle_stratified_sample()}) "
+        f"UNION ALL SELECT *, 'topk' AS kind FROM ({_oracle_sample_exact_k()})"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------
 
+# Exactly 50 entries: the driver records correctness rows for the first
+# ~50, so every operator (46 oracle-backed + 4 rows-only) gets a row.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pip_join_tiered": q_pip_join,
-    "pip_join_semi": q_pip_semi,
-    "pip_join_anti": q_pip_anti,
+    "pip_join_semi_anti": q_pip_semi_anti,
     "dwithin_join": q_dwithin_join,
     "line_dwithin_join": q_line_dwithin,
     "line_intersects_join": q_line_intersects,
@@ -2055,11 +2260,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_crosses_join": q_line_crosses,
     "extent_join_tiered": q_extent_join,
     "extent_join_bigbig": q_extent_join_bigbig,
-    "knn_join": q_knn_join,
-    "knn_adaptive": q_knn_adaptive,
+    "knn_join_modes": q_knn_modes,
     "knn_geometry": q_knn_geometry,
-    "range_query": q_range_query,
-    "hier_range_query": q_hier_range,
+    "range_query_indexed": q_range_indexed,
     "st_range_query": q_st_range,
     "st_join": q_st_join,
     "st_binned_counts": q_st_binned_counts,
@@ -2069,20 +2272,47 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hotspot_cells": q_hotspot_cells,
     "zonal_stats": q_zonal_stats,
     "tile_assignment": q_tile_assignment,
-    "tile_counts_l8": q_tile_counts,
-    "tile_pyramid_rollup": q_tile_pyramid,
+    "tile_pyramid_rollup": q_tile_pyramid_full,
     "kde_l6": q_kde,
     "kde_pyramid": q_kde_pyramid,
     "id_lookup": q_id_lookup,
-    "sketch_stats": q_sketch_stats,
     "stats_summary": q_stats_summary,
     "histogram_value": q_histogram,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "decontaminate_ngrams": q_decontaminate,
+    "sampling_gated": q_sampling_gated,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_canonical": q_dedup_canonical,
+    "simhash_family": q_simhash_family,
+    "text_stats": q_text_stats,
+    "ann_cosine_topk": q_ann_topk,
+    "ann_lsh_bucketed": q_ann_lsh,
+    "dedup_embedding_cosine": q_embed_neardup,
+    "agg_pricing_summary": q_pricing_summary,
+    "window_topk_orders": q_window_topk,
+    "set_except_customers": q_set_except,
+    "dbscan": q_dbscan,
+    "image_tile_counts": q_image_tile_counts,
+    # rows-only tail (no SQL oracle possible)
+    "sketch_stats": q_sketch_stats,
+    "ann_ivf_pq": q_ann_ivf_pq,
+    "kmeans_hulls": q_kmeans_hulls,
+    "image_codec": q_image_codec,
+}
+
+# Unmerged single-operator queries, kept addressable for bench.py
+# continuity (BENCH_r01/r02 comparability) and targeted tests.
+BENCH_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pip_join_semi": q_pip_semi,
+    "pip_join_anti": q_pip_anti,
+    "knn_join": q_knn_join,
+    "knn_adaptive": q_knn_adaptive,
+    "range_query": q_range_query,
+    "hier_range_query": q_hier_range,
+    "tile_counts_l8": q_tile_counts,
     "stratified_sample": q_stratified_sample,
     "sample_exact_k": q_sample_exact_k,
-    "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_best": q_dedup_keep_best,
     "simhash64": q_simhash,
@@ -2091,17 +2321,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
     "doc_fingerprint": q_fingerprint,
-    "ann_cosine_topk": q_ann_topk,
-    "ann_lsh_bucketed": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
-    "dedup_embedding_cosine": q_embed_neardup,
-    "agg_pricing_summary": q_pricing_summary,
-    "window_topk_orders": q_window_topk,
-    "set_except_customers": q_set_except,
-    "dbscan": q_dbscan,
-    "kmeans_hulls": q_kmeans_hulls,
-    "image_tile_counts": q_image_tile_counts,
     "image_decode_stats": q_image_decode_stats,
     "image_resize": q_image_resize,
 }
@@ -2110,8 +2331,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 def build_oracles() -> dict[str, str]:
     return {
         "pip_join_tiered": _oracle_pip_join(),
-        "pip_join_semi": _oracle_pip_semi(),
-        "pip_join_anti": _oracle_pip_anti(),
+        "pip_join_semi_anti": _oracle_pip_semi_anti(),
         "dwithin_join": _oracle_dwithin(),
         "line_dwithin_join": _oracle_line_dwithin(),
         "line_intersects_join": _oracle_line_intersects(),
@@ -2122,11 +2342,9 @@ def build_oracles() -> dict[str, str]:
         "line_crosses_join": _oracle_line_crosses(),
         "extent_join_tiered": _oracle_extent_join(),
         "extent_join_bigbig": _oracle_extent_join_bigbig(),
-        "knn_join": _oracle_knn(),
-        "knn_adaptive": _oracle_knn_adaptive(),
+        "knn_join_modes": _oracle_knn_modes(),
         "knn_geometry": _oracle_knn_geometry(),
-        "range_query": _oracle_range(),
-        "hier_range_query": _oracle_hier_range(),
+        "range_query_indexed": _oracle_range_indexed(),
         "st_range_query": _oracle_st_range(),
         "st_join": _oracle_st_join(),
         "st_binned_counts": _oracle_st_binned_counts(),
@@ -2136,8 +2354,7 @@ def build_oracles() -> dict[str, str]:
         "hotspot_cells": _oracle_hotspot(),
         "zonal_stats": _oracle_zonal_stats(),
         "tile_assignment": _oracle_tiles([4, 8, 12]),
-        "tile_counts_l8": _oracle_tile_counts(8),
-        "tile_pyramid_rollup": _oracle_tile_counts(5),
+        "tile_pyramid_rollup": _oracle_tile_pyramid_full(),
         "kde_l6": _oracle_kde(6),
         "kde_pyramid": (
             f"SELECT * FROM ({_oracle_kde(4)}) UNION ALL SELECT * FROM ({_oracle_kde(6)})"
@@ -2148,18 +2365,12 @@ def build_oracles() -> dict[str, str]:
         "dedup_exact": _oracle_dedup_exact(),
         "dedup_ngram_jaccard": _oracle_jaccard(),
         "decontaminate_ngrams": _oracle_decontaminate(),
-        "stratified_sample": _oracle_stratified_sample(),
-        "sample_exact_k": _oracle_sample_exact_k(),
+        "sampling_gated": _oracle_sampling_gated(),
         "dedup_minhash_lsh": _oracle_minhash(),
-        "dedup_clusters": _oracle_dedup_clusters(),
-        "dedup_keep_best": _oracle_dedup_keep_best(),
+        "dedup_canonical": _oracle_dedup_canonical(),
         "dbscan": _oracle_dbscan(),
-        "simhash64": _oracle_simhash(),
-        "dedup_simhash_pairs": _oracle_simhash_pairs(),
-        "text_quality": _oracle_text_quality(),
-        "lang_id": _oracle_lang_id(),
-        "token_counts": _oracle_token_counts(),
-        "doc_fingerprint": _oracle_fingerprint(),
+        "simhash_family": _oracle_simhash_family(),
+        "text_stats": _oracle_text_stats(),
         "ann_cosine_topk": _oracle_ann_topk(),
         "ann_lsh_bucketed": _oracle_ann_lsh(),
         "dedup_embedding_cosine": _oracle_embed_neardup(),
