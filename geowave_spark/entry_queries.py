@@ -567,15 +567,54 @@ ST_T1_US = 4_300_000_000_000  # ~2024-02-19
 ST_EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00
 
 
+# one-week slice INSIDE the year bin — the sub-bin pruning workload
+# (bin-only keying would scan the whole year's spatial range for it)
+ST_SUBBIN_T0_US = ST_EPOCH_2024_US + 5 * 86_400_000_000
+ST_SUBBIN_T1_US = ST_SUBBIN_T0_US + 7 * 86_400_000_000
+
+
+def _ensure_st_store(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per sf dir) the (bin, interleaved xy t) keyed layout."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from .sources import indexed as _indexed
+
+    base = sf_dir.rstrip("/")
+    tag = f"{base.rsplit('/', 1)[-1]}_{_hashlib.md5(base.encode()).hexdigest()[:8]}"
+    path = f"{_IMG_CACHE_ROOT}/stidx_v1_{tag}.parquet"
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        _indexed.write_indexed_st(_events(spark, sf_dir), path, n_files=8)
+    return path
+
+
 def q_st_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spatio-temporal range query: year-bin prune + epoch window + bbox."""
+    """Spatio-temporal range queries, tagged:
+
+    * ``bin``: year-bin prune + epoch window + bbox (calendar-prefix plan);
+    * ``subbin``: one-week slice inside the year bin answered from the
+      bias-bits (bin, interleave(x, y, t)) layout — key-range pruning
+      below bin granularity (write_indexed_st / st_subbin_range_lookup,
+      the SpatialTemporalDimensionalityTypeProvider bias-bits analog).
+    """
     from .operators import spatiotemporal as st
+    from .sources import indexed as _indexed
 
     ev = _events(spark, sf_dir)
-    out = st.st_range_query(
+    binq = st.st_range_query(
         ev, RANGE_BBOX, ST_EPOCH_2024_US + ST_T0_US, ST_EPOCH_2024_US + ST_T1_US
+    ).select(
+        "event_id", "event_type", _cents(F.col("value")).alias("value_c"),
+        F.lit("bin").alias("kind"),
     )
-    return out.select("event_id", "event_type", _cents(F.col("value")).alias("value_c"))
+    sub = _indexed.st_subbin_range_lookup(
+        spark, _ensure_st_store(spark, sf_dir), RANGE_BBOX,
+        ST_SUBBIN_T0_US, ST_SUBBIN_T1_US,
+    ).select(
+        "event_id", "event_type", _cents(F.col("value")).alias("value_c"),
+        F.lit("subbin").alias("kind"),
+    )
+    return binq.unionByName(sub)
 
 
 def q_st_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1006,7 +1045,12 @@ def _ensure_hier(spark: SparkSession, sf_dir: str) -> str:
 
     from .sources import indexed as _indexed
 
-    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    # tag carries a full-path hash: two sf dirs with the same basename
+    # (e.g. driver testdata vs generated .fixtures) must not share a store
+    import hashlib as _hashlib
+
+    base = sf_dir.rstrip("/")
+    tag = f"{base.rsplit('/', 1)[-1]}_{_hashlib.md5(base.encode()).hexdigest()[:8]}"
     path = f"{_IMG_CACHE_ROOT}/hier_v1_{tag}.parquet"
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
         _indexed.write_indexed_hier(_hier_mixed_df(spark, sf_dir), path, n_files=8)
@@ -1505,13 +1549,21 @@ def _oracle_range() -> str:
 
 def _oracle_st_range() -> str:
     x0, y0, x1, y1 = RANGE_BBOX
-    t0 = ST_EPOCH_2024_US + ST_T0_US
-    t1 = ST_EPOCH_2024_US + ST_T1_US
+
+    def win(t0: int, t1: int, kind: str) -> str:
+        return (
+            f"SELECT event_id, event_type, {sql_cents('value')} AS value_c, "
+            f"'{kind}' AS kind FROM ev "
+            f"WHERE epoch_us(ts) >= {t0} AND epoch_us(ts) <= {t1} "
+            f"AND lon >= CAST({x0!r} AS DOUBLE) AND lon <= CAST({x1!r} AS DOUBLE) "
+            f"AND lat >= CAST({y0!r} AS DOUBLE) AND lat <= CAST({y1!r} AS DOUBLE)"
+        )
+
     return (
-        f"WITH {EV_CTE} SELECT event_id, event_type, {sql_cents('value')} AS value_c FROM ev "
-        f"WHERE epoch_us(ts) >= {t0} AND epoch_us(ts) <= {t1} "
-        f"AND lon >= CAST({x0!r} AS DOUBLE) AND lon <= CAST({x1!r} AS DOUBLE) "
-        f"AND lat >= CAST({y0!r} AS DOUBLE) AND lat <= CAST({y1!r} AS DOUBLE)"
+        f"WITH {EV_CTE} "
+        + win(ST_EPOCH_2024_US + ST_T0_US, ST_EPOCH_2024_US + ST_T1_US, "bin")
+        + " UNION ALL "
+        + win(ST_SUBBIN_T0_US, ST_SUBBIN_T1_US, "subbin")
     )
 
 

@@ -356,3 +356,191 @@ def range_lookup_indexed(
     if not loose:
         out = out.filter(sqlcells.bbox_refine_pred(F.col(lon_col), F.col(lat_col), bbox))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Spatio-temporal layout with sub-bin time keying (bias bits)
+# ---------------------------------------------------------------------------
+
+_TRUNC_UNIT = {"year": "YEAR", "month": "MONTH", "day": "DAY", "hour": "HOUR"}
+
+
+def write_indexed_st(
+    df: DataFrame,
+    path: str,
+    n_files: int = 32,
+    unit: str = "year",
+    bias: str = "balanced",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> None:
+    """Write a spatio-temporal layout: rows keyed by (calendar bin,
+    interleaved (x, y, t-offset) key) — the bias-bits analog of the
+    reference's time-as-SFC-dimension
+    (SpatialTemporalDimensionalityTypeProvider.java:184-221).  Within a
+    bin, gt is the 2^bt-quantized offset of ts inside the bin's calendar
+    period (TemporalBinningStrategy.java:36-127), so a sub-bin time slice
+    becomes a sargable key-range predicate instead of a full-bin scan.
+    All key math is JVM Column bit ops."""
+    from .. import cells3
+    from ..operators import spatiotemporal as st
+
+    bits = cells3.ST_BIAS[bias]
+    trunc = _TRUNC_UNIT[unit]
+    eus = st.epoch_us_expr(ts_col)
+    start = F.expr(
+        f"timestampdiff(MICROSECOND, {st.EPOCH_NTZ}, date_trunc('{trunc}', {ts_col}))"
+    )
+    nxt = F.expr(
+        f"timestampdiff(MICROSECOND, {st.EPOCH_NTZ}, "
+        f"date_trunc('{trunc}', {ts_col}) + INTERVAL 1 {trunc})"
+    )
+    frac = (eus - start).cast("double") / (nxt - start).cast("double")
+    gt = F.least(
+        F.greatest(F.floor(frac * F.lit(float(1 << bits[2]))).cast("long"), F.lit(0)),
+        F.lit((1 << bits[2]) - 1),
+    )
+    gx = F.least(
+        F.greatest(
+            F.floor(sqlcells.norm_lon(F.col(lon_col)) * F.lit(float(1 << bits[0]))).cast("long"),
+            F.lit(0),
+        ),
+        F.lit((1 << bits[0]) - 1),
+    )
+    gy = F.least(
+        F.greatest(
+            F.floor(sqlcells.norm_lat(F.col(lat_col)) * F.lit(float(1 << bits[1]))).cast("long"),
+            F.lit(0),
+        ),
+        F.lit((1 << bits[1]) - 1),
+    )
+    out = (
+        df.withColumn("_bin", st.time_bin_expr(ts_col, unit))
+        .withColumn("_stkey", cells3.st_key_expr(gx, gy, gt, bits))
+    )
+    (
+        out.repartitionByRange(n_files, F.col("_bin"), F.col("_stkey"))
+        .sortWithinPartitions("_bin", "_stkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def _bin_starts(t0_us: int, t1_us: int, unit: str):
+    """Driver-side calendar-bin enumeration over [t0_us, t1_us] — NTZ
+    datetime arithmetic, integer-exact.  Yields (bin_id, start_us, next_us)."""
+    import datetime
+
+    epoch = datetime.datetime(1970, 1, 1)
+    us = datetime.timedelta(microseconds=1)
+
+    def trunc(dt):
+        if unit == "year":
+            return dt.replace(month=1, day=1, hour=0, minute=0, second=0, microsecond=0)
+        if unit == "month":
+            return dt.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+        if unit == "day":
+            return dt.replace(hour=0, minute=0, second=0, microsecond=0)
+        return dt.replace(minute=0, second=0, microsecond=0)
+
+    def nxt(dt):
+        if unit == "year":
+            return dt.replace(year=dt.year + 1)
+        if unit == "month":
+            return dt.replace(year=dt.year + (dt.month == 12), month=dt.month % 12 + 1)
+        if unit == "day":
+            return dt + datetime.timedelta(days=1)
+        return dt + datetime.timedelta(hours=1)
+
+    def bin_id(dt):
+        b = dt.year
+        if unit == "year":
+            return b
+        b = b * 100 + dt.month
+        if unit == "month":
+            return b
+        b = b * 100 + dt.day
+        if unit == "day":
+            return b
+        return b * 100 + dt.hour
+
+    cur = trunc(epoch + t0_us * us)
+    end = epoch + t1_us * us
+    while cur <= end:
+        n = nxt(cur)
+        yield bin_id(cur), (cur - epoch) // us, (n - epoch) // us
+        cur = n
+
+
+def st_subbin_range_lookup(
+    spark: SparkSession,
+    path: str,
+    bbox: tuple[float, float, float, float],
+    t0_us: int,
+    t1_us: int,
+    unit: str = "year",
+    bias: str = "balanced",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    loose: bool = False,
+    budget: int = 384,
+) -> DataFrame:
+    """Spatio-temporal range query on the write_indexed_st layout.
+
+    Per overlapped calendar bin, the (gx, gy, gt) query box decomposes
+    into budgeted key ranges (cells3.ranges_for_box3 — the 3-D
+    getQueryRanges analog); grid bounds are widened by one cell per side
+    so double-rounding can never drop a boundary row (the exact refine
+    restores precision).  The predicate is sargable on the (_bin,
+    _stkey)-sorted layout → parquet min-max pruning below bin granularity:
+    a one-week slice inside a year bin reads ~week-sized key ranges, not
+    the whole bin (the round-2 gap this closes)."""
+    import math
+
+    from .. import cells3
+    from ..operators import spatiotemporal as st
+
+    bits = cells3.ST_BIAS[bias]
+    x0, y0, x1, y1 = bbox
+    rx, ry, rt = (1 << b for b in bits)
+
+    def nlon(v):
+        x = (v + 180.0) / 360.0
+        return x - math.floor(x)
+
+    def nlat(v):
+        return min(max((v + 90.0) / 180.0, 0.0), 1.0)
+
+    gx0 = max(0, int(math.floor(nlon(x0) * rx)) - 1)
+    gx1 = min(rx - 1, int(math.floor((1.0 if x1 == 180.0 else nlon(x1)) * rx)) + 1)
+    gy0 = max(0, int(math.floor(nlat(y0) * ry)) - 1)
+    gy1 = min(ry - 1, int(math.floor(nlat(y1) * ry)) + 1)
+
+    def _or_fold(ps: list):
+        # balanced reduction: a left-deep 500-term OR chain overflows the
+        # Column-node converter stack; a log-depth tree never does
+        while len(ps) > 1:
+            nxt = [a | b for a, b in zip(ps[::2], ps[1::2])]
+            if len(ps) % 2:
+                nxt.append(ps[-1])
+            ps = nxt
+        return ps[0]
+
+    bin_preds = []
+    for bid, bs, be in _bin_starts(t0_us, t1_us, unit):
+        span = float(be - bs)
+        gt0 = max(0, int(math.floor((max(t0_us, bs) - bs) / span * rt)) - 1)
+        gt1 = min(rt - 1, int(math.floor((min(t1_us, be - 1) - bs) / span * rt)) + 1)
+        ranges = cells3.ranges_for_box3((gx0, gy0, gt0), (gx1, gy1, gt1), bits, budget)
+        rp = _or_fold([F.col("_stkey").between(lo, hi) for lo, hi in ranges])
+        bin_preds.append((F.col("_bin") == bid) & rp)
+    pred = _or_fold(bin_preds)
+    df = spark.read.parquet(path).filter(pred)
+    if not loose:
+        eus = st.epoch_us_expr(ts_col)
+        df = df.filter((eus >= t0_us) & (eus <= t1_us)).filter(
+            sqlcells.bbox_refine_pred(F.col(lon_col), F.col(lat_col), bbox)
+        )
+    return df
