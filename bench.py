@@ -329,10 +329,83 @@ def bench_big_shuffle(cpus: int) -> dict:
         spark.stop()
 
 
+def bench_ann(cpus: int, n: int = 1_000_000, k: int = 10, nq: int = 32) -> dict:
+    """ANN family at 10^6 embeddings: wall time + recall@k vs brute force.
+
+    Embeddings are the deterministic cluster-structured generator output
+    (scripts/gen_sf.gen_embeddings — label centroid + hash noise), so
+    bucketed/IVF recall measures real neighbor structure, not noise.
+    """
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from geowave_spark.operators import similarity as sim
+    from geowave_spark.session import get_spark
+
+    sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "scripts"))
+    import gen_sf
+
+    spark = get_spark(f"bench-ann-{cpus}", cpus=cpus, shuffle_partitions=max(32, cpus))
+    try:
+        path = f"/tmp/geowave_fixture_cache/ann_emb_n{n}.parquet"
+        if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+            gen_sf.gen_embeddings(spark, n / 20_000.0).write.mode("overwrite").parquet(path)
+        vecs = spark.read.parquet(path)
+        queries = vecs.filter(F.col("vec_id") < nq)
+        out: dict = {"n": n, "k": k, "nq": nq}
+
+        def run(name, df):
+            t0 = time.monotonic()
+            rows = df.collect()
+            sec = round(time.monotonic() - t0, 3)
+            got: dict[int, set] = {}
+            for r in rows:
+                got.setdefault(r["query_id"], set()).add(r["vec_id"])
+            return sec, got
+
+        sec, exact = run("brute", sim.cosine_topk(vecs, queries, k=k))
+        out["brute_force"] = {"sec": sec, "rows_per_sec": round(n / sec, 1)}
+
+        def recall(got: dict) -> float:
+            vals = [len(got.get(q, set()) & exact[q]) / k for q in exact]
+            return round(sum(vals) / len(vals), 4)
+
+        # 8 planes -> 256 buckets (~4k rows each at 1M): the recall/speed
+        # point where bucketing still prunes 256x but near neighbors
+        # rarely straddle a boundary on cluster-structured data
+        sec, got = run("lsh", sim.lsh_ann_topk(vecs, queries, k=k, n_planes=8))
+        out["lsh_bucketed"] = {"sec": sec, "recall_at_k": recall(got), "n_planes": 8}
+        sec, got = run(
+            "lsh_mp", sim.lsh_ann_topk(vecs, queries, k=k, n_planes=8, n_probe=3)
+        )
+        out["lsh_multiprobe"] = {
+            "sec": sec, "recall_at_k": recall(got), "n_planes": 8, "n_probe": 3,
+        }
+        sec, got = run(
+            "ivf", sim.ivf_ann_topk(vecs, queries, k=k, n_lists=64, n_probe=8)
+        )
+        out["ivf"] = {"sec": sec, "recall_at_k": recall(got), "n_lists": 64, "n_probe": 8}
+        t0 = time.monotonic()
+        books = sim.pq_train(vecs, m=16, k=16)
+        train_sec = round(time.monotonic() - t0, 3)
+        sec, got = run("pq", sim.pq_ann_topk(vecs, queries, books, k=k, rerank=1000))
+        out["pq_adc"] = {
+            "sec": sec, "train_sec": train_sec, "recall_at_k": recall(got),
+            "m": 16, "rerank": 1000,
+        }
+        return out
+    finally:
+        spark.stop()
+
+
 def main() -> None:
     scaling = "--scaling" in sys.argv
     if "--skew" in sys.argv:
         print(json.dumps({"skew": bench_skew(CPUS)}))
+        return
+    if "--ann" in sys.argv:
+        print(json.dumps({"ann": bench_ann(CPUS)}))
         return
     times, total, n_rows = bench_once(CPUS)
     headline_sec = sum(times[n] for n in HEADLINE)

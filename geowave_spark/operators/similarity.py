@@ -109,6 +109,7 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     query_id: str = "query_id",
     vec_col: str = "embedding",
+    n_probe: int = 0,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: candidates share the query's bucket.
 
@@ -116,12 +117,44 @@ def lsh_ann_topk(
     bucket column becomes the table's partition/cluster key, so the
     equi-join prunes to matching buckets only (the ANN analog of the
     tiered cell join).
+
+    ``n_probe``: multi-probe LSH — each query additionally probes the
+    buckets reached by flipping its ``n_probe`` smallest-|margin|
+    hyperplane bits (the planes the query sits closest to, where true
+    neighbors most often land on the other side).  Query-side only: the
+    vector table still has ONE bucket per row, so the scan/partition
+    layout is unchanged; recall rises at the cost of n_probe+1 bucket
+    probes per query.  0 = single-bucket (the oracle-exact default).
     """
     planes = hyperplane_components(n_planes)
     q = queries.select(
         F.col(id_col).alias(query_id),
         _as_double(F.col(vec_col)).alias("_qv"),
     ).withColumn("bucket", lsh_bucket(F.col("_qv"), planes))
+    if n_probe > 0:
+        # margins: (|dot(q, plane_i)|, i), ascending — closest planes first
+        margins = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.abs(dot(F.col("_qv"), F.array(*[F.lit(float(c)) for c in comps]))).alias("m"),
+                        F.lit(i).alias("i"),
+                    )
+                    for i, comps in enumerate(planes)
+                ]
+            )
+        )
+        masks = F.array(*[F.lit(1 << i).cast("long") for i in range(n_planes)])
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(
+                    F.element_at(masks, F.element_at(margins, j + 1)["i"] + F.lit(1))
+                )
+                for j in range(min(n_probe, n_planes))
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(F.array_distinct(probes)))
     v = vectors.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("_vv")
     ).withColumn("bucket", lsh_bucket(F.col("_vv"), planes))

@@ -121,3 +121,49 @@ def test_fingerprint_drives_checkpoint_resume(spark, tmp_path):
         fingerprint=fp2,
     )
     assert not pipe3.results["counts"].resumed
+
+
+def test_session_level_conf_wiring_subprocess():
+    """Session-level integration (r2 review item #9): build a FRESH
+    SparkSession with ICEBERG_SESSION_CONF applied — exactly what a real
+    cluster user does.  On a jar-less host the session must still come up
+    and serve SQL (the extensions class is resolved lazily), the
+    capability probe must report unavailable, and first USE of the
+    catalog must fail with the catalog class name — not corrupt state."""
+    import subprocess
+    import sys as _sys
+
+    code = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+from geowave_spark.sources import iceberg
+b = (SparkSession.builder.master("local[2]").appName("iceberg-conf-wiring")
+     .config("spark.ui.enabled", "false")
+     .config("spark.sql.catalog.geowave.warehouse", "/tmp/icb_wh"))
+for k, v in iceberg.ICEBERG_SESSION_CONF.items():
+    b = b.config(k, v)
+spark = b.getOrCreate()
+for k, v in iceberg.ICEBERG_SESSION_CONF.items():
+    assert spark.conf.get(k) == v, k
+assert spark.range(5).count() == 5  # session serves normal SQL
+if iceberg.iceberg_available(spark):
+    # runtime present: the real path must round-trip a snapshot
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geowave.ns")
+    spark.range(3).writeTo("geowave.ns.t").using("iceberg").createOrReplace()
+    assert spark.table("geowave.ns.t").count() == 3
+    print("RUNTIME_PRESENT")
+else:
+    try:
+        spark.sql("SHOW NAMESPACES IN geowave").collect()
+        raise AssertionError("catalog use should fail without the jar")
+    except Exception as e:
+        assert "SparkCatalog" in str(e) or "geowave" in str(e)
+    print("GATE_OK")
+spark.stop()
+"""
+    out = subprocess.run(
+        [_sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "GATE_OK" in out.stdout or "RUNTIME_PRESENT" in out.stdout
