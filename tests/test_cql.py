@@ -1,0 +1,149 @@
+"""CQL filter → Catalyst Column (CQLQueryFilter analog, r2 'missing' #4).
+
+Every case is checked against the equivalent hand-written DataFrame
+filter on the same data — the translation must be semantics-preserving,
+and attribute-only filters must stay pushdown-eligible (no Python in the
+plan).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from geowave_spark.functions import cql
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from geowave_spark import entry_queries as eq
+
+    return eq._events(spark, SF_DIR).cache()
+
+
+def _ids(df):
+    return sorted(r["event_id"] for r in df.select("event_id").collect())
+
+
+CASES = [
+    ("value > 400", lambda c: c.value > 400),
+    ("value >= 400 AND value <= 450", lambda c: (c.value >= 400) & (c.value <= 450)),
+    ("value BETWEEN 100 AND 200", lambda c: c.value.between(100, 200)),
+    ("value NOT BETWEEN 100 AND 480", lambda c: ~c.value.between(100, 480)),
+    ("event_type = 'click'", lambda c: c.event_type == "click"),
+    ("event_type <> 'click'", lambda c: c.event_type != "click"),
+    ("event_type IN ('click', 'error')", lambda c: c.event_type.isin("click", "error")),
+    ("event_type NOT IN ('click', 'error')", lambda c: ~c.event_type.isin("click", "error")),
+    ("event_type LIKE 'c%'", lambda c: c.event_type.like("c%")),
+    ("event_type IS NOT NULL", lambda c: c.event_type.isNotNull()),
+    (
+        "NOT (event_type = 'click' OR value < 250)",
+        lambda c: ~((c.event_type == "click") | (c.value < 250)),
+    ),
+    (
+        "event_type = 'click' AND (value < 50 OR value > 450)",
+        lambda c: (c.event_type == "click") & ((c.value < 50) | (c.value > 450)),
+    ),
+]
+
+
+@pytest.mark.parametrize("expr,want_fn", CASES, ids=[c[0][:40] for c in CASES])
+def test_attribute_predicates(spark, events, expr, want_fn):
+    got = cql.cql_filter(events, expr, geometry=("lon", "lat"))
+    want = events.filter(want_fn(events))
+    assert _ids(got) == _ids(want)
+
+
+def test_bbox_on_point_features(spark, events):
+    got = cql.cql_filter(events, "BBOX(geom, -30, 10, 45, 55)", geometry=("lon", "lat"))
+    want = events.filter(
+        (F.col("lon") >= -30) & (F.col("lon") <= 45)
+        & (F.col("lat") >= 10) & (F.col("lat") <= 55)
+    )
+    assert _ids(got) == _ids(want)
+    # pure interval algebra -> no Python in the plan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_bbox_combines_with_attributes(spark, events):
+    got = cql.cql_filter(
+        events,
+        "BBOX(geom, -30, 10, 45, 55) AND event_type IN ('click','view') AND value > 100",
+        geometry=("lon", "lat"),
+    )
+    want = events.filter(
+        (F.col("lon") >= -30) & (F.col("lon") <= 45)
+        & (F.col("lat") >= 10) & (F.col("lat") <= 55)
+        & F.col("event_type").isin("click", "view") & (F.col("value") > 100)
+    )
+    assert _ids(got) == _ids(want)
+
+
+def test_intersects_point_in_polygon(spark, events):
+    from geowave_spark import geom
+
+    wkt = "POLYGON ((-30 10, 45 10, 45 55, -30 55, -30 10))"
+    got = cql.cql_filter(events, f"INTERSECTS(geom, {wkt})", geometry=("lon", "lat"))
+    g = geom.geometry_from_wkt(wkt)
+    rows = events.select("event_id", "lon", "lat").collect()
+    import numpy as np
+
+    want = sorted(
+        r["event_id"] for r in rows
+        if bool(g.contains(np.array([r["lon"]]), np.array([r["lat"]]))[0])
+    )
+    assert _ids(got) == want and want
+
+
+def test_geometry_ops_on_wkt_column(spark):
+    boxes = spark.createDataFrame(
+        [
+            ("a", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+            ("b", "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"),
+            ("c", "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"),
+        ],
+        ["id", "geom"],
+    )
+    probe = "POLYGON ((1.5 1.5, 4 1.5, 4 4, 1.5 4, 1.5 1.5))"
+    got = cql.cql_filter(boxes, f"INTERSECTS(geom, {probe})", geometry="geom")
+    assert sorted(r["id"] for r in got.collect()) == ["a", "c"]
+    got2 = cql.cql_filter(boxes, f"WITHIN(geom, POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)))",
+                          geometry="geom")
+    assert sorted(r["id"] for r in got2.collect()) == ["a", "c"]
+    got3 = cql.cql_filter(
+        boxes, "DWITHIN(geom, POINT (7 5.5), 1.5)", geometry="geom"
+    )
+    assert sorted(r["id"] for r in got3.collect()) == ["b"]
+    got4 = cql.cql_filter(
+        boxes, "DISJOINT(geom, POINT (1.5 1.5)) AND id <> 'b'", geometry="geom"
+    )
+    assert sorted(r["id"] for r in got4.collect()) == []
+
+
+def test_parse_errors():
+    for bad in ("value >", "BBOX(geom, 1, 2)", "value BETWEEN 1", "IN (1,2)",
+                "value = 'unterminated"):
+        with pytest.raises(cql.CQLError):
+            cql.cql_to_column(bad, geometry=("lon", "lat"))
+
+
+def test_wkt_literal_reassembly():
+    toks = cql._tokenize("INTERSECTS(g, MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5))))")
+    p = cql._Parser(toks, "g")
+    p.take("word")
+    p.take("lp")
+    p.take("word")
+    p.take("comma")
+    wkt = p.wkt_literal()
+    from geowave_spark import geom
+
+    g = geom.geometry_from_wkt(wkt)  # must parse through the engine kernel
+    assert wkt.startswith("MULTIPOLYGON ((") and g.bbox == (0.0, 0.0, 6.0, 6.0)
