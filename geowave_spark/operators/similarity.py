@@ -393,13 +393,16 @@ def pq_ann_topk(
     # the candidate stage (that's the point of PQ: the scan ships m bytes
     # per row, not the d-dim double array); `_v` is joined back for just
     # the <= rerank survivors per query below
-    cand = enc.crossJoin(qdf.drop("_qv")).withColumn(
-        "_adc",
-        F.expr(
-            f"aggregate(transform(sequence(0, {m - 1}), "
-            "j -> _tbl[j][codes[j]]), 0D, (acc, x) -> acc + x)"
-        ),
-    )
+    # unrolled scalar sum: m element_at lookups per row, no per-row array
+    # materialization (the transform+aggregate form allocates an m-array
+    # per candidate pair — measurably slower at 10^6 x queries scale)
+    adc = None
+    for j in range(m):
+        t = F.element_at(
+            F.element_at(F.col("_tbl"), j + 1), F.col("codes")[j] + F.lit(1)
+        )
+        adc = t if adc is None else adc + t
+    cand = enc.crossJoin(qdf.drop("_qv")).withColumn("_adc", adc)
     w1 = Window.partitionBy(query_id).orderBy(F.col("_adc").asc(), F.col(id_col).asc())
     short = (
         cand.withColumn("_r", F.row_number().over(w1))
