@@ -561,6 +561,82 @@ def _extent_cells(
     )
 
 
+def _extent_tier_expr(x0: str, y0: str, x1: str, y1: str) -> Column:
+    """Span-based adaptive tier for an extent row (same rule as
+    `_extent_cells` — tier t is the finest grid whose cell >= the extent's
+    span, so the cover is always <= 2x2 cells)."""
+    sx = (F.col(x1) - F.col(x0)) / F.lit(360.0)
+    sy = (F.col(y1) - F.col(y0)) / F.lit(180.0)
+    span = F.greatest(sx, sy, F.lit(0.0))
+    return (
+        F.when(span <= 0.0, F.lit(cells.MAX_TIER))
+        .otherwise(
+            F.least(F.greatest(F.floor(-F.log2(span)).cast("int"), F.lit(0)), F.lit(cells.MAX_TIER))
+        )
+    )
+
+
+def _extent_multitier_keys(
+    ex: DataFrame, id_col: str, x0: str, y0: str, x1: str, y1: str,
+    partner_tiers: list[int],
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Extent rows (pre-tagged with own tier ``_te``) → one row per
+    (extent, emission tier, covering cell), where the emission tiers are
+    the row's OWN tier plus every strictly-coarser tier present on the
+    partner side, and the cell cover is computed DIRECTLY at each emission
+    tier.
+
+    Because the cover is re-derived per tier (not truncated from the own-
+    tier cover), (id, key) rows are unique by construction — two own-tier
+    cells can never collapse onto the same coarse key twice.  This is what
+    makes the downstream reference-point join emission exact with NO
+    dropDuplicates (see `tiered_extent_join_shuffle`).
+
+    Output columns: id, x0..y1, extras, _te (own tier), _kt (emission
+    tier), _cell (Z-order cell at _kt), key (tier-packed long).
+    """
+    tier_arr = F.array(*[F.lit(int(t)) for t in sorted(set(partner_tiers))])
+    emit = F.array_append(F.filter(tier_arr, lambda t: t < F.col("_te")), F.col("_te"))
+    ex = ex.withColumn("_kt", F.explode(emit))
+    ex = ex.withColumn("_rd", F.pow(F.lit(2.0), F.col("_kt").cast("double")))
+    ex = ex.withColumn("_rm", F.col("_rd").cast("long") - 1)
+    rd, rm = F.col("_rd"), F.col("_rm")
+    # norm_lon_upper on BOTH bounds: identical to norm_lon everywhere
+    # except exactly +180, where the wrap would put the lower bound in
+    # cell 0 while the upper clamps to r-1 — a degenerate seam box would
+    # otherwise cover the whole row (2^31 cells at the point tier)
+    gx0 = F.least(F.greatest(F.floor(sqlcells.norm_lon_upper(F.col(x0)) * rd), F.lit(0)), rm).cast("long")
+    gy0 = F.least(F.greatest(F.floor(sqlcells.norm_lat(F.col(y0)) * rd), F.lit(0)), rm).cast("long")
+    ex = ex.withColumn("_gx0", gx0).withColumn("_gy0", gy0)
+    gx1 = F.least(F.greatest(F.floor(sqlcells.norm_lon_upper(F.col(x1)) * rd), F.col("_gx0")), rm).cast("long")
+    gy1 = F.least(F.greatest(F.floor(sqlcells.norm_lat(F.col(y1)) * rd), F.col("_gy0")), rm).cast("long")
+    offs = F.array(*[F.lit(int(o)) for o in cells.TIER_OFFSETS[: cells.MAX_TIER + 1]])
+    return (
+        ex.withColumn("_gx1", gx1).withColumn("_gy1", gy1)
+        .withColumn("_gx", F.explode(F.sequence(F.col("_gx0"), F.col("_gx1"))))
+        .withColumn("_gy", F.explode(F.sequence(F.col("_gy0"), F.col("_gy1"))))
+        .withColumn("_cell", sqlcells.interleave(F.col("_gx"), F.col("_gy")))
+        .withColumn("key", (F.element_at(offs, F.col("_kt") + 1) + F.col("_cell")).cast("long"))
+        .select(id_col, x0, y0, x1, y1, "_te", "_kt", "_cell", "key", *extra_cols)
+    )
+
+
+def _ref_point_cell_pred(px: Column, py: Column) -> Column:
+    """PBSM reference-point dedup predicate (Patel & DeWitt, SIGMOD'96
+    §4.3): TRUE iff the cell at tier ``_kt`` containing the bbox
+    intersection's lower-left corner (px, py) is THIS join cell ``_cell``.
+    Each truly-intersecting pair passes in exactly one (tier, cell), so
+    the join emits it exactly once — no pair-level dropDuplicates shuffle.
+
+    Uses the SAME normalization as the cover generation (norm_lon_upper so
+    px == +180 lands in the last column, matching the cover's clamp)."""
+    rd, rm = F.col("_rd"), F.col("_rm")
+    gxp = F.least(F.greatest(F.floor(sqlcells.norm_lon_upper(px) * rd), F.lit(0)), rm).cast("long")
+    gyp = F.least(F.greatest(F.floor(sqlcells.norm_lat(py) * rd), F.lit(0)), rm).cast("long")
+    return sqlcells.interleave(gxp, gyp) == F.col("_cell")
+
+
 def _extent_keys(ex_cells: DataFrame, partner_tiers: list[int]) -> DataFrame:
     """Keys = own-tier cell + truncations to each coarser partner tier."""
     offs = F.array(*[F.lit(int(o)) for o in cells.TIER_OFFSETS[: cells.MAX_TIER + 1]])
@@ -591,32 +667,56 @@ def tiered_extent_join_shuffle(
 
     Tier discovery runs on BOTH sides (two tiny distinct aggregates —
     TieredSpatialJoin.java:173-207 does the same with collectAsync), then
-    each side emits its own-tier cells plus truncations to every coarser
-    tier PRESENT ON THE PARTNER side.  Output (left_id, right_id), deduped
-    (DedupeFilter semantics — extents legitimately meet in multiple cells).
+    each side emits its bbox cover at its own tier plus at every coarser
+    tier PRESENT ON THE PARTNER side (cover re-derived per tier, so
+    (id, key) rows are unique).  A pair meets at exactly one tier — the
+    min of the two own tiers — and within that tier the PBSM
+    reference-point test keeps exactly one of its shared cells, so the
+    join emits every intersecting pair EXACTLY ONCE with no pair-level
+    dropDuplicates (the reference pays a DedupeFilter + distinct here;
+    at 10^8+ output pairs that distinct is the dominant shuffle).
     """
     lx0, ly0, lx1, ly1 = lcols
     rx0, ry0, rx1, ry1 = rcols
-    # localCheckpoint (MEMORY_AND_DISK, ContextCleaner-reclaimed): each side's
-    # explode computes once, serves both tier discovery and the join, and the
-    # blocks don't pin storage for the session lifetime
-    lc = _extent_cells(left, left_id, *lcols).localCheckpoint()
-    rc = _extent_cells(right, right_id, *rcols).localCheckpoint()
+    # localCheckpoint (MEMORY_AND_DISK, ContextCleaner-reclaimed): each
+    # side's bbox+tier projection computes once and serves both tier
+    # discovery and key generation
+    lc = left.select(left_id, lx0, ly0, lx1, ly1).withColumn(
+        "_te", _extent_tier_expr(lx0, ly0, lx1, ly1)).localCheckpoint()
+    rc = right.select(right_id, rx0, ry0, rx1, ry1).withColumn(
+        "_te", _extent_tier_expr(rx0, ry0, rx1, ry1)).localCheckpoint()
     l_tiers = sorted(r[0] for r in lc.select("_te").distinct().collect())
     r_tiers = sorted(r[0] for r in rc.select("_te").distinct().collect())
     if not l_tiers or not r_tiers:
         return left.select(left_id).limit(0).crossJoin(right.select(right_id).limit(0))
 
-    lk = _extent_keys(lc, r_tiers).withColumnRenamed(lx0, "_lx0").withColumnRenamed(
-        ly0, "_ly0").withColumnRenamed(lx1, "_lx1").withColumnRenamed(ly1, "_ly1")
-    rk = _extent_keys(rc, l_tiers).withColumnRenamed(rx0, "_rx0").withColumnRenamed(
-        ry0, "_ry0").withColumnRenamed(rx1, "_rx1").withColumnRenamed(ry1, "_ry1")
+    lk = (
+        _extent_multitier_keys(lc, left_id, lx0, ly0, lx1, ly1, r_tiers)
+        .withColumnsRenamed({lx0: "_lx0", ly0: "_ly0", lx1: "_lx1", ly1: "_ly1", "_te": "_lte"})
+    )
+    rk = (
+        _extent_multitier_keys(rc, right_id, rx0, ry0, rx1, ry1, l_tiers)
+        .withColumnsRenamed({rx0: "_rx0", ry0: "_ry0", rx1: "_rx1", ry1: "_ry1", "_te": "_rte"})
+        .drop("_kt", "_cell")
+    )
     j = lk.join(rk, "key")
+    # a pair's single meet tier is min(own tiers): keys at any common
+    # coarser tier are dropped here, keys at finer tiers never matched
+    j = j.filter(F.col("_kt") == F.least(F.col("_lte"), F.col("_rte")))
     refine = (
         (F.col("_lx0") <= F.col("_rx1")) & (F.col("_lx1") >= F.col("_rx0"))
         & (F.col("_ly0") <= F.col("_ry1")) & (F.col("_ly1") >= F.col("_ry0"))
     )
-    return j.filter(refine).select(left_id, right_id).dropDuplicates([left_id, right_id])
+    j = j.filter(refine)
+    j = j.withColumn("_rd", F.pow(F.lit(2.0), F.col("_kt").cast("double")))
+    j = j.withColumn("_rm", F.col("_rd").cast("long") - 1)
+    j = j.filter(
+        _ref_point_cell_pred(
+            F.greatest(F.col("_lx0"), F.col("_rx0")),
+            F.greatest(F.col("_ly0"), F.col("_ry0")),
+        )
+    )
+    return j.select(left_id, right_id)
 
 
 def semi_join_matches(points: DataFrame, pairs: DataFrame, point_id: str = "image_id") -> DataFrame:
@@ -918,6 +1018,7 @@ def geometry_join_shuffle(
         wrapped = F.col("_seg") == 1
         return b.select(
             id_col,
+            "_seg",
             F.col(wkt_col).alias(f"{prefix}wkt"),
             F.when(wrapped, F.lit(-180.0))
             .otherwise(F.greatest(x0c - pad, F.lit(-180.0)))
@@ -933,34 +1034,62 @@ def geometry_join_shuffle(
     rb = bboxed(right, right_id, right_wkt, "_r", 0.0)
     l_extra = ("_lwkt",) if carry_wkt else ()
     r_extra = ("_rwkt",) if carry_wkt else ()
-    lc = _extent_cells(
-        lb, left_id, "_lx0", "_ly0", "_lx1", "_ly1", extra_cols=l_extra
+    lc = lb.withColumn(
+        "_te", _extent_tier_expr("_lx0", "_ly0", "_lx1", "_ly1")
     ).localCheckpoint()
-    rc = _extent_cells(
-        rb, right_id, "_rx0", "_ry0", "_rx1", "_ry1", extra_cols=r_extra
+    rc = rb.withColumn(
+        "_te", _extent_tier_expr("_rx0", "_ry0", "_rx1", "_ry1")
     ).localCheckpoint()
-    l_tiers = sorted(r[0] for r in lc.select("_te").distinct().collect())
-    r_tiers = sorted(r[0] for r in rc.select("_te").distinct().collect())
+    # one pass per side: own-tier set for the symmetric truncation AND
+    # whether any antimeridian split happened (split envelopes are the one
+    # case where a pair can be emitted from two different segment pairs)
+    lrow = lc.agg(F.collect_set("_te"), F.max("_seg")).first()
+    rrow = rc.agg(F.collect_set("_te"), F.max("_seg")).first()
+    l_tiers, r_tiers = sorted(lrow[0] or []), sorted(rrow[0] or [])
     if not l_tiers or not r_tiers:
         return left.select(left_id).limit(0).crossJoin(right.select(right_id).limit(0))
-    lk = _extent_keys(lc, r_tiers)
-    rk = _extent_keys(rc, l_tiers)
-    j = lk.join(rk, "key").filter(
+    any_split = bool(lrow[1]) or bool(rrow[1])
+    lk = _extent_multitier_keys(
+        lc, left_id, "_lx0", "_ly0", "_lx1", "_ly1", r_tiers, extra_cols=l_extra
+    ).withColumnRenamed("_te", "_lte")
+    rk = (
+        _extent_multitier_keys(
+            rc, right_id, "_rx0", "_ry0", "_rx1", "_ry1", l_tiers, extra_cols=r_extra
+        )
+        .withColumnRenamed("_te", "_rte")
+        .drop("_kt", "_cell")
+    )
+    j = lk.join(rk, "key")
+    j = j.filter(F.col("_kt") == F.least(F.col("_lte"), F.col("_rte")))
+    j = j.filter(
         (F.col("_lx0") <= F.col("_rx1")) & (F.col("_lx1") >= F.col("_rx0"))
         & (F.col("_ly0") <= F.col("_ry1")) & (F.col("_ly1") >= F.col("_ry0"))
     )
+    # PBSM reference point: each candidate (envelope, envelope) pair
+    # survives in exactly one (tier, cell) — candidate pairs are unique
+    # WITHOUT any dropDuplicates shuffle unless a split occurred
+    j = j.withColumn("_rd", F.pow(F.lit(2.0), F.col("_kt").cast("double")))
+    j = j.withColumn("_rm", F.col("_rd").cast("long") - 1)
+    j = j.filter(
+        _ref_point_cell_pred(
+            F.greatest(F.col("_lx0"), F.col("_rx0")),
+            F.greatest(F.col("_ly0"), F.col("_ry0")),
+        )
+    )
     if not carry_wkt:
-        # narrow path: dedupe candidate id pairs BEFORE touching any WKT,
+        # narrow path: candidate id pairs (already unique unless split),
         # then join the geometry text back by id for the refine (the WKT
         # lookups dedupe by id: split antimeridian envelopes carry the
         # same WKT on both _seg rows)
-        pairs = j.select(left_id, right_id).dropDuplicates([left_id, right_id])
+        pairs = j.select(left_id, right_id)
+        if any_split:
+            pairs = pairs.dropDuplicates([left_id, right_id])
         j = pairs.join(
             lb.select(left_id, "_lwkt").dropDuplicates([left_id]), left_id
         ).join(rb.select(right_id, "_rwkt").dropDuplicates([right_id]), right_id)
     j = _pairwise_refine(j, predicate, radius)
     out = j.select(left_id, right_id)
-    return out if not carry_wkt else out.dropDuplicates([left_id, right_id])
+    return out if not (carry_wkt and any_split) else out.dropDuplicates([left_id, right_id])
 
 
 def brute_force_join(
