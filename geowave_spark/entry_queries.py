@@ -2154,18 +2154,22 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures + banded near-dup pairs, tagged."""
-    s = q_simhash(spark, sf_dir).select(
+    """SimHash signatures + banded near-dup pairs, tagged (signatures
+    computed once and shared with the pairs stage)."""
+    sigs = dedup.simhash64(_docs(spark, sf_dir))
+    s = sigs.select(
         F.lit("sig").alias("kind"),
         F.col("doc_id").alias("a"),
         F.lit(None).cast("long").alias("b"),
         F.col("simhash").alias("v"),
     )
-    p = q_simhash_pairs(spark, sf_dir).select(
+    p = dedup.simhash_pairs(
+        _docs(spark, sf_dir), max_hamming=3, signatures=sigs
+    ).select(
         F.lit("pair").alias("kind"),
         F.col("doc_a").alias("a"),
         F.col("doc_b").alias("b"),
-        F.col("hamming").alias("v"),
+        F.col("hamming").cast("long").alias("v"),
     )
     return s.unionByName(p)
 

@@ -466,26 +466,31 @@ def dedup_clusters(
 
 
 def simhash64(docs: DataFrame, bits: int = 60, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, simhash): per-bit majority vote over distinct-token h60s."""
-    toks = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("tok"))
-        .distinct()
-        .withColumn("h", h60(F.col("tok")))
-    )
-    votes = (
-        toks.withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))))
-        .withColumn(
-            "v",
-            F.when(F.expr("shiftrightunsigned(h, j)").bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    """(doc_id, simhash): per-bit majority vote over distinct-token h60s.
+
+    One aggregate, ``bits`` conditional sums: per-doc token distinctness
+    is array_distinct (per-row JVM, no shuffle) and the per-bit votes are
+    popcount columns in a single map-side-combined groupBy — the exchange
+    carries |docs| x (bits+1) longs, never |docs| x |tokens| x bits rows
+    (the former per-(doc, bit) explode was the pipeline's hottest shuffle:
+    90M rows at sf1 for a 50k-doc corpus).  Majority rule unchanged:
+    bit j set iff 2*count(bit set) > n_tokens (ties -> 0)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", h60(F.col("tok")))
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(F.expr(f"shiftrightunsigned(h, {j}) & 1").cast("int")).alias(f"_c{j}")
+        for j in range(bits)
+    ]
+    g = toks.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"_c{j}") * 2 > F.col("_n"), F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        .groupBy("doc_id", "j")
-        .agg(F.sum("v").alias("s"))
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+        sim = term if sim is None else sim + term
+    return g.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_pairs(
@@ -496,32 +501,43 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    ``signatures``: precomputed (doc_id, simhash) frame (skips the
+    simhash64 pass — callers that also emit the signatures reuse it).
 
     Candidate generation by chunk-equality banding (pigeonhole: <= 3 bit
     errors across 4 chunks guarantee one equal 15-bit chunk), then exact
     hamming verify via bit_count(xor) — never a full cross join.
 
-    ``max_bucket_size`` caps a (band, chunk) group before the self-join
-    (same hot-bucket guard as minhash_lsh_pairs — recall-only semantics,
-    drops logged).
+    ``max_bucket_size`` caps a (band, chunk) group (counted in DOCS, as
+    before) before the self-join (same hot-bucket guard as
+    minhash_lsh_pairs — recall-only semantics, drops logged).
+
+    Scale design: the banded self-join runs over DISTINCT simhash VALUES,
+    not docs — on vocab-limited corpora thousands of docs share a hash, so
+    the doc-level join was quadratic in group size before its .distinct()
+    (854M candidate rows at sf1; 28k distinct values).  Value pairs are
+    emitted dedup-free at their FIRST matching band (pure xor bit math —
+    no candidate distinct), then fanned back out to doc pairs: the fan-out
+    IS the output, so no post-expansion shuffle exists at all.
     """
     chunk_bits = bits // bands
-    sh = simhash64(docs, bits, text_col, id_col)
-    chunks = (
-        sh.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
-        .withColumn(
-            "chunk",
-            F.expr(f"shiftrightunsigned(simhash, band * {chunk_bits})").bitwiseAND(
-                F.lit((1 << chunk_bits) - 1)
-            ),
-        )
-        .localCheckpoint()  # reused by both self-join sides; GC-reclaimed
+    mask = (1 << chunk_bits) - 1
+    sh = (
+        signatures if signatures is not None else simhash64(docs, bits, text_col, id_col)
+    ).localCheckpoint()
+    sv = sh.groupBy("simhash").agg(F.count(F.lit(1)).alias("_n"))
+    chunks = sv.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1)))).withColumn(
+        "chunk",
+        F.expr(f"shiftrightunsigned(simhash, band * {chunk_bits})").bitwiseAND(F.lit(mask)),
     )
+    within_vals = sv.filter(F.col("_n") >= 2).select("simhash")
     if max_bucket_size is not None:
-        bsizes = chunks.groupBy("band", "chunk").agg(F.count(F.lit(1)).alias("_n"))
-        n_dropped = bsizes.filter(F.col("_n") > max_bucket_size).count()
+        bsizes = chunks.groupBy("band", "chunk").agg(F.sum("_n").alias("_bn"))
+        n_dropped = bsizes.filter(F.col("_bn") > max_bucket_size).count()
         if n_dropped:
             import logging
 
@@ -530,25 +546,54 @@ def simhash_pairs(
                 n_dropped, max_bucket_size,
             )
         chunks = chunks.join(
-            bsizes.filter(F.col("_n") <= max_bucket_size).select("band", "chunk"),
+            bsizes.filter(F.col("_bn") <= max_bucket_size).select("band", "chunk"),
             ["band", "chunk"],
             "left_semi",
         )
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.chunk") == F.col("b.chunk")))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("_sa"),
-            F.col("b.simhash").alias("_sb"),
+        # a same-value doc pair survives only if the value keeps >= 1 band
+        within_vals = within_vals.join(
+            chunks.select("simhash"), "simhash", "left_semi"
         )
-        .distinct()
+    a = chunks.select(F.col("simhash").alias("_sa"), "band", "chunk").alias("a")
+    b = chunks.select(F.col("simhash").alias("_sb"), "band", "chunk").alias("b")
+    vcand = (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("_sa") < F.col("_sb"))
+        .withColumn("_x", F.col("_sa").bitwiseXOR(F.col("_sb")))
     )
-    return (
-        cand.withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+    if max_bucket_size is None:
+        # exactly-once emission: keep a value pair only at the FIRST band
+        # whose chunks agree (chunk of the xor == 0) — no distinct shuffle
+        first_eq = F.lit(bands - 1)
+        for bb in range(bands - 2, -1, -1):
+            zero = F.expr(f"shiftrightunsigned(_x, {bb * chunk_bits})").bitwiseAND(F.lit(mask)) == 0
+            first_eq = F.when(zero, F.lit(bb)).otherwise(first_eq)
+        vpairs = vcand.filter(F.col("band") == first_eq).select("_sa", "_sb", "_x")
+    else:
+        # capped path: a band may be dropped, so "first matching band" is
+        # no longer well-defined — distinct over the (small) value pairs
+        vpairs = vcand.select("_sa", "_sb", "_x").distinct()
+    vpairs = vpairs.withColumn("hamming", F.bit_count(F.col("_x"))).filter(
+        F.col("hamming") <= max_hamming
     )
+    # fan back out to doc pairs: cross-value pairs ...
+    da = sh.select(F.col("doc_id").alias("_ida"), F.col("simhash").alias("_sa"))
+    db = sh.select(F.col("doc_id").alias("_idb"), F.col("simhash").alias("_sb"))
+    cross = (
+        vpairs.join(da, "_sa").join(db, "_sb")
+        .select(
+            F.least(F.col("_ida"), F.col("_idb")).alias("doc_a"),
+            F.greatest(F.col("_ida"), F.col("_idb")).alias("doc_b"),
+            "hamming",
+        )
+    )
+    # ... plus same-value pairs (hamming 0 by definition)
+    wd = sh.join(within_vals, "simhash")
+    wa = wd.select(F.col("doc_id").alias("doc_a"), "simhash")
+    wb = wd.select(F.col("doc_id").alias("doc_b"), "simhash")
+    within = (
+        wa.join(wb, "simhash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.lit(0)).alias("hamming"))
+    )
+    return cross.unionByName(within)
