@@ -98,3 +98,28 @@ def test_entry_queries_run_with_caps_on(spark, sf_dir):
     out2 = eq.q_dedup_minhash(spark, sf_dir)
     assert out2.columns == ["doc_a", "doc_b"]
     out2.count()
+
+
+def test_jaccard_prefix_and_count_plans_agree(spark):
+    """The data-driven plan switch (sparse -> AllPairs prefix filter,
+    dense -> count join) is invisible in the results: both exact plans
+    produce identical pairs on a sparse corpus with planted near-dups."""
+    import random
+
+    from geowave_spark.operators import dedup
+
+    rng = random.Random(3)
+    base = [
+        (i, " ".join(f"w{rng.randrange(100000)}" for _ in range(30)))
+        for i in range(400)
+    ]
+    for i in range(380, 400):  # 20 planted near-dups (1 token mutated)
+        toks = base[i - 380][1].split()
+        toks[0] = "mutated"
+        base[i] = (i, " ".join(toks))
+    docs = spark.createDataFrame(base, ["doc_id", "text"])
+    sparse = sorted(map(tuple, dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()))
+    sh = dedup._doc_shingle_hashes(docs, "text", "doc_id", 3).localCheckpoint()
+    dense = sorted(map(tuple, dedup._jaccard_count_join(sh, 0.5, 0.5).collect()))
+    assert sparse == dense
+    assert len(sparse) >= 20
