@@ -123,13 +123,16 @@ def polygon_cover_local(
     from .. import geom
 
     wkts = pd.Series([w for _, w in rows])
-    # buffered (dwithin) covers are boundary-CLOSED: a point at exactly
-    # distance `radius` sitting on a cell line past the buffered bbox's
-    # upper edge floors into the next cell; the open (exact-fit insert
-    # rule) cover would drop its candidate cell even though the refine's
-    # <= accepts the pair (same rationale as geometry_join's closed cover)
+    # query-side covers are ALWAYS boundary-CLOSED: a point lying exactly
+    # on a polygon edge that coincides with a cell line floors into the
+    # NEXT cell (e.g. point lon=0 on a polygon with x1=0), and a dwithin
+    # partner at exactly distance `radius` past the buffered bbox's upper
+    # edge does the same — the open (exact-fit insert rule) cover would
+    # drop their candidate cell even though the boundary-inclusive refine
+    # accepts the pair.  Trim still removes cells the true geometry
+    # doesn't touch (closed cell rectangles keep edge contact).
     keys_per_poly = geo_udfs.cover_keys(
-        wkts, max_cells=max_cells, buffer=buffer, trim=not buffer, closed=bool(buffer)
+        wkts, max_cells=max_cells, buffer=buffer, trim=not buffer, closed=True
     )
     out: list[tuple] = []
     tiers: set[int] = set()
@@ -463,69 +466,59 @@ def tiered_extent_join(
         return extents.select(extent_id).limit(0).crossJoin(polygons.select(polygon_id).limit(0))
 
     # polygon side: cover at its adaptive tier + truncations to every
-    # coarser tier (reprojectToTier, coarser direction)
+    # coarser tier (reprojectToTier, coarser direction); per-tier
+    # np.unique makes (pid, key) rows unique, and carrying the polygon's
+    # OWN tier enables the meet-tier restriction below
     poly_rows: list[tuple] = []
     poly_tiers: set[int] = set()
     for pid, wkt in rows:
         p = geom.geometry_from_wkt(wkt)
         bx0, by0, bx1, by1 = p.bbox
-        tp, cover = cells.cells_for_bbox((bx0, by0, bx1, by1), max_dup=cells.JOIN_MAX_CELLS)
+        # closed=True: query-side cover keeps boundary cells, matching the
+        # Column-side plain-floor covers and the reference point — with the
+        # insert convention (closed=False) a polygon whose upper edge sits
+        # exactly on a cell line (e.g. x1 = 0) could NEVER meet an extent
+        # touching it there, at any tier (missed pair, boundary-inclusive
+        # bbox-intersects contract)
+        tp, cover = cells.cells_for_bbox(
+            (bx0, by0, bx1, by1), max_dup=cells.JOIN_MAX_CELLS, closed=True
+        )
         poly_tiers.add(tp)
         for t in range(tp, -1, -1):
             tc = np.unique(cells.cell_at_tier(cover, tp, t))
             for k in cells.pack_key(t, tc).tolist():
-                poly_rows.append((int(k), pid, float(bx0), float(by0), float(bx1), float(by1)))
+                poly_rows.append((int(k), pid, int(tp), float(bx0), float(by0), float(bx1), float(by1)))
     right = F.broadcast(
         spark.createDataFrame(
-            poly_rows, "key long, _pid string, _px0 double, _py0 double, _px1 double, _py1 double"
+            poly_rows,
+            "key long, _pid string, _ptp int, _px0 double, _py0 double, _px1 double, _py1 double",
         ).withColumnRenamed("_pid", polygon_id)
     )
 
-    # extent side: span-based adaptive tier (pure Column math)
-    sx = (F.col(x1) - F.col(x0)) / F.lit(360.0)
-    sy = (F.col(y1) - F.col(y0)) / F.lit(180.0)
-    span = F.greatest(sx, sy, F.lit(0.0))
-    te = (
-        F.when(span <= 0.0, F.lit(cells.MAX_TIER))
-        .otherwise(F.least(F.greatest(F.floor(-F.log2(span)).cast("int"), F.lit(0)), F.lit(cells.MAX_TIER)))
-    )
-    ex = extents.withColumn("_te", te)
-    ex = ex.withColumn("_r", F.pow(F.lit(2.0), F.col("_te").cast("double")).cast("long"))
-    rl = F.col("_r").cast("double")
-    gx0 = F.least(F.greatest(F.floor(sqlcells.norm_lon(F.col(x0)) * rl), F.lit(0)), F.col("_r") - 1).cast("long")
-    gy0 = F.least(F.greatest(F.floor(sqlcells.norm_lat(F.col(y0)) * rl), F.lit(0)), F.col("_r") - 1).cast("long")
-    # span <= cell size ⇒ upper coord is at most g0+1
-    gx1 = F.least(F.greatest(F.floor(sqlcells.norm_lon_upper(F.col(x1)) * rl), gx0), F.col("_r") - 1).cast("long")
-    gy1 = F.least(F.greatest(F.floor(sqlcells.norm_lat(F.col(y1)) * rl), gy0), F.col("_r") - 1).cast("long")
-    ex = (
-        ex.withColumn("_gx0", gx0).withColumn("_gx1", gx1)
-        .withColumn("_gy0", gy0).withColumn("_gy1", gy1)
-        .withColumn("_gx", F.explode(F.sequence(F.col("_gx0"), F.col("_gx1"))))
-        .withColumn("_gy", F.explode(F.sequence(F.col("_gy0"), F.col("_gy1"))))
-        .withColumn("_cell", sqlcells.interleave(F.col("_gx"), F.col("_gy")))
-    )
-    # keys: own tier + truncations to each coarser polygon tier
-    offs = F.array(*[F.lit(int(o)) for o in cells.TIER_OFFSETS[: cells.MAX_TIER + 1]])
-    own_key = F.element_at(offs, F.col("_te") + 1) + F.col("_cell")
-    trunc_keys = [
-        F.when(
-            F.col("_te") > t,
-            F.lit(int(cells.TIER_OFFSETS[t])) + F.expr(f"shiftrightunsigned(_cell, 2 * (_te - {t}))"),
-        )
-        for t in sorted(poly_tiers)
-    ]
-    keys = F.array_compact(F.array(own_key.cast("long"), *[k.cast("long") for k in trunc_keys]))
-    ex_keys = (
-        ex.withColumn("key", F.explode(keys))
-        .select(extent_id, x0, y0, x1, y1, "key")
-    )
+    # extent side: own-tier cover + covers re-derived at each coarser
+    # polygon tier ((id, key) rows unique by construction)
+    ec = extents.withColumn("_te", _extent_tier_expr(x0, y0, x1, y1))
+    ex_keys = _extent_multitier_keys(ec, extent_id, x0, y0, x1, y1, sorted(poly_tiers))
 
     j = ex_keys.join(right, "key")
+    # exactly-once emission (PBSM reference point, as in the shuffle twin):
+    # a pair meets only at min(own tiers), in the one cell containing the
+    # bbox intersection's lower-left corner — no pair-level dropDuplicates
+    j = j.filter(F.col("_kt") == F.least(F.col("_te"), F.col("_ptp")))
     refine = (
         (F.col(x0) <= F.col("_px1")) & (F.col(x1) >= F.col("_px0"))
         & (F.col(y0) <= F.col("_py1")) & (F.col(y1) >= F.col("_py0"))
     )
-    return j.filter(refine).select(extent_id, polygon_id).dropDuplicates([extent_id, polygon_id])
+    j = j.filter(refine)
+    j = j.withColumn("_rd", F.pow(F.lit(2.0), F.col("_kt").cast("double")))
+    j = j.withColumn("_rm", F.col("_rd").cast("long") - 1)
+    j = j.filter(
+        _ref_point_cell_pred(
+            F.greatest(F.col(x0), F.col("_px0")),
+            F.greatest(F.col(y0), F.col("_py0")),
+        )
+    )
+    return j.select(extent_id, polygon_id)
 
 
 def _extent_cells(

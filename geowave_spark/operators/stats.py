@@ -124,8 +124,10 @@ def range_lookup(
     pts = add_point_cols(points, lon_col, lat_col)
     has_index = "cell" in points.columns
     if has_index:
-        tier = cells.tier_for_bbox(bbox, max_dup=max_cells)
-        cover = cells.cells_for_bbox_at_tier(bbox, tier)
+        # closed=True: keep the boundary cell when the bbox's upper edge
+        # lies exactly on a cell line (query-side cover convention)
+        tier = cells.tier_for_bbox(bbox, max_dup=max_cells, closed=True)
+        cover = cells.cells_for_bbox_at_tier(bbox, tier, closed=True)
         shift = 2 * (cells.MAX_TIER - tier)
         pred = F.lit(False)
         for lo, hi in cells.ranges_for_cover(cover):

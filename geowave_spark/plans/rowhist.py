@@ -118,8 +118,9 @@ def estimate_rows(
     """Cardinality estimate for a bbox range query from the histogram
     alone (no scan): overlap each decomposed finest-tier cell range with
     the bins, assuming uniform density within a bin."""
-    tier = cells.tier_for_bbox(bbox, max_dup=max_cells)
-    cover = cells.cells_for_bbox_at_tier(bbox, tier)
+    # closed=True: query-side cover keeps exact-boundary cells
+    tier = cells.tier_for_bbox(bbox, max_dup=max_cells, closed=True)
+    cover = cells.cells_for_bbox_at_tier(bbox, tier, closed=True)
     shift = 2 * (cells.MAX_TIER - tier)
     los = [lo for lo, _, _ in hist]
     est = 0.0

@@ -84,8 +84,11 @@ def cell_range_predicate(
     getQueryRanges SFC range decomposition (TieredSFCIndexStrategy:109-158).
     Returns (predicate Column, n_ranges).
     """
-    tier = cells.tier_for_bbox(bbox, max_dup=max_cells)
-    cover = cells.cells_for_bbox_at_tier(bbox, tier)
+    # closed=True: a stored point exactly on the bbox's upper edge floors
+    # into the NEXT cell when that edge lies on a cell line — the open
+    # (insert-rule) cover would prune it before the <=-inclusive refine
+    tier = cells.tier_for_bbox(bbox, max_dup=max_cells, closed=True)
+    cover = cells.cells_for_bbox_at_tier(bbox, tier, closed=True)
     shift = 2 * (cells.MAX_TIER - tier)
     pred = None
     for c in cover.tolist():
