@@ -919,6 +919,29 @@ def geometry_join(
         & (F.col("_ly0") <= F.col("_ry1")) & (F.col("_ly1") >= F.col("_ry0"))
     ) | (F.col("_rx1") > 180.0)
     j = j.filter(prefilter)
+    # containment-family predicates admit a stronger JVM-side NECESSARY
+    # envelope condition than plain overlap (within(l,r) ⇒ bbox(l) ⊆
+    # bbox(r), covers/contains(l,r) ⇒ bbox(l) ⊇ bbox(r), equals ⇒ equal
+    # envelopes) — it prunes most candidates before the Arrow refine ever
+    # sees them.  Unwrapped antimeridian right geometries keep the escape.
+    l_in_r = (
+        (F.col("_lx0") >= F.col("_rx0")) & (F.col("_lx1") <= F.col("_rx1"))
+        & (F.col("_ly0") >= F.col("_ry0")) & (F.col("_ly1") <= F.col("_ry1"))
+    )
+    r_in_l = (
+        (F.col("_lx0") <= F.col("_rx0")) & (F.col("_lx1") >= F.col("_rx1"))
+        & (F.col("_ly0") <= F.col("_ry0")) & (F.col("_ly1") >= F.col("_ry1"))
+    )
+    necessary = {
+        "within": l_in_r,
+        "covers": r_in_l,
+        "contains": r_in_l,
+        "equals": l_in_r & r_in_l,
+    }.get(predicate)
+    if necessary is not None and not buffer:
+        # either side unwrapped across the antimeridian → envelopes are not
+        # comparable in plain coordinates; leave those to the exact refine
+        j = j.filter(necessary | (F.col("_rx1") > 180.0) | (F.col("_lx1") > 180.0))
 
     box_pred = _box_box_predicate(predicate) if left_is_box and not buffer else None
     if box_pred is not None:
