@@ -195,12 +195,18 @@ def tiered_spatial_join(
     broadcast_polygons: bool | None = None,
     loose: bool = False,
     salt: int = 0,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Return matched (point_id, polygon_id) pairs (deduped).
 
     predicate: 'intersects' (default, like SpatialQueryFilter) or 'dwithin'
     (GeomWithinDistance with `radius`).  loose=True skips the exact refine
     (IndexOnlySpatialQuery.java:34-43 semantics).
+
+    ``carry_cols``: extra POINT-side columns to keep on the output rows
+    (e.g. an event-time column for a downstream windowed aggregation on an
+    unbounded stream, where a join-back by id would be a stream-stream
+    self-join).  Broadcast path only.
     """
     if predicate not in ("intersects", "dwithin"):
         raise ValueError(f"unknown predicate {predicate!r}")
@@ -214,8 +220,10 @@ def tiered_spatial_join(
     if broadcast_polygons:
         return _broadcast_join(
             pts, polygons, predicate, radius, buffer, lon_col, lat_col,
-            point_id, polygon_id, wkt_col, max_cells, loose,
+            point_id, polygon_id, wkt_col, max_cells, loose, carry_cols,
         )
+    if carry_cols:
+        raise ValueError("carry_cols is only supported on the broadcast path")
     return _shuffle_join(
         pts, polygons, predicate, radius, buffer, lon_col, lat_col,
         point_id, polygon_id, wkt_col, max_cells, loose, salt,
@@ -241,7 +249,7 @@ def _refine_general(
 
 def _broadcast_join(
     pts, polygons, predicate, radius, buffer, lon_col, lat_col,
-    point_id, polygon_id, wkt_col, max_cells, loose,
+    point_id, polygon_id, wkt_col, max_cells, loose, carry_cols=(),
 ) -> DataFrame:
     """Small polygon side: driver-side cover + broadcast hash join.
 
@@ -258,7 +266,7 @@ def _broadcast_join(
 
     # prune to the join's working set BEFORE the explode — payload columns
     # must never be replicated |tiers|× (semi/anti join back for full rows)
-    pt_keys = pts.select(point_id, lon_col, lat_col, "_cell31").withColumn(
+    pt_keys = pts.select(point_id, lon_col, lat_col, "_cell31", *carry_cols).withColumn(
         "key", F.explode(_point_keys_expr(tiers))
     )
     box_rows = [r for r in cell_rows if r[7]]
@@ -275,7 +283,7 @@ def _broadcast_join(
         j = pt_keys.join(right, "key")
         if not loose:
             j = _refine_box(j, predicate, radius, lon_col, lat_col)
-        parts.append(j.select(point_id, polygon_id))
+        parts.append(j.select(point_id, polygon_id, *carry_cols))
     if gen_rows:
         # WKT is broadcast ONCE per polygon (joined by id after the cell
         # match), never duplicated into the per-cell rows — keeps the
@@ -296,7 +304,7 @@ def _broadcast_join(
         j = pt_keys.join(cells_bc, "key").join(wkts_bc, polygon_id)
         if not loose:
             j = _refine_general(j, predicate, radius, lon_col, lat_col, wkt_col)
-        parts.append(j.select(point_id, polygon_id))
+        parts.append(j.select(point_id, polygon_id, *carry_cols))
     out = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
     # DedupeFilter semantics hold BY CONSTRUCTION for point joins: a point
     # occupies exactly one cell per tier and each polygon's cover lives at

@@ -135,3 +135,78 @@ def streaming_tile_counts(
             "n",
         )
     )
+
+
+def streaming_spatial_join(
+    stream: DataFrame,
+    polygons: DataFrame,
+    predicate: str = "intersects",
+    radius: float = 0.0,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    point_id: str = "image_id",
+    polygon_id: str = "polygon_id",
+    wkt_col: str = "wkt",
+) -> DataFrame:
+    """Tiered spatial join over a STREAM of points — unchanged operator.
+
+    The broadcast tiered join is stateless (scan → Morton keys → explode →
+    broadcast hash join → refine; no aggregation, no dedupe — pairs are
+    exactly-once by construction for points), so the exact batch operator
+    runs on an unbounded point side with no watermark and no state store.
+    The polygon side must be a BATCH frame (it is collected driver-side
+    for the cover, like any broadcast build side).
+
+    The reference ingests Kafka into its KV store and joins later
+    (SURVEY.md §1.5); this is the join running ON the stream itself —
+    continuous enrichment of arriving rows.
+    """
+    from ..operators import spatial_join
+
+    if not stream.isStreaming:
+        raise ValueError("stream side must be a streaming DataFrame")
+    if polygons.isStreaming:
+        raise ValueError("polygon side must be a batch DataFrame (broadcast build)")
+    return spatial_join.tiered_spatial_join(
+        stream, polygons, predicate=predicate, radius=radius,
+        lon_col=lon_col, lat_col=lat_col, point_id=point_id,
+        polygon_id=polygon_id, wkt_col=wkt_col,
+    )
+
+
+def streaming_zone_counts(
+    stream: DataFrame,
+    polygons: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    window: str = "5 minutes",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    point_id: str = "image_id",
+    polygon_id: str = "polygon_id",
+    wkt_col: str = "wkt",
+) -> DataFrame:
+    """Windowed per-polygon hit counts over a point stream: the streaming
+    spatial join feeding an event-time aggregation (the streaming twin of
+    zonal statistics).  Late rows beyond the watermark are dropped."""
+    if ts_col not in stream.columns:
+        raise ValueError(f"stream needs an event-time column {ts_col!r}")
+    from ..operators import spatial_join
+
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    # the event time rides THROUGH the join as a carried point column — a
+    # join-back by id would be a stream-stream self-join (illegal without
+    # artificial time bounds); carry_cols keeps the plan one stateless map
+    # side plus the single windowed aggregation
+    joined = spatial_join.tiered_spatial_join(
+        stream.withWatermark(ts_col, watermark),
+        polygons,
+        lon_col=lon_col, lat_col=lat_col, point_id=point_id,
+        polygon_id=polygon_id, wkt_col=wkt_col,
+        carry_cols=(ts_col,),
+    )
+    return (
+        joined.groupBy(F.window(F.col(ts_col), window), polygon_id)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), polygon_id, "n")
+    )

@@ -94,3 +94,66 @@ def test_streaming_dedup_first_seen_across_batches(spark, tmp_path):
     finally:
         q.stop()
     assert got == [(1, "A"), (2, "B"), (5, "C")]
+
+
+def test_streaming_spatial_join_matches_batch(spark, sf_dir, tmp_path):
+    """The tiered broadcast join runs unchanged on an unbounded point side
+    (stateless plan — no watermark, no state store) and produces exactly
+    the batch join's pairs."""
+    src = str(tmp_path / "sj_in")
+    ev = eq._events(spark, sf_dir).select("event_id", "lon", "lat")
+    ev.write.parquet(src)
+    polys = eq._poly_df(spark, eq.PIP_POLYGONS)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    joined = ingest.streaming_spatial_join(stream, polys, point_id="event_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("sj_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("sj_stream").collect()))
+    from geowave_spark.operators import spatial_join
+
+    want = sorted(map(tuple, spatial_join.tiered_spatial_join(
+        eq._events(spark, sf_dir), polys, point_id="event_id").collect()))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_streaming_zone_counts_match_batch(spark, sf_dir, tmp_path):
+    """Windowed per-polygon counts over the stream == batch join grouped by
+    the same event-time windows."""
+    src = str(tmp_path / "zc_in")
+    ev = eq._events(spark, sf_dir).select("event_id", "ts", "lon", "lat")
+    ev.write.parquet(src)
+    polys = eq._poly_df(spark, eq.PIP_POLYGONS)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = ingest.streaming_zone_counts(stream, polys, point_id="event_id",
+                                       window="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("zc_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("zc_stream").collect()))
+
+    from geowave_spark.operators import spatial_join
+
+    evb = eq._events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    j = spatial_join.tiered_spatial_join(
+        evb, polys, point_id="event_id", carry_cols=("ts",))
+    want = sorted(map(tuple, (
+        j.groupBy(F.window(F.col("ts"), "1 hour"), "polygon_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "polygon_id", "n")
+    ).collect()))
+    assert got == want
+    assert len(got) > 0
