@@ -261,13 +261,16 @@ def ngram_jaccard_pairs(
     """
     t = float(threshold)
     sh = _doc_shingle_hashes(docs, text_col, id_col, w)
-    if max_df is not None:
-        df_pre = sh.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
-        sh = sh.join(df_pre.filter(F.col("_df") <= max_df).select("h"), "h", "left_semi")
-    # sh feeds several plan branches — materialize once; the blocks are
-    # ContextCleaner-reclaimed instead of pinned for the session
-    sh = sh.localCheckpoint()
+    # ONE shingle-df aggregate serves the cap, the plan-choice statistic,
+    # AND (sparse branch) the rarest-first canonical order: dropping a
+    # shingle removes ALL its rows, so surviving shingles keep their
+    # pre-cap df — no post-cap recount needed
     dfc = sh.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+    if max_df is not None:
+        dfc = dfc.filter(F.col("_df") <= max_df)
+    # dfc stays lazy: the one driver action below doubles as the plan
+    # chooser, and the (cheap, map-side-combined) agg recomputes inside
+    # the main job rather than paying a separate materialization job
     nrows, ndist = dfc.agg(F.sum("_df"), F.count(F.lit(1))).first()
     if not nrows:
         return (
@@ -277,6 +280,11 @@ def ngram_jaccard_pairs(
                 F.lit(0).cast("long").alias("jaccard_mu"),
             ).limit(0)
         )
+    if max_df is not None:
+        sh = sh.join(dfc.select("h"), "h", "left_semi")
+    # sh feeds several plan branches — materialize once; the blocks are
+    # ContextCleaner-reclaimed instead of pinned for the session
+    sh = sh.localCheckpoint()
     if nrows / ndist <= PREFIX_FILTER_MAX_MEAN_DF:
         return _jaccard_prefix_filtered(sh, dfc, t, threshold)
     return _jaccard_count_join(sh, t, threshold)
@@ -642,7 +650,6 @@ def simhash_pairs(
         "chunk",
         F.expr(f"shiftrightunsigned(simhash, band * {chunk_bits})").bitwiseAND(F.lit(mask)),
     )
-    within_vals = sv.filter(F.col("_n") >= 2).select("simhash")
     if max_bucket_size is not None:
         bsizes = chunks.groupBy("band", "chunk").agg(F.sum("_n").alias("_bn"))
         n_dropped = bsizes.filter(F.col("_bn") > max_bucket_size).count()
@@ -658,15 +665,15 @@ def simhash_pairs(
             ["band", "chunk"],
             "left_semi",
         )
-        # a same-value doc pair survives only if the value keeps >= 1 band
-        within_vals = within_vals.join(
-            chunks.select("simhash"), "simhash", "left_semi"
-        )
+    # value self-join INCLUDING the diagonal (_sa == _sb): same-value doc
+    # pairs fall out of the same fan-out below (hamming 0, matched at
+    # band 0 — or at any surviving band under a cap), so there is no
+    # separate within-value branch
     a = chunks.select(F.col("simhash").alias("_sa"), "band", "chunk").alias("a")
     b = chunks.select(F.col("simhash").alias("_sb"), "band", "chunk").alias("b")
     vcand = (
         a.join(b, ["band", "chunk"])
-        .filter(F.col("_sa") < F.col("_sb"))
+        .filter(F.col("_sa") <= F.col("_sb"))
         .withColumn("_x", F.col("_sa").bitwiseXOR(F.col("_sb")))
     )
     if max_bucket_size is None:
@@ -684,24 +691,16 @@ def simhash_pairs(
     vpairs = vpairs.withColumn("hamming", F.bit_count(F.col("_x"))).filter(
         F.col("hamming") <= max_hamming
     )
-    # fan back out to doc pairs: cross-value pairs ...
+    # fan back out to doc pairs — the fan-out IS the output (no shuffle
+    # after it); the diagonal keeps each unordered same-value pair once
     da = sh.select(F.col("doc_id").alias("_ida"), F.col("simhash").alias("_sa"))
     db = sh.select(F.col("doc_id").alias("_idb"), F.col("simhash").alias("_sb"))
-    cross = (
+    return (
         vpairs.join(da, "_sa").join(db, "_sb")
+        .filter((F.col("_sa") != F.col("_sb")) | (F.col("_ida") < F.col("_idb")))
         .select(
             F.least(F.col("_ida"), F.col("_idb")).alias("doc_a"),
             F.greatest(F.col("_ida"), F.col("_idb")).alias("doc_b"),
             "hamming",
         )
     )
-    # ... plus same-value pairs (hamming 0 by definition)
-    wd = sh.join(within_vals, "simhash")
-    wa = wd.select(F.col("doc_id").alias("doc_a"), "simhash")
-    wb = wd.select(F.col("doc_id").alias("doc_b"), "simhash")
-    within = (
-        wa.join(wb, "simhash")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.bit_count(F.lit(0)).alias("hamming"))
-    )
-    return cross.unionByName(within)
