@@ -16,6 +16,8 @@ Supported grammar (case-insensitive keywords):
     not_expr    := NOT not_expr | '(' expr ')' | predicate
     predicate   := prop (= | <> | != | < | <= | > | >=) literal
                  | prop [NOT] BETWEEN literal AND literal
+                 | prop BEFORE datetime | prop AFTER datetime
+                 | prop DURING datetime '/' datetime | prop TEQUALS datetime
                  | prop [NOT] IN '(' literal (',' literal)* ')'
                  | prop [NOT] LIKE 'pattern'        (% / _ wildcards)
                  | prop IS [NOT] NULL
@@ -25,6 +27,14 @@ Supported grammar (case-insensitive keywords):
     geomop      := INTERSECTS | DISJOINT | WITHIN | CONTAINS | TOUCHES
                  | CROSSES | OVERLAPS | EQUALS
     literal     := number | 'string' | TRUE | FALSE
+    datetime    := ISO-8601 instant (2020-01-05T06:30:00[.ffffff][Z])
+
+Temporal predicates follow OGC filter semantics (GeoTools ECQL,
+modules/library/cql): BEFORE/AFTER are strict, DURING is the open
+interval (start, end), TEQUALS is instant equality.  The comparison is a
+plain string-vs-timestamp Catalyst compare, so Spark coerces to the
+column's own type (TIMESTAMP or TIMESTAMP_NTZ) — timezone-independent
+for NTZ data.
 
 Geometry properties resolve through the ``geometry`` argument: either the
 name of a WKT column, or a ``(lon_col, lat_col)`` pair (point features) —
@@ -55,11 +65,13 @@ _GEOM_OPS = {
 _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<str>'(?:[^']|'')*')
+      | (?P<dt>\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?Z?)
       | (?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
       | (?P<op><=|>=|<>|!=|=|<|>)
       | (?P<lp>\()
       | (?P<rp>\))
       | (?P<comma>,)
+      | (?P<slash>/)
       | (?P<word>[A-Za-z_][A-Za-z0-9_.]*)
     )""",
     re.VERBOSE,
@@ -80,7 +92,7 @@ def _tokenize(s: str) -> list[tuple[str, str]]:
                 break
             raise CQLError(f"unexpected input at: {rest[:40]!r}")
         pos = m.end()
-        for kind in ("str", "num", "op", "lp", "rp", "comma", "word"):
+        for kind in ("str", "dt", "num", "op", "lp", "rp", "comma", "slash", "word"):
             v = m.group(kind)
             if v is not None:
                 out.append((kind, v))
@@ -328,6 +340,10 @@ class _Parser:
                 return col.isNotNull()
             self.take("word", "NULL")
             return col.isNull()
+        if self.at_word("BEFORE", "AFTER", "DURING", "TEQUALS"):
+            if neg:
+                raise CQLError("NOT is not supported on temporal predicates")
+            return self.temporal_pred(col)
         if neg:
             raise CQLError("NOT must precede BETWEEN/IN/LIKE")
         op = self.take("op")
@@ -343,6 +359,29 @@ class _Parser:
         if op == ">":
             return col > F.lit(lit)
         return col >= F.lit(lit)
+
+    def temporal_pred(self, col: Column) -> Column:
+        """OGC temporal predicates (GeoTools ECQL): BEFORE/AFTER strict,
+        DURING = open interval, TEQUALS = instant equality.  The ISO
+        instant compares as a plain string literal, so Catalyst coerces it
+        to the column's OWN type (TIMESTAMP or TIMESTAMP_NTZ) — NTZ data
+        stays timezone-independent."""
+
+        def dt_lit(s: str) -> Column:
+            return F.lit(s.rstrip("Z").replace("T", " "))
+
+        op = self.take("word").upper()
+        if op == "DURING":
+            start = self.take("dt")
+            self.take("slash")
+            end = self.take("dt")
+            return (col > dt_lit(start)) & (col < dt_lit(end))
+        t = self.take("dt")
+        if op == "BEFORE":
+            return col < dt_lit(t)
+        if op == "AFTER":
+            return col > dt_lit(t)
+        return col == dt_lit(t)  # TEQUALS
 
 
 def cql_to_column(expr: str, geometry="wkt") -> Column:

@@ -147,3 +147,43 @@ def test_wkt_literal_reassembly():
 
     g = geom.geometry_from_wkt(wkt)  # must parse through the engine kernel
     assert wkt.startswith("MULTIPOLYGON ((") and g.bbox == (0.0, 0.0, 6.0, 6.0)
+
+
+def test_temporal_predicates(spark, sf_dir):
+    """OGC temporal ECQL: BEFORE/AFTER strict, DURING open interval,
+    TEQUALS instant equality — against hand-written Column filters on the
+    TIMESTAMP_NTZ events table (timezone-independent)."""
+    from geowave_spark import entry_queries as eq
+
+    ev = eq._events(spark, sf_dir)
+    got = cql.cql_filter(
+        ev, "ts DURING 2024-01-05T00:00:00Z/2024-01-12T00:00:00Z AND event_type = 'click'"
+    ).count()
+    want = ev.filter(
+        (F.col("ts") > "2024-01-05 00:00:00")
+        & (F.col("ts") < "2024-01-12 00:00:00")
+        & (F.col("event_type") == "click")
+    ).count()
+    assert got == want and got > 0
+    assert (
+        cql.cql_filter(ev, "ts BEFORE 2024-01-03T12:00:00Z").count()
+        == ev.filter(F.col("ts") < "2024-01-03 12:00:00").count()
+    )
+    assert (
+        cql.cql_filter(ev, "ts AFTER 2024-01-28T00:00:00Z").count()
+        == ev.filter(F.col("ts") > "2024-01-28 00:00:00").count()
+    )
+    one = ev.select("ts").first()[0]
+    iso = one.strftime("%Y-%m-%dT%H:%M:%S") + (f".{one.microsecond:06d}" if one.microsecond else "")
+    assert cql.cql_filter(ev, f"ts TEQUALS {iso}Z").count() >= 1
+    # spatial + temporal in one filter (SpatialTemporalQuery analog)
+    g = cql.cql_filter(
+        ev, "BBOX(geom, -50, -20, 50, 40) AND ts AFTER 2024-01-15T00:00:00Z",
+        geometry=("lon", "lat"),
+    ).count()
+    w = ev.filter(
+        (F.col("lon") >= -50) & (F.col("lon") <= 50)
+        & (F.col("lat") >= -20) & (F.col("lat") <= 40)
+        & (F.col("ts") > "2024-01-15 00:00:00")
+    ).count()
+    assert g == w and g > 0
