@@ -454,39 +454,44 @@ def minhash_lsh_pairs(
                 n_dropped, max_bucket_size,
             )
         buckets = buckets.join(
-            bsizes.filter(F.col("_n") <= max_bucket_size).select("band", "bucket"),
+            bsizes.select("band", "bucket", (F.col("_n") <= max_bucket_size).alias("_kept")),
             ["band", "bucket"],
-            "left_semi",
         )
-        # band-dropping breaks the first-match rule below → distinct
-        a = buckets.alias("a")
-        b = buckets.alias("b")
-        return (
-            a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")))
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-            .distinct()
-        )
+    else:
+        buckets = buckets.withColumn("_kept", F.lit(True))
     # exactly-once emission (no candidate-pair distinct shuffle): pivot to
-    # one bucket-array row per doc, join per band, and keep a pair only at
-    # the FIRST band whose buckets agree — pure Column compares on the
-    # carried arrays.  At corpus scale the candidate distinct is the
-    # dominant exchange (same fix as the spatial joins' reference point).
+    # one (bucket, kept) array row per doc, join per KEPT band, and keep a
+    # pair only at the FIRST band whose buckets agree AND survive the cap.
+    # Kept-ness is a property of the shared (band, bucket), so both docs
+    # agree on it wherever their buckets are equal — "first kept matching
+    # band" is exact even under hot-bucket dropping.  At corpus scale the
+    # candidate distinct is the dominant exchange (136.5M output pairs at
+    # 500k docs measured): same fix as the spatial joins' reference point.
     bks = buckets.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("band", "bucket"))), lambda s: s["bucket"]
-        ).alias("_bks")
+        F.array_sort(F.collect_list(F.struct("band", "bucket", "_kept"))).alias("_s")
+    ).select(
+        "doc_id",
+        F.transform(F.col("_s"), lambda s: s["bucket"]).alias("_bks"),
+        F.transform(F.col("_s"), lambda s: s["_kept"]).alias("_ks"),
     )
-    a = bks.select(F.col("doc_id").alias("doc_a"), F.col("_bks").alias("_ba")).withColumn(
-        "band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1)))
-    ).withColumn("bucket", F.element_at(F.col("_ba"), F.col("band") + 1))
-    b = bks.select(F.col("doc_id").alias("doc_b"), F.col("_bks").alias("_bb")).withColumn(
-        "band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1)))
-    ).withColumn("bucket", F.element_at(F.col("_bb"), F.col("band") + 1))
+    a = (
+        bks.select(F.col("doc_id").alias("doc_a"), F.col("_bks").alias("_ba"), F.col("_ks").alias("_ka"))
+        .withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
+        .filter(F.element_at(F.col("_ka"), F.col("band") + 1))
+        .withColumn("bucket", F.element_at(F.col("_ba"), F.col("band") + 1))
+    )
+    b = (
+        bks.select(F.col("doc_id").alias("doc_b"), F.col("_bks").alias("_bb"), F.col("_ks").alias("_kb"))
+        .withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
+        .filter(F.element_at(F.col("_kb"), F.col("band") + 1))
+        .withColumn("bucket", F.element_at(F.col("_bb"), F.col("band") + 1))
+    )
     j = a.join(b, ["band", "bucket"]).filter(F.col("doc_a") < F.col("doc_b"))
     first_eq = F.lit(bands - 1)
     for bb in range(bands - 2, -1, -1):
-        eq = F.element_at(F.col("_ba"), bb + 1) == F.element_at(F.col("_bb"), bb + 1)
+        eq = (
+            F.element_at(F.col("_ba"), bb + 1) == F.element_at(F.col("_bb"), bb + 1)
+        ) & F.element_at(F.col("_ka"), bb + 1)
         first_eq = F.when(eq, F.lit(bb)).otherwise(first_eq)
     return j.filter(F.col("band") == first_eq).select("doc_a", "doc_b")
 
