@@ -2191,11 +2191,38 @@ def q_sampling_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.unionByName(k)
 
 
+def _ensure_ann_store(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per sf) the stored IVF+PQ layout over embeddings."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from .sources import vectors as _vstore
+
+    base = sf_dir.rstrip("/")
+    tag = f"{base.rsplit('/', 1)[-1]}_{_hashlib.md5(base.encode()).hexdigest()[:8]}"
+    path = f"{_IMG_CACHE_ROOT}/annstore_v1_{tag}.parquet"
+    if not _os.path.exists(_os.path.join(path, _vstore.META_FILE)):
+        _vstore.write_vectors_ivf(_embs(spark, sf_dir), path, n_lists=8, pq_m=8, pq_k=16)
+    return path
+
+
 def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF and PQ ANN top-k (both centroid-trained → rows-only), tagged."""
+    """IVF and PQ ANN top-k (both centroid-trained → rows-only), tagged,
+    plus the STORED composition of the two: IVF lists as the hive
+    partition key, PQ codes as the in-list scan payload, exact rerank —
+    the partition-pruned 100 TB layout (sources/vectors.py)."""
+    from .sources import vectors as _vstore
+
     i = q_ann_ivf(spark, sf_dir).withColumn("method", F.lit("ivf"))
     p = q_ann_pq(spark, sf_dir).withColumn("method", F.lit("pq"))
-    return i.unionByName(p)
+    em = _embs(spark, sf_dir)
+    s = _vstore.stored_ann_topk(
+        spark, _ensure_ann_store(spark, sf_dir),
+        em.filter(F.col("vec_id") < 8), k=10, n_probe=4, rerank=60,
+    ).select(
+        "query_id", "vec_id", "cos_mu", F.col("rank").cast("long").alias("rank")
+    ).withColumn("method", F.lit("ivfpq_stored"))
+    return i.unionByName(p).unionByName(s)
 
 
 def q_image_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
