@@ -223,3 +223,140 @@ def gpx_tracks_to_wkt(points: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_points"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Delimited text formats: GDELT / T-Drive / GeoLife
+#
+# Unlike the XML/JSON plugins above, these three are line-oriented, so the
+# Spark-first parse is a distributed `spark.read.text` scan plus pure Column
+# algebra (split / element_at / casts) — the whole parse stays inside
+# whole-stage codegen; NO Python runs per row.  Malformed lines drop out via
+# the same null-cast filters the reference applies in Java.
+# ---------------------------------------------------------------------------
+
+# column ids from the reference's GDELT 1.0 event-table layout
+# (extensions/formats/gdelt/.../GDELTUtils.java:41-90)
+_GDELT_COLS = {
+    "event_id": 0,       # GLOBALEVENTID
+    "event_date": 1,     # SQLDATE, yyyyMMdd
+    "actor1": 6,         # Actor1Name
+    "actor2": 16,        # Actor2Name
+    "num_mentions": 31,
+    "num_sources": 32,
+    "num_articles": 33,
+    "avg_tone": 34,
+    "country_code": 51,  # ActionGeo_CountryCode
+    "lat": 53,           # ActionGeo_Lat
+    "lon": 54,           # ActionGeo_Long
+    "source_url": 57,    # present only in the 58-column variant
+}
+_GDELT_MIN_COLUMNS = 57  # GDELTUtils.GDELT_MIN_COLUMNS
+
+
+def read_gdelt(spark: SparkSession, path: str) -> DataFrame:
+    """GDELT 1.0 event TSV → typed rows (GDELTIngestPlugin analog).
+
+    Keeps the reference's semantics: rows must have >= 57 tab-separated
+    fields and a parseable ActionGeo lat/lon (events without a geocode are
+    skipped, GDELTIngestPlugin.java:150-160); the optional 58th column is
+    SOURCEURL.  The parse is one codegen stage over a distributed text
+    scan — at 100 TB this is `spark.read.text` over the daily-file corpus
+    with per-file parallelism.
+    """
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(path).select(
+        F.input_file_name().alias("source_file"), F.col("value")
+    )
+    c = F.split(F.col("value"), "\t")
+    g = {k: F.element_at(c, i + 1) for k, i in _GDELT_COLS.items()}
+    out = (
+        lines.withColumn("_n", F.size(c))
+        .filter(F.col("_n") >= _GDELT_MIN_COLUMNS)
+        .select(
+            "source_file",
+            g["event_id"].try_cast("long").alias("event_id"),
+            F.try_to_timestamp(g["event_date"], F.lit("yyyyMMdd")).try_cast("date").alias("event_date"),
+            F.nullif(g["actor1"], F.lit("")).alias("actor1"),
+            F.nullif(g["actor2"], F.lit("")).alias("actor2"),
+            g["num_mentions"].try_cast("int").alias("num_mentions"),
+            g["num_sources"].try_cast("int").alias("num_sources"),
+            g["num_articles"].try_cast("int").alias("num_articles"),
+            g["avg_tone"].try_cast("double").alias("avg_tone"),
+            F.nullif(g["country_code"], F.lit("")).alias("country_code"),
+            g["lat"].try_cast("double").alias("lat"),
+            g["lon"].try_cast("double").alias("lon"),
+            F.when(F.col("_n") > _GDELT_MIN_COLUMNS, g["source_url"]).alias("source_url"),
+        )
+        .filter(
+            F.col("event_id").isNotNull()
+            & F.col("lat").isNotNull()
+            & F.col("lon").isNotNull()
+        )
+    )
+    return out
+
+
+def read_tdrive(spark: SparkSession, path: str) -> DataFrame:
+    """T-Drive taxi trace CSV: ``taxiid,datetime,lon,lat`` per line
+    (TdriveUtils.java:52-70 — exactly 4 comma fields, timestamp format
+    yyyy-MM-dd HH:mm:ss; other lines are invalid and drop)."""
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(path).select(
+        F.input_file_name().alias("source_file"), F.col("value")
+    )
+    c = F.split(F.col("value"), ",")
+    return (
+        lines.filter(F.size(c) == 4)
+        .select(
+            "source_file",
+            F.element_at(c, 1).try_cast("long").alias("taxi_id"),
+            F.try_to_timestamp(F.element_at(c, 2), F.lit("yyyy-MM-dd HH:mm:ss")).alias("ts"),
+            F.element_at(c, 3).try_cast("double").alias("lon"),
+            F.element_at(c, 4).try_cast("double").alias("lat"),
+        )
+        .filter(
+            F.col("taxi_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("lon").isNotNull()
+            & F.col("lat").isNotNull()
+        )
+    )
+
+
+def read_geolife(spark: SparkSession, path: str) -> DataFrame:
+    """GeoLife PLT trajectories: after a 6-line header each line is
+    ``lat,lon,0,alt_feet,days,yyyy-MM-dd,HH:mm:ss``
+    (GeoLifeIngestPlugin.java:162-189).  Header lines fail the 7-field /
+    numeric-cast gate and drop — a stateless filter, so the scan stays
+    embarrassingly parallel across millions of .plt files.  The
+    trajectory id is the reference's convention: the file path's user
+    segment + file stem."""
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(path).select(
+        F.input_file_name().alias("source_file"), F.col("value")
+    )
+    c = F.split(F.col("value"), ",")
+    return (
+        lines.filter(F.size(c) == 7)
+        .select(
+            "source_file",
+            F.element_at(c, 1).try_cast("double").alias("lat"),
+            F.element_at(c, 2).try_cast("double").alias("lon"),
+            F.element_at(c, 4).try_cast("double").alias("alt_feet"),
+            F.try_to_timestamp(
+                F.concat(F.element_at(c, 6), F.lit(" "), F.element_at(c, 7)),
+                F.lit("yyyy-MM-dd HH:mm:ss"),
+            ).alias("ts"),
+        )
+        .filter(
+            F.col("lat").isNotNull() & F.col("lon").isNotNull() & F.col("ts").isNotNull()
+        )
+        .withColumn(
+            "trajectory_id",
+            F.regexp_extract(F.col("source_file"), r"([^/]+)/Trajectory/([^/]+)\.plt", 0),
+        )
+    )
