@@ -31,10 +31,12 @@ Supported grammar (case-insensitive keywords):
 
 Temporal predicates follow OGC filter semantics (GeoTools ECQL,
 modules/library/cql): BEFORE/AFTER are strict, DURING is the open
-interval (start, end), TEQUALS is instant equality.  The comparison is a
-plain string-vs-timestamp Catalyst compare, so Spark coerces to the
-column's own type (TIMESTAMP or TIMESTAMP_NTZ) — timezone-independent
-for NTZ data.
+interval (start, end), TEQUALS is instant equality.  Zone handling: on
+TIMESTAMP_NTZ columns (the engine's tables; wall times are UTC by
+convention) instants compare as wall times — timezone-independent; on
+true TIMESTAMP (LTZ) columns a ``Z``-suffixed instant is honored as an
+absolute UTC instant (``cql_filter`` passes the DataFrame schema so the
+parser knows the column type).
 
 Geometry properties resolve through the ``geometry`` argument: either the
 name of a WKT column, or a ``(lon_col, lat_col)`` pair (point features) —
@@ -101,10 +103,11 @@ def _tokenize(s: str) -> list[tuple[str, str]]:
 
 
 class _Parser:
-    def __init__(self, tokens: list[tuple[str, str]], geometry):
+    def __init__(self, tokens: list[tuple[str, str]], geometry, schema=None):
         self.toks = tokens
         self.i = 0
         self.geometry = geometry
+        self.schema = schema  # optional StructType for type-aware literals
 
     # -- token helpers ------------------------------------------------------
     def peek(self, kind=None, value=None):
@@ -333,6 +336,10 @@ class _Parser:
             c = col.like(pat)
             return ~c if neg else c
         if self.at_word("IS"):
+            if neg:
+                # ECQL spells negated null tests "x IS NOT NULL"; silently
+                # dropping a consumed NOT here would invert the predicate
+                raise CQLError("use IS NOT NULL, not NOT ... IS NULL")
             self.take("word")
             if self.at_word("NOT"):
                 self.take("word")
@@ -343,7 +350,7 @@ class _Parser:
         if self.at_word("BEFORE", "AFTER", "DURING", "TEQUALS"):
             if neg:
                 raise CQLError("NOT is not supported on temporal predicates")
-            return self.temporal_pred(col)
+            return self.temporal_pred(col, prop)
         if neg:
             raise CQLError("NOT must precede BETWEEN/IN/LIKE")
         op = self.take("op")
@@ -360,14 +367,29 @@ class _Parser:
             return col > F.lit(lit)
         return col >= F.lit(lit)
 
-    def temporal_pred(self, col: Column) -> Column:
+    def temporal_pred(self, col: Column, prop: str | None = None) -> Column:
         """OGC temporal predicates (GeoTools ECQL): BEFORE/AFTER strict,
-        DURING = open interval, TEQUALS = instant equality.  The ISO
-        instant compares as a plain string literal, so Catalyst coerces it
-        to the column's OWN type (TIMESTAMP or TIMESTAMP_NTZ) — NTZ data
-        stays timezone-independent."""
+        DURING = open interval, TEQUALS = instant equality.
+
+        Zone handling: the engine's tables carry TIMESTAMP_NTZ whose wall
+        times are UTC by convention, so a ``Z``-suffixed instant compares
+        as its (UTC) wall time — timezone-independent.  When the parser
+        has a schema (``cql_filter`` passes one) and the column is a true
+        TIMESTAMP (LTZ), the ``Z`` is honored as an absolute instant
+        (``cast('...Z' as timestamp)`` keeps the offset) instead of being
+        stripped into session-local wall time."""
+        ltz = False
+        if self.schema is not None and prop is not None:
+            try:
+                from pyspark.sql import types as _T
+
+                ltz = isinstance(self.schema[prop].dataType, _T.TimestampType)
+            except Exception:
+                ltz = False
 
         def dt_lit(s: str) -> Column:
+            if ltz and s.endswith("Z"):
+                return F.lit(s).cast("timestamp")
             return F.lit(s.rstrip("Z").replace("T", " "))
 
         op = self.take("word").upper()
@@ -384,17 +406,19 @@ class _Parser:
         return col == dt_lit(t)  # TEQUALS
 
 
-def cql_to_column(expr: str, geometry="wkt") -> Column:
+def cql_to_column(expr: str, geometry="wkt", schema=None) -> Column:
     """Parse an (E)CQL filter string into one Catalyst ``Column``.
 
     ``geometry``: the WKT column name spatial predicates refer to, or a
-    ``(lon_col, lat_col)`` tuple for point features.
+    ``(lon_col, lat_col)`` tuple for point features.  ``schema``: optional
+    StructType enabling type-aware temporal literals (Z honored as an
+    absolute instant for TIMESTAMP-LTZ columns).
     """
-    return _Parser(_tokenize(expr), geometry).parse()
+    return _Parser(_tokenize(expr), geometry, schema).parse()
 
 
 def cql_filter(df: DataFrame, expr: str, geometry="wkt") -> DataFrame:
     """``df.filter`` with a CQL string (CQLQuery.createOptimalQuery analog:
     attribute predicates stay JVM/pushdown-eligible; spatial predicates
     evaluate through the exact geometry kernel)."""
-    return df.filter(cql_to_column(expr, geometry))
+    return df.filter(cql_to_column(expr, geometry, df.schema))

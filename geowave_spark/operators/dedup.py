@@ -141,18 +141,20 @@ def dedup_keep_best(
     clusters).
     """
     cl = dedup_clusters(docs, threshold, n_perm, bands, w, text_col, id_col, max_iter)
+    # dedup_clusters emits its id column under the caller's id_col name —
+    # join/select on that, not a hardcoded "doc_id"
     scored = docs.select(
-        F.col(id_col).alias("doc_id"),
+        F.col(id_col),
         F.length(F.col(text_col)).cast("long").alias("n_chars"),
     )
-    j = cl.join(scored, "doc_id")
+    j = cl.join(scored, id_col)
     win = Window.partitionBy("canonical_id").orderBy(
-        F.desc("n_chars"), F.asc("doc_id")
+        F.desc("n_chars"), F.asc(id_col)
     )
     return (
         j.withColumn("_rk", F.row_number().over(win))
         .filter(F.col("_rk") == 1)
-        .select("doc_id", "n_chars")
+        .select(id_col, "n_chars")
     )
 
 
@@ -423,6 +425,12 @@ def minhash_lsh_pairs(
     buckets are overwhelmingly re-found via their other bands); the number
     of dropped buckets is logged.  None = uncapped.
     """
+    if bands <= 0 or n_perm % bands:
+        # a remainder would create a silent extra band the pair-emission
+        # stage never reads (recall loss), and bands > n_perm divides by 0
+        raise ValueError(
+            f"n_perm={n_perm} must be a positive multiple of bands={bands}"
+        )
     rows_per_band = n_perm // bands
     sig = minhash_signatures(docs, n_perm, w, text_col, id_col)
     buckets_base = (

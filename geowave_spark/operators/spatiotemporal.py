@@ -47,16 +47,17 @@ def time_bin_expr(ts_col: str, unit: str = "year") -> Column:
     """
     if unit not in BIN_UNITS:
         raise ValueError(f"unit must be one of {BIN_UNITS}")
-    y = F.year(F.col(ts_col)).cast("long")
+    ts = ts_col if isinstance(ts_col, Column) else F.col(ts_col)
+    y = F.year(ts).cast("long")
     if unit == "year":
         return y
-    m = y * 100 + F.month(F.col(ts_col)).cast("long")
+    m = y * 100 + F.month(ts).cast("long")
     if unit == "month":
         return m
-    d = m * 100 + F.dayofmonth(F.col(ts_col)).cast("long")
+    d = m * 100 + F.dayofmonth(ts).cast("long")
     if unit == "day":
         return d
-    return d * 100 + F.hour(F.col(ts_col)).cast("long")
+    return d * 100 + F.hour(ts).cast("long")
 
 
 def year_bin_expr(ts_col: str) -> Column:
@@ -98,22 +99,28 @@ def st_range_query(
     lon_col: str = "lon",
     lat_col: str = "lat",
     loose: bool = False,
+    unit: str = "year",
 ) -> DataFrame:
     """Spatio-temporal range query: time-bin prune + bbox + exact refine.
 
     Bin pruning mirrors the reference's per-bin range decomposition
-    (BinnedNumericDataset): the bin predicate is sargable on a
-    (bin, cell)-sorted layout; the exact epoch-micros refine then applies
-    the precise time window inside surviving bins.
+    (BinnedNumericDataset): the filter rides the SAME ``_bin`` column
+    ``add_st_cols`` adds (sargable on a (bin, cell)-sorted layout at any
+    ``unit`` periodicity — bin ids nest, so the bound is one BETWEEN); the
+    exact epoch-micros refine then applies the precise window inside
+    surviving bins.
     """
     from .stats import range_lookup
 
-    df = add_st_cols(points, ts_col, lon_col, lat_col)
+    df = add_st_cols(points, ts_col, lon_col, lat_col, unit=unit)
     eus = epoch_us_expr(ts_col)
+    # bin bounds: the same bin expression evaluated at the window's two
+    # endpoint instants (pure literal folding — no per-row cost)
+    lo_ts = f"timestampadd(MICROSECOND, {t0_us}, {EPOCH_NTZ})"
+    hi_ts = f"timestampadd(MICROSECOND, {t1_us}, {EPOCH_NTZ})"
     out = df.filter(
-        year_bin_expr(ts_col).between(
-            F.expr(f"year(timestampadd(MICROSECOND, {t0_us}, {EPOCH_NTZ}))").cast("long"),
-            F.expr(f"year(timestampadd(MICROSECOND, {t1_us}, {EPOCH_NTZ}))").cast("long"),
+        F.col("_bin").between(
+            time_bin_expr(F.expr(lo_ts), unit), time_bin_expr(F.expr(hi_ts), unit)
         )
     )
     if not loose:

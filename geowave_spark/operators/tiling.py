@@ -121,7 +121,9 @@ def _assemble(tile_px: int, merge: str = "mean"):
         acc = np.zeros((tile_px, tile_px, 3), np.float64)
         cnt = np.zeros((tile_px, tile_px, 1), np.float64)
         px = np.clip(((pdf["lon"] - lon0) / (lon1 - lon0) * tile_px).astype(int), 0, tile_px - 1)
-        py = np.clip(((pdf["lat"] - lat0) / (lat1 - lat0) * tile_px).astype(int), 0, tile_px - 1)
+        # row 0 = TOP (max lat) — same north-up raster convention as
+        # _mosaic below (round-3 review: the two were vertically mirrored)
+        py = np.clip(((lat1 - pdf["lat"]) / (lat1 - lat0) * tile_px).astype(int), 0, tile_px - 1)
         for j, (b, f) in enumerate(zip(pdf["bytes"], pdf["fmt"])):
             mean = codec.decode_image(bytes(b), f).reshape(-1, 3).mean(axis=0)
             yj, xj = py.iloc[j], px.iloc[j]

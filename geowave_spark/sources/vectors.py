@@ -64,6 +64,12 @@ def write_vectors_ivf(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("embedding"),
     )
+    head = v.first()
+    if head is None:
+        # fail BEFORE any write: a half-created table (parquet without its
+        # meta sidecar) would break every later stored_ann_topk load
+        raise ValueError("write_vectors_ivf: input vector frame is empty")
+    dim = len(head["embedding"])
     feats = v.withColumn("_fv", array_to_vector(F.col("embedding")))
     model = KMeans(k=n_lists, seed=seed, featuresCol="_fv").fit(feats)
     assigned = model.transform(feats).select(
@@ -83,18 +89,47 @@ def write_vectors_ivf(
         "pq_m": pq_m,
         "pq_k": pq_k,
         "seed": seed,
-        "dim": len(v.first()["embedding"]),
+        "dim": dim,
         "centers": [c.tolist() for c in model.clusterCenters()],
         "codebooks": np.asarray(books).tolist(),
     }
-    with open(os.path.join(path, META_FILE), "w") as f:
-        json.dump(meta, f)
+    _write_sidecar(vectors.sparkSession, os.path.join(path, META_FILE), json.dumps(meta))
     return meta
 
 
-def load_meta(path: str) -> dict:
-    with open(os.path.join(path, META_FILE)) as f:
-        return json.load(f)
+def _write_sidecar(spark: SparkSession, path: str, text: str) -> None:
+    """Write the meta sidecar through the JVM Hadoop FS so the layout works
+    on any scheme the table itself writes to (s3a/hdfs/file), not just the
+    driver's local filesystem."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def load_meta(spark_or_path, path: str | None = None) -> dict:
+    """Read the sidecar.  ``load_meta(spark, table_path)`` goes through the
+    Hadoop FS (any scheme); the legacy ``load_meta(table_path)`` form keeps
+    working for local paths."""
+    if path is None:
+        with open(os.path.join(spark_or_path, META_FILE)) as f:
+            return json.load(f)
+    spark = spark_or_path
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(os.path.join(path, META_FILE))
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    try:
+        data = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))
 
 
 def stored_ann_topk(
@@ -117,14 +152,16 @@ def stored_ann_topk(
     """
     import numpy as np
 
-    meta = load_meta(path)
+    meta = load_meta(spark, path)
     books = np.asarray(meta["codebooks"], dtype=np.float64)
     centers = np.asarray(meta["centers"], dtype=np.float64)
     m, kk, sub = books.shape
 
     # queries are small by contract (the probe side): their centroid
     # ranking and ADC distance tables are driver-side numpy, inlined as a
-    # broadcast literal frame — one row per (query, probed list)
+    # broadcast literal frame — one row per (query, probed list).  The
+    # query-id keeps the caller's type (string ids work too).
+    qid_ddl = queries.schema[id_col].dataType.simpleString()
     qrows = queries.select(
         F.col(id_col).alias(query_id),
         F.col(vec_col).cast("array<double>").alias("_qv"),
@@ -146,7 +183,7 @@ def stored_ann_topk(
     probes = F.broadcast(
         spark.createDataFrame(
             probe_rows,
-            f"{query_id} long, list_id int, _qv array<double>, _tbl array<array<double>>",
+            f"{query_id} {qid_ddl}, list_id int, _qv array<double>, _tbl array<array<double>>",
         )
     )
 
@@ -179,7 +216,7 @@ def stored_ann_topk(
     qv_df = F.broadcast(
         spark.createDataFrame(
             [(r[query_id], r["_qv"]) for r in qrows],
-            f"{query_id} long, _qv array<double>",
+            f"{query_id} {qid_ddl}, _qv array<double>",
         )
     )
     rer = (

@@ -37,15 +37,21 @@ def start_cell_ingest(
     lon_col: str = "lon",
     lat_col: str = "lat",
     phash_col: str | None = "phash",
+    trigger: dict | None = None,
 ):
-    """Append cell-keyed rows to parquet with exactly-once checkpointing."""
+    """Append cell-keyed rows to parquet with exactly-once checkpointing.
+
+    ``trigger``: kwargs for ``DataStreamWriter.trigger`` — default
+    ``{"availableNow": True}`` drains what exists and stops (the test /
+    backfill mode); pass e.g. ``{"processingTime": "30 seconds"}`` for a
+    continuously-running production ingest."""
     keyed = cell_keyed(stream, lon_col, lat_col, phash_col)
     return (
         keyed.writeStream.format("parquet")
         .option("path", out_path)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
 

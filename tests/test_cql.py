@@ -187,3 +187,37 @@ def test_temporal_predicates(spark, sf_dir):
         & (F.col("ts") > "2024-01-15 00:00:00")
     ).count()
     assert g == w and g > 0
+
+
+def test_not_is_null_rejected(spark):
+    """'x NOT IS NULL' must raise, not silently invert to IS NULL
+    (round-3 review finding): ECQL spells the negation 'x IS NOT NULL'."""
+    df = spark.createDataFrame([(1, None), (2, "a")], "id long, v string")
+    with pytest.raises(cql.CQLError):
+        cql.cql_filter(df, "v NOT IS NULL")
+    # the correct spellings still work
+    assert cql.cql_filter(df, "v IS NOT NULL").count() == 1
+    assert cql.cql_filter(df, "v IS NULL").count() == 1
+
+
+def test_temporal_z_honored_for_ltz_columns(spark):
+    """A Z-suffixed instant on a true TIMESTAMP (LTZ) column compares as
+    an absolute UTC instant regardless of session timezone; NTZ columns
+    keep the wall-time (UTC-convention) comparison."""
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = spark.createDataFrame(
+            [("2024-01-05 06:00:00",), ("2024-01-05 08:00:00",)], "s string"
+        ).select(
+            F.col("s").cast("timestamp").alias("lt"),     # NY wall time -> instant
+            F.col("s").cast("timestamp_ntz").alias("nt"),  # zone-less wall time
+        )
+        # rows are 11:00Z and 13:00Z as instants; BEFORE 2024-01-05T12:00:00Z
+        # must keep exactly the first row — with the old Z-stripping both
+        # rows passed (06:00/08:00 NY wall < 12:00 wall)
+        assert cql.cql_filter(df, "lt BEFORE 2024-01-05T12:00:00Z").count() == 1
+        # NTZ: wall-time semantics unchanged (both wall times < 12:00)
+        assert cql.cql_filter(df, "nt BEFORE 2024-01-05T12:00:00Z").count() == 2
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

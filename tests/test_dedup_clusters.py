@@ -53,3 +53,30 @@ def test_dedup_clusters_match_union_find(spark, sf_dir):
     assert got == want
     # sanity: at least one nontrivial cluster exists in the corpus
     assert any(k != v for k, v in got.items())
+
+
+def test_keep_best_respects_custom_id_col(spark, sf_dir):
+    """round-3 review: dedup_keep_best hardcoded 'doc_id' internally, so a
+    renamed id column crashed with UNRESOLVED_USING_COLUMN_FOR_JOIN."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    renamed = docs.withColumnRenamed("doc_id", "my_id")
+    got = {
+        r["my_id"]: r["n_chars"]
+        for r in dedup.dedup_keep_best(renamed, id_col="my_id").collect()
+    }
+    want = {
+        r["doc_id"]: r["n_chars"] for r in dedup.dedup_keep_best(docs).collect()
+    }
+    assert got == want and got
+
+
+def test_minhash_rejects_indivisible_bands(spark, sf_dir):
+    """round-3 review: n_perm not divisible by bands silently dropped
+    permutations (and bands > n_perm divided by zero); both must raise."""
+    import pytest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError):
+        dedup.minhash_lsh_pairs(docs, n_perm=10, bands=4)
+    with pytest.raises(ValueError):
+        dedup.minhash_lsh_pairs(docs, n_perm=16, bands=20)

@@ -80,3 +80,28 @@ def test_pyramid_level_selection_rule():
     assert tiling.pyramid_levels_for_resolution(r5 * 2.0, 256, build_pyramid=False) == [4]
     # full pyramid includes every coarser level
     assert tiling.pyramid_levels_for_resolution(r5, 256) == [0, 1, 2, 3, 4, 5]
+
+
+def test_assemble_orientation_north_up(spark):
+    """Row 0 = TOP (max lat): a member at the tile's north edge paints the
+    top row, one at the south edge paints the bottom row — the same
+    convention as mosaic_tiles (round-3 review: these were mirrored)."""
+    # level 0, tile (1, 0): lon [0, 180), lat [-90, 90); place one member
+    # near max lat (-> row 0) and one near min lat (-> last row)
+    from geowave_spark.sources import images as isrc
+
+    from pyspark.sql import Window
+
+    fx = isrc.generate_images(spark, 2).select("image_id", "bytes", "fmt")
+    df = (
+        fx.withColumn("_i", F.row_number().over(Window.orderBy("image_id")))
+        .withColumn("lon", F.lit(10.0))
+        .withColumn("lat", F.when(F.col("_i") == 1, F.lit(89.0)).otherwise(F.lit(-89.0)))
+    )
+    tiles = tiling.assemble_tiles(df, 0, tile_px=8).collect()
+    tile = next(t for t in tiles if (t["tile_x"], t["tile_y"]) == (1, 0))
+    arr = codec.decode_png(bytes(tile["tile_png"]))
+    top_painted = (arr[0].sum(axis=1) > 0).any()
+    bottom_painted = (arr[-1].sum(axis=1) > 0).any()
+    middle_painted = (arr[1:-1].sum(axis=2) > 0).any()
+    assert top_painted and bottom_painted and not middle_painted
