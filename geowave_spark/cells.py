@@ -196,6 +196,36 @@ def split_bbox_antimeridian(
     return [bbox]
 
 
+def _split_for_cover(
+    bbox: tuple[float, float, float, float], closed: bool
+) -> list[tuple[float, float, float, float]]:
+    """Antimeridian split, plus the +180 seam column for CLOSED covers.
+
+    Stored points at lon exactly +180 wrap into grid column 0
+    (``norm_lon``), but a cover whose upper bound is 180 maps that bound
+    to the LAST column (``norm_lon_upper``) — so a boundary-closed
+    (query-side) cover ending at the antimeridian must also include the
+    wrapped column, or rows the exact refine accepts never become
+    candidates.  Open (insert-rule) covers keep the reference's exact-fit
+    convention unchanged."""
+    parts = split_bbox_antimeridian(bbox)
+    if closed:
+        for x0, y0, x1, y1 in list(parts):
+            if x1 == 180.0 and x0 > -180.0:
+                parts.append((-180.0, y0, -180.0, y1))
+    return parts
+
+
+def split_bbox_query(
+    bbox: tuple[float, float, float, float],
+) -> list[tuple[float, float, float, float]]:
+    """Query-side bbox split: antimeridian split + the +180 seam column
+    (see ``_split_for_cover``) — use this wherever stored keys were built
+    with the wrapping ``norm_lon`` and the lookup decomposes ranges from
+    an upper bound that maps 180 to the LAST column."""
+    return _split_for_cover(bbox, True)
+
+
 def count_cells_for_bbox(
     bbox: tuple[float, float, float, float], tier: int, closed: bool = False
 ) -> int:
@@ -203,7 +233,7 @@ def count_cells_for_bbox(
     ZOrderSFC.java:83-94).  ``closed`` counts the boundary-closed cover
     (query-side convention, see _grid_range)."""
     total = 0
-    for b in split_bbox_antimeridian(bbox):
+    for b in _split_for_cover(bbox, closed):
         x0, x1 = _grid_range(norm_lon(b[0]).item(), norm_lon_upper(b[2]), tier, closed=closed)
         y0, y1 = _grid_range(norm_lat(b[1]).item(), norm_lat(b[3]).item(), tier, closed=closed)
         total += (x1 - x0 + 1) * (y1 - y0 + 1)
@@ -243,7 +273,7 @@ def cells_for_bbox_at_tier(
 ) -> np.ndarray:
     """All covering cell ids of bbox at a fixed tier (ordered, deduped)."""
     out = []
-    for b in split_bbox_antimeridian(bbox):
+    for b in _split_for_cover(bbox, closed):
         x0, x1 = _grid_range(norm_lon(b[0]).item(), norm_lon_upper(b[2]), tier, closed)
         y0, y1 = _grid_range(norm_lat(b[1]).item(), norm_lat(b[3]).item(), tier, closed)
         xs = np.arange(x0, x1 + 1, dtype=np.int64)

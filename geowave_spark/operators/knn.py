@@ -234,9 +234,13 @@ def knn_geometry(
     results = None
     d = float(init_distance)
     while True:
+        # loose=True: the join emits buffered-cover candidates WITHOUT its
+        # own exact-distance refine — the kernel below computes the exact
+        # distance once and applies the <= d gate itself (the non-loose
+        # join would run the same Arrow kernel a second time per round)
         pairs = tiered_spatial_join(
             pts, remaining, predicate="dwithin", radius=d,
-            point_id=point_id, lon_col=p_lon, lat_col=p_lat,
+            point_id=point_id, lon_col=p_lon, lat_col=p_lat, loose=True,
         )
         cand = (
             pairs.join(pts, point_id)
@@ -244,6 +248,7 @@ def knn_geometry(
             .withColumn(
                 "dist", geo_udfs.st_distance_point(F.col("wkt"), F.col(p_lon), F.col(p_lat))
             )
+            .filter(F.col("dist") <= F.lit(d))
         )
         w = Window.partitionBy("polygon_id").orderBy(
             F.col("dist").asc(), F.col(point_id).asc()

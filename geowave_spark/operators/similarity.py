@@ -374,6 +374,9 @@ def pq_ann_topk(
     m, kk, sub = books.shape
     enc = pq_encode(vectors, books, id_col, vec_col)
 
+    # keep the caller's id type (string ids work like everywhere else in
+    # this module)
+    qid_ddl = queries.schema[id_col].dataType.simpleString()
     qrows = queries.select(
         F.col(id_col).alias(query_id), _as_double(F.col(vec_col)).alias("_qv")
     ).collect()
@@ -386,7 +389,7 @@ def pq_ann_topk(
         q_out.append((r[query_id], qv.tolist(), [row.tolist() for row in tbl]))
     qdf = F.broadcast(
         vectors.sparkSession.createDataFrame(
-            q_out, f"{query_id} long, _qv array<double>, _tbl array<array<double>>"
+            q_out, f"{query_id} {qid_ddl}, _qv array<double>, _tbl array<array<double>>"
         )
     )
     # ADC scan over (id, codes) ONLY — the full `_v` vectors never enter

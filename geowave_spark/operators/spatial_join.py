@@ -262,7 +262,14 @@ def _broadcast_join(
     rows = [(r[0], r[1]) for r in polygons.select(polygon_id, wkt_col).collect()]
     cell_rows, tiers = polygon_cover_local(rows, max_cells=max_cells, buffer=buffer)
     if not tiers:
-        return pts.select(point_id).limit(0).crossJoin(polygons.select(polygon_id).limit(0))
+        # keep the carry_cols in the empty-result schema — downstream
+        # selects must not break only on the empty-polygon execution
+        return (
+            pts.select(point_id, *carry_cols)
+            .limit(0)
+            .crossJoin(polygons.select(polygon_id).limit(0))
+            .select(point_id, polygon_id, *carry_cols)
+        )
 
     # prune to the join's working set BEFORE the explode — payload columns
     # must never be replicated |tiers|× (semi/anti join back for full rows)
@@ -351,9 +358,15 @@ def _shuffle_join(
     keep = ["_px0", "_py0", "_px1", "_py1"]
     others = [c for c in lb.columns if c not in keep]
     norm = lb.filter((F.col("_px1") <= 180.0) & (F.col("_px0") >= -180.0))
-    hi = lb.filter(F.col("_px1") > 180.0)
-    lo = lb.filter(F.col("_px0") < -180.0)
-    wrap_split = not (hi.isEmpty() and lo.isEmpty())
+    # full-wrap rule first (cells.split_bbox_antimeridian semantics): a
+    # bbox overflowing BOTH edges (world-spanning polygon + buffer) must
+    # become one world box — it would otherwise land in BOTH the hi and
+    # lo branches with an out-of-range bound surviving in two of the four
+    # images, collapsing its cover to a seam sliver and dropping pairs
+    both = lb.filter((F.col("_px1") > 180.0) & (F.col("_px0") < -180.0))
+    hi = lb.filter((F.col("_px1") > 180.0) & (F.col("_px0") >= -180.0))
+    lo = lb.filter((F.col("_px0") < -180.0) & (F.col("_px1") <= 180.0))
+    wrap_split = not (hi.isEmpty() and lo.isEmpty() and both.isEmpty())
     if not wrap_split:
         lb2 = norm
     else:
@@ -368,6 +381,9 @@ def _shuffle_join(
                          .select(*lb.columns))
             .unionByName(lo.select(*others, (F.col("_px0") + 360.0).alias("_px0"), "_py0",
                                    F.lit(180.0).alias("_px1"), "_py1")
+                         .select(*lb.columns))
+            .unionByName(both.select(*others, F.lit(-180.0).alias("_px0"), "_py0",
+                                     F.lit(180.0).alias("_px1"), "_py1")
                          .select(*lb.columns))
         )
     pc = _extent_cells(
@@ -536,19 +552,15 @@ def _extent_cells(
     """Extent rows → (id, x0..y1, _te, _cell) at the span-based adaptive
     tier (<= 4 cells per row) — pure Column math shared by both extent-join
     paths."""
-    sx = (F.col(x1) - F.col(x0)) / F.lit(360.0)
-    sy = (F.col(y1) - F.col(y0)) / F.lit(180.0)
-    span = F.greatest(sx, sy, F.lit(0.0))
-    te = (
-        F.when(span <= 0.0, F.lit(cells.MAX_TIER))
-        .otherwise(
-            F.least(F.greatest(F.floor(-F.log2(span)).cast("int"), F.lit(0)), F.lit(cells.MAX_TIER))
-        )
-    )
-    ex = df.withColumn("_te", te)
+    ex = df.withColumn("_te", _extent_tier_expr(x0, y0, x1, y1))
     ex = ex.withColumn("_r", F.pow(F.lit(2.0), F.col("_te").cast("double")).cast("long"))
     rl = F.col("_r").cast("double")
-    gx0 = F.least(F.greatest(F.floor(sqlcells.norm_lon(F.col(x0)) * rl), F.lit(0)), F.col("_r") - 1).cast("long")
+    # norm_lon_upper on BOTH lon bounds (same seam rule as
+    # _extent_multitier_keys): identical to norm_lon everywhere except
+    # exactly +180, where the wrap would put the lower bound in cell 0
+    # while the upper clamps to r-1 — a degenerate x0=x1=180 box would
+    # otherwise explode a sequence over the whole 2^31-cell row
+    gx0 = F.least(F.greatest(F.floor(sqlcells.norm_lon_upper(F.col(x0)) * rl), F.lit(0)), F.col("_r") - 1).cast("long")
     gy0 = F.least(F.greatest(F.floor(sqlcells.norm_lat(F.col(y0)) * rl), F.lit(0)), F.col("_r") - 1).cast("long")
     gx1 = F.least(F.greatest(F.floor(sqlcells.norm_lon_upper(F.col(x1)) * rl), gx0), F.col("_r") - 1).cast("long")
     gy1 = F.least(F.greatest(F.floor(sqlcells.norm_lat(F.col(y1)) * rl), gy0), F.col("_r") - 1).cast("long")
@@ -958,25 +970,35 @@ def geometry_join(
         # stage (the common case — box workloads stay 100% JVM); only
         # candidates with a non-box right geometry take the Arrow refine.
         # Which rids are boxes is known driver-side — no runtime probe.
-        j_box = j.filter(F.col("_rbox")).filter(box_pred).select(
-            F.col(left_id), F.col("_rid").alias(right_id)
+        j_box = (
+            j.filter(F.col("_rbox")).filter(box_pred)
+            .select(F.col(left_id), F.col("_rid").alias(right_id))
+            .dropDuplicates([left_id, right_id])
         )
         if all(r[6] for r in cell_rows):  # every right geometry is a box
-            return j_box.dropDuplicates([left_id, right_id])
+            return j_box
+        # dedupe candidate id pairs BEFORE the Arrow refine: a pair can
+        # meet at several tiers (right covers emit at every tier <= own),
+        # and the pairwise kernel is the expensive stage — pay it once per
+        # pair, not once per meeting tier (the shuffle twin's narrow path
+        # does the same)
         j_gen = _pairwise_refine(
-            j.filter(~F.col("_rbox")).join(right_wkts, "_rid"), predicate, radius
+            j.filter(~F.col("_rbox"))
+            .dropDuplicates([left_id, "_rid"])
+            .join(right_wkts, "_rid"),
+            predicate, radius,
         )
-        return (
-            j_box.unionByName(
-                j_gen.select(F.col(left_id), F.col("_rid").alias(right_id))
-            ).dropDuplicates([left_id, right_id])
+        # box/general right ids are disjoint sets, each deduped — no
+        # cross-branch duplicates possible
+        return j_box.unionByName(
+            j_gen.select(F.col(left_id), F.col("_rid").alias(right_id))
         )
 
-    j = _pairwise_refine(j.join(right_wkts, "_rid"), predicate, radius)
-    return (
-        j.select(F.col(left_id), F.col("_rid").alias(right_id))
-        .dropDuplicates([left_id, right_id])
+    j = _pairwise_refine(
+        j.dropDuplicates([left_id, "_rid"]).join(right_wkts, "_rid"),
+        predicate, radius,
     )
+    return j.select(F.col(left_id), F.col("_rid").alias(right_id))
 
 
 def geometry_join_shuffle(

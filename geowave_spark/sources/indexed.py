@@ -158,7 +158,7 @@ def hilbert_range_lookup(
 
     ranges = [
         r
-        for b in cells.split_bbox_antimeridian(bbox)
+        for b in cells.split_bbox_query(bbox)  # incl. the +180 seam column
         for r in hilbert.hilbert_query_ranges(b, tier)
     ]
     df = spark.read.parquet(path)
@@ -230,22 +230,8 @@ def xz_range_lookup(
     Wrapped/unwrapped antimeridian bboxes split into sub-boxes before the
     code-range decomposition, and the refine ORs the per-sub-box
     intersects tests (LongitudeDefinition wrap semantics)."""
-    import numpy as np
-
-    from .. import cells_xz
-
-    ranges = []
-    for b in cells.split_bbox_antimeridian(bbox):
-        qx0 = float(cells.norm_lon(np.float64(b[0])))
-        qx1 = cells.norm_lon_upper(b[2])
-        qy0 = float(cells.norm_lat(np.float64(b[1])))
-        qy1 = float(cells.norm_lat(np.float64(b[3])))
-        ranges.extend(cells_xz.xz_query_ranges(qx0, qy0, qx1, qy1, max_ranges=64))
     df = spark.read.parquet(path)
-    pred = F.lit(False)
-    for lo, hi in ranges:
-        pred = pred | F.col("xz").between(lo, hi)
-    out = df.filter(pred)
+    out = df.filter(_xz_ranges_pred(bbox))
     if not loose:
         out = out.filter(
             sqlcells.extent_intersects_pred(
@@ -260,7 +246,7 @@ def _xz_ranges_pred(bbox: tuple[float, float, float, float], col: str = "xz"):
     from .. import cells_xz
 
     ranges = []
-    for b in cells.split_bbox_antimeridian(bbox):
+    for b in cells.split_bbox_query(bbox):  # incl. the +180 seam column
         qx0 = float(cells.norm_lon(np.float64(b[0])))
         qx1 = cells.norm_lon_upper(b[2])
         qy0 = float(cells.norm_lat(np.float64(b[1])))
@@ -516,10 +502,20 @@ def st_subbin_range_lookup(
     def nlat(v):
         return min(max((v + 90.0) / 180.0, 0.0), 1.0)
 
-    gx0 = max(0, int(math.floor(nlon(x0) * rx)) - 1)
-    gx1 = min(rx - 1, int(math.floor((1.0 if x1 == 180.0 else nlon(x1)) * rx)) + 1)
-    gy0 = max(0, int(math.floor(nlat(y0) * ry)) - 1)
-    gy1 = min(ry - 1, int(math.floor(nlat(y1) * ry)) + 1)
+    # antimeridian-aware spatial sub-boxes (wrapped/unwrapped bboxes would
+    # otherwise invert gx0 > gx1 and decompose to ZERO ranges — the same
+    # split the sibling hilbert/xz lookups apply), plus the +180 seam
+    # column: stored lon=180 wraps to gx 0, which the widened upper bound
+    # still cannot reach
+    xy_boxes = []
+    for bx0, by0, bx1, by1 in cells.split_bbox_antimeridian(bbox):
+        sgx0 = max(0, int(math.floor(nlon(bx0) * rx)) - 1)
+        sgx1 = min(rx - 1, int(math.floor((1.0 if bx1 == 180.0 else nlon(bx1)) * rx)) + 1)
+        sgy0 = max(0, int(math.floor(nlat(by0) * ry)) - 1)
+        sgy1 = min(ry - 1, int(math.floor(nlat(by1) * ry)) + 1)
+        xy_boxes.append((sgx0, sgy0, sgx1, sgy1))
+        if bx1 == 180.0 and bx0 > -180.0 and sgx0 > 0:
+            xy_boxes.append((0, sgy0, 0, sgy1))
 
     def _or_fold(ps: list):
         # balanced reduction: a left-deep 500-term OR chain overflows the
@@ -536,7 +532,13 @@ def st_subbin_range_lookup(
         span = float(be - bs)
         gt0 = max(0, int(math.floor((max(t0_us, bs) - bs) / span * rt)) - 1)
         gt1 = min(rt - 1, int(math.floor((min(t1_us, be - 1) - bs) / span * rt)) + 1)
-        ranges = cells3.ranges_for_box3((gx0, gy0, gt0), (gx1, gy1, gt1), bits, budget)
+        ranges = [
+            r
+            for sgx0, sgy0, sgx1, sgy1 in xy_boxes
+            for r in cells3.ranges_for_box3(
+                (sgx0, sgy0, gt0), (sgx1, sgy1, gt1), bits, budget
+            )
+        ]
         rp = _or_fold([F.col("_stkey").between(lo, hi) for lo, hi in ranges])
         bin_preds.append((F.col("_bin") == bid) & rp)
     pred = _or_fold(bin_preds)
