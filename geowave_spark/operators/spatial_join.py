@@ -895,7 +895,7 @@ def geometry_join(
             for k in cells.pack_key(t, tc).tolist():
                 cell_rows.append(
                     (int(k), rid, float(bx0 - buffer), float(by0 - buffer),
-                     float(bx1 + buffer), float(by1 + buffer), rbox)
+                     float(bx1 + buffer), float(by1 + buffer), rbox, tp)
                 )
     if not r_tiers:
         return left.select(left_id).limit(0).crossJoin(right.select(right_id).limit(0))
@@ -903,7 +903,7 @@ def geometry_join(
     right_cells = F.broadcast(
         spark.createDataFrame(
             cell_rows,
-            "key long, _rid string, _rx0 double, _ry0 double, _rx1 double, _ry1 double, _rbox boolean",
+            "key long, _rid string, _rx0 double, _ry0 double, _rx1 double, _ry1 double, _rbox boolean, _rtp int",
         )
     )
     right_wkts = F.broadcast(
@@ -927,10 +927,22 @@ def geometry_join(
             F.col("_bb.x0").alias("_lx0"), F.col("_bb.y0").alias("_ly0"),
             F.col("_bb.x1").alias("_lx1"), F.col("_bb.y1").alias("_ly1"),
         )
-    lc = _extent_cells(lb, left_id, "_lx0", "_ly0", "_lx1", "_ly1", extra_cols=("_lwkt",))
-    lk = _extent_keys(lc, sorted(r_tiers))
+    ec = lb.withColumn("_te", _extent_tier_expr("_lx0", "_ly0", "_lx1", "_ly1"))
+    lk = _extent_multitier_keys(
+        ec, left_id, "_lx0", "_ly0", "_lx1", "_ly1", sorted(r_tiers),
+        extra_cols=("_lwkt",),
+    )
 
     j = lk.join(right_cells, "key")
+    # meet-tier filter (the shuffle twin's exactly-once-per-tier rule): a
+    # true pair always shares a key at tier min(left own, right own) — a
+    # geometry point inside the bbox overlap keys a trimmed right cell
+    # whose ancestor both sides emit.  This cuts the cross-tier duplicate
+    # candidates BEFORE the Arrow refine with zero extra exchange (a
+    # measured dedupe-exchange here costs more than the duplicate refines
+    # it saves); only the <= 4 same-tier multi-cell duplicates remain for
+    # the cheap post-refine dropDuplicates.
+    j = j.filter(F.col("_kt") == F.least(F.col("_te"), F.col("_rtp")))
     # JVM bbox prefilter (right bbox pre-buffered for dwithin); unwrapped
     # antimeridian right geometries (x1 > 180) skip it — exactness comes
     # from the pairwise refine which tests the +360 copy
@@ -977,28 +989,22 @@ def geometry_join(
         )
         if all(r[6] for r in cell_rows):  # every right geometry is a box
             return j_box
-        # dedupe candidate id pairs BEFORE the Arrow refine: a pair can
-        # meet at several tiers (right covers emit at every tier <= own),
-        # and the pairwise kernel is the expensive stage — pay it once per
-        # pair, not once per meeting tier (the shuffle twin's narrow path
-        # does the same)
         j_gen = _pairwise_refine(
-            j.filter(~F.col("_rbox"))
-            .dropDuplicates([left_id, "_rid"])
-            .join(right_wkts, "_rid"),
-            predicate, radius,
+            j.filter(~F.col("_rbox")).join(right_wkts, "_rid"), predicate, radius
         )
-        # box/general right ids are disjoint sets, each deduped — no
-        # cross-branch duplicates possible
+        # box/general right ids are disjoint sets; the meet-tier filter
+        # leaves only same-tier multi-cell duplicates — deduped on the
+        # (small) refined output
         return j_box.unionByName(
             j_gen.select(F.col(left_id), F.col("_rid").alias(right_id))
+            .dropDuplicates([left_id, right_id])
         )
 
-    j = _pairwise_refine(
-        j.dropDuplicates([left_id, "_rid"]).join(right_wkts, "_rid"),
-        predicate, radius,
+    j = _pairwise_refine(j.join(right_wkts, "_rid"), predicate, radius)
+    return (
+        j.select(F.col(left_id), F.col("_rid").alias(right_id))
+        .dropDuplicates([left_id, right_id])
     )
-    return j.select(F.col(left_id), F.col("_rid").alias(right_id))
 
 
 def geometry_join_shuffle(
