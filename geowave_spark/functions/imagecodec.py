@@ -45,9 +45,14 @@ def decode_bmp(data: bytes) -> np.ndarray:
     bpp = struct.unpack_from("<H", data, 28)[0]
     if bpp != 24:
         raise ValueError(f"unsupported BMP bpp {bpp}")
+    # negative biHeight = spec-conformant TOP-DOWN row order (no flip)
+    top_down = h < 0
+    h = abs(h)
     row_size = (w * 3 + 3) & ~3
     rows = np.frombuffer(data, dtype=np.uint8, count=row_size * h, offset=offset)
     rows = rows.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    if top_down:
+        return rows[:, :, ::-1].copy()
     return rows[::-1, :, ::-1].copy()
 
 
@@ -80,6 +85,8 @@ def encode_png(arr: np.ndarray) -> bytes:
 
 def _unfilter(kind: int, cur: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
     """Undo PNG row filter (all 5 types, so foreign PNGs also decode)."""
+    if kind not in (0, 1, 2, 3, 4):
+        raise ValueError(f"invalid PNG filter type {kind}")
     out = cur.astype(np.int32)
     n = cur.size
     if kind == 0:
@@ -115,8 +122,10 @@ def decode_png(data: bytes) -> np.ndarray:
         tag = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + ln]
         if tag == b"IHDR":
-            w, h, bit, color = struct.unpack_from(">IIBB", payload)[:4]
-            if bit != 8 or color != 2:
+            w, h, bit, color, _comp, _filt, interlace = struct.unpack_from(
+                ">IIBBBBB", payload
+            )
+            if bit != 8 or color != 2 or interlace != 0:
                 raise ValueError("unsupported PNG variant")
         elif tag == b"IDAT":
             idat += payload

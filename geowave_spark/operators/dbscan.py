@@ -106,9 +106,10 @@ def dbscan(
         )
 
     core_labels = labels.withColumnRenamed("label", "cluster")
+    # the inner join with core_labels already restricts id_b to core ids
+    # (labels is built from core) — no separate membership join needed
     border = (
-        pairs.join(core.select(F.col("id").alias("id_b")), "id_b")
-        .join(core_labels.withColumnRenamed("id", "id_b"), "id_b")
+        pairs.join(core_labels.withColumnRenamed("id", "id_b"), "id_b")
         .groupBy("id_a")
         .agg(F.min("cluster").alias("_bcluster"))
         .withColumnRenamed("id_a", "id")

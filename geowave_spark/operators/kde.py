@@ -110,25 +110,36 @@ def add_percentile_scalable(agg: DataFrame, weight_col: str = "weight_mu") -> Da
     agg = agg.localCheckpoint()
     stats_row = agg.agg(
         F.count(F.lit(1)).alias("n"),
-        F.min(weight_col).alias("mn"),
         F.max(weight_col).alias("mx"),
     ).collect()[0]
-    n, min_w, max_w = stats_row["n"], stats_row["mn"], stats_row["mx"]
+    n, max_w = stats_row["n"], stats_row["mx"]
     if n == 0:
         return agg.withColumn("norm_mu", F.lit(0).cast("long")).withColumn(
             "pct_mu", F.lit(0).cast("long")
         )
-    # value-range bucketing: bucket is a PURE FUNCTION of the weight (no
+    # value bucketing: bucket is a PURE FUNCTION of the weight (no
     # sampling, no partition-id coupling between jobs — fully deterministic
     # across re-executions, unlike repartitionByRange whose layout is only
     # per-plan-execution stable).  Equal weights always share a bucket, so
-    # min-rank tie semantics are local to one bucket's window.
+    # min-rank tie semantics are local to one bucket's window.  Edges are
+    # EQUI-DEPTH (approxQuantile over the checkpointed grid): real KDE
+    # weight distributions are heavy-tailed, and equi-width edges would
+    # collapse ~every occupied cell into bucket 0, recreating the
+    # single-task window this function exists to remove (round-3 review).
+    # Exactness is unaffected — edges only partition the work; the rank
+    # offsets below stay exact whatever the bucket boundaries are.
     n_buckets = max(agg.sparkSession.sparkContext.defaultParallelism * 4, 8)
-    span = float(max_w - min_w) or 1.0
-    bucket = F.least(
-        F.floor((F.col(weight_col) - F.lit(min_w)).cast("double") / F.lit(span) * n_buckets),
-        F.lit(n_buckets - 1),
-    ).cast("int")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    edges = sorted(set(agg.stat.approxQuantile(weight_col, probs, 0.01)))
+    if edges:
+        earr = F.array(*[F.lit(float(e)) for e in edges])
+        bucket = F.aggregate(
+            earr,
+            F.lit(0),
+            lambda acc, e: acc + F.when(F.col(weight_col).cast("double") > e, 1).otherwise(0),
+        ).cast("int")
+    else:
+        bucket = F.lit(0).cast("int")
     bucketed = agg.withColumn("_bkt", bucket)
     counts = {
         r["_bkt"]: r["n"]
@@ -167,6 +178,8 @@ def kde_pyramid(
     (KDERunner.java:234-316); here the levels union into a single
     (level, x, y, weight_mu, norm_mu, pct_mu) result, normalization and
     percentile computed PER LEVEL like the reference."""
+    if not levels:
+        raise ValueError("kde_pyramid: levels must be non-empty")
     out = None
     for lvl in levels:
         part = kde_exact(points, lvl, lon_col, lat_col, scalable_percentile=scalable_percentile)

@@ -138,7 +138,8 @@ def range_lookup(
     # filter IS the scan filter and must apply regardless
     if not loose or not has_index:
         pts = pts.filter(sqlcells.bbox_refine_pred(F.col(lon_col), F.col(lat_col), bbox))
-    return pts
+    # the helper _cell31 column is internal — return the caller's schema
+    return pts.drop("_cell31") if "_cell31" not in points.columns else pts
 
 
 def write_stats_table(
@@ -147,13 +148,17 @@ def write_stats_table(
     group_col: str = "event_type",
     value_col: str = "value",
     ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
 ) -> None:
     """Persist the statistics aggregation — the ingest-maintained stats
     store (per-adapter statistics tables, SURVEY.md §1.6).  Mergeable by
     construction: re-running after an append recomputes partial+final via
     Catalyst; incremental maintenance = union of per-snapshot stats with
     the same aggregation (min/max/count all associative)."""
-    table_stats(points, group_col, value_col, ts_col).write.mode("overwrite").parquet(path)
+    table_stats(points, group_col, value_col, ts_col, lon_col, lat_col).write.mode(
+        "overwrite"
+    ).parquet(path)
 
 
 def merge_stats(a: DataFrame, b: DataFrame, group_col: str = "event_type") -> DataFrame:
@@ -234,7 +239,8 @@ def hotspot_cells(
     broadcast.  No driver collect, no Python.
     """
     r = 1 << tier
-    g = points.select(
+    pts = add_point_cols(points, lon_col, lat_col)  # phash-only tables work
+    g = pts.select(
         sqlcells.grid_coord(sqlcells.norm_lon(F.col(lon_col)), tier).alias("gx"),
         sqlcells.grid_coord(sqlcells.norm_lat(F.col(lat_col)), tier).alias("gy"),
     )

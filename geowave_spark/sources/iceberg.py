@@ -149,10 +149,14 @@ class IndexedStore:
             return self.spark.table(self.location)
         return self.spark.read.parquet(self.location)
 
-    def range_lookup(self, bbox, loose: bool = False) -> DataFrame:
+    def range_lookup(
+        self, bbox, loose: bool = False, lon_col: str = "lon", lat_col: str = "lat"
+    ) -> DataFrame:
         """Sargable cell-range scan + wrap-aware refine; the predicate
         reaches the scan as PushedFilters in both modes (Iceberg adds
-        file-level pruning from the pinned sort order)."""
+        file-level pruning from the pinned sort order).  ``lon_col`` /
+        ``lat_col`` mirror write()'s overrides — a store written with
+        custom coordinate columns is queried with the same names."""
         if self.iceberg:
             from .. import sqlcells
 
@@ -160,10 +164,13 @@ class IndexedStore:
             out = self.spark.table(self.location).filter(pred)
             if not loose:
                 out = out.filter(
-                    sqlcells.bbox_refine_pred(F.col("lon"), F.col("lat"), bbox)
+                    sqlcells.bbox_refine_pred(F.col(lon_col), F.col(lat_col), bbox)
                 )
             return out
-        return indexed.range_lookup_indexed(self.spark, self.location, bbox, loose=loose)
+        return indexed.range_lookup_indexed(
+            self.spark, self.location, bbox,
+            lon_col=lon_col, lat_col=lat_col, loose=loose,
+        )
 
     def fingerprint(self) -> str:
         """Checkpoint fingerprint: snapshot id (Iceberg) or content hash
