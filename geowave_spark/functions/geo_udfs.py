@@ -76,9 +76,15 @@ def cover_keys(
     return pd.Series(out, index=wkts.index)
 
 
-def _eval_per_polygon(wkts: pd.Series, lon: pd.Series, lat: pd.Series, fn) -> np.ndarray:
-    """Group a candidate batch by polygon and evaluate vectorized."""
-    res = np.zeros(len(wkts), dtype=np.float64)
+def _eval_per_polygon(
+    wkts: pd.Series, lon: pd.Series, lat: pd.Series, fn, null_value: float = 0.0
+) -> np.ndarray:
+    """Group a candidate batch by polygon and evaluate vectorized.
+
+    NULL geometries factorize to code -1 and keep ``null_value`` —
+    predicates pass 0.0 (False: a null polygon relates to nothing);
+    distances pass NaN so a null never reads as distance 0."""
+    res = np.full(len(wkts), null_value, dtype=np.float64)
     lon_v = lon.to_numpy(dtype=np.float64)
     lat_v = lat.to_numpy(dtype=np.float64)
     codes, uniques = pd.factorize(wkts)
@@ -101,13 +107,17 @@ def st_contains_point(wkts: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Ser
 
 @F.pandas_udf(T.DoubleType())
 def st_distance_point(wkts: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
-    got = _eval_per_polygon(wkts, lon, lat, lambda p, x, y: p.distance(x, y))
+    got = _eval_per_polygon(
+        wkts, lon, lat, lambda p, x, y: p.distance(x, y), null_value=np.nan
+    )
     return pd.Series(got)
 
 
 # --- pairwise geometry × geometry (GeomFunctionRegistry.java:26-42) ---------
 
-def _group_vectorized(wkt_a: pd.Series, wkt_b: pd.Series, scalar_fn, group_fn) -> np.ndarray:
+def _group_vectorized(
+    wkt_a: pd.Series, wkt_b: pd.Series, scalar_fn, group_fn, null_value: float = 0.0
+) -> np.ndarray:
     """Factorize by the RIGHT geometry (the join's broadcast side repeats
     heavily in each batch, like _eval_per_polygon) and evaluate each group
     with a vectorized kernel where the left class allows; per-pair
@@ -119,9 +129,15 @@ def _group_vectorized(wkt_a: pd.Series, wkt_b: pd.Series, scalar_fn, group_fn) -
     (LongitudeDefinition split-bin semantics)."""
     codes, uniques = pd.factorize(wkt_b)
     left = wkt_a.to_numpy()
-    out = np.zeros(len(wkt_a), dtype=np.float64)
+    out = np.full(len(wkt_a), null_value, dtype=np.float64)
+    # NULL on either side keeps null_value (False for predicates, NaN for
+    # distance) — a null right factorizes to code -1, null lefts are
+    # masked out of every group so the WKT parser never sees None
+    lnull = pd.isna(wkt_a).to_numpy()
     for u, wb in enumerate(uniques):
-        idx = np.nonzero(codes == u)[0]
+        idx = np.nonzero((codes == u) & ~lnull)[0]
+        if not idx.size:
+            continue
         gb = geom.geometry_from_wkt(wb)
         v = group_fn(gb, left[idx], scalar_fn)
         if gb.bbox[2] > 180.0:
@@ -206,7 +222,9 @@ def st_intersects_wkt(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
 @F.pandas_udf(T.DoubleType())
 def st_distance_wkt(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
     """Planar JTS-distance over two WKT columns (GeomDistance.java:14-23)."""
-    got = _group_vectorized(wkt_a, wkt_b, geom.distance_pair, _distance_group)
+    got = _group_vectorized(
+        wkt_a, wkt_b, geom.distance_pair, _distance_group, null_value=np.nan
+    )
     return pd.Series(got, dtype=np.float64)
 
 
@@ -397,9 +415,13 @@ def st_contains_wkt(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
 @F.pandas_udf(T.BooleanType())
 def st_disjoint_wkt(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
     """JTS-disjoint = NOT intersects (GeomDisjoint).  As a join this is
-    the anti-join output, not a cell equi-join predicate."""
+    the anti-join output, not a cell equi-join predicate.  NULL geometry
+    on either side yields False (a null relates to nothing — it must not
+    read as 'disjoint from everything' through the negation)."""
     got = _group_vectorized(wkt_a, wkt_b, geom.intersects_pair, _intersects_group)
-    return pd.Series(~got.astype(bool))
+    res = ~got.astype(bool)
+    res[(pd.isna(wkt_a) | pd.isna(wkt_b)).to_numpy()] = False
+    return pd.Series(res)
 
 
 _BBOX_SCHEMA = T.StructType(
@@ -427,8 +449,12 @@ def image_psnr(data: pd.Series, fmt: pd.Series, w: pd.Series, h: pd.Series, ref_
     from ..sources import images as img
 
     out = []
-    for b, f, i in zip(data, fmt, ref_seed_id):
+    for b, f, wi, hi, i in zip(data, fmt, w, h, ref_seed_id):
         dec = codec.decode_image(bytes(b), f)
+        if dec.shape[:2] != (int(hi), int(wi)):
+            raise ValueError(
+                f"decoded shape {dec.shape[:2]} != metadata ({int(hi)}, {int(wi)})"
+            )
         out.append(codec.psnr(img.pixels_for(int(i)), dec))
     return pd.Series(out)
 

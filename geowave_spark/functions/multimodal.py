@@ -146,6 +146,14 @@ def audio_features(
             for _, r in pdf.iterrows():
                 pcm = decoder(bytes(r["bytes"]), r["fmt"])
                 n_w = len(pcm) // window
+                if n_w == 0:
+                    # clip shorter than one window: emit zero features
+                    # instead of NaN -> int crash on the whole job
+                    rows.append(
+                        {"media_id": r[media_id], "n_windows": 0,
+                         "rms_mu": 0, "zcr_mu": 0}
+                    )
+                    continue
                 x = pcm[: n_w * window].reshape(n_w, window)
                 rms = float(np.sqrt((x**2).mean()))
                 zcr = float((np.diff(np.signbit(x), axis=1) != 0).mean())

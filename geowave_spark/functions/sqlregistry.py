@@ -56,24 +56,18 @@ def register_sql_udfs(spark: SparkSession) -> None:
     from . import geo_udfs
 
     @F.pandas_udf(T.BooleanType())
-    def _contains(wkt: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
-        return pd.Series(
-            geo_udfs._eval_per_polygon(wkt, lon, lat, lambda p, x, y: p.contains(x, y)).astype(bool)
-        )
-
-    @F.pandas_udf(T.DoubleType())
-    def _distance(wkt: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
-        return pd.Series(
-            geo_udfs._eval_per_polygon(wkt, lon, lat, lambda p, x, y: p.distance(x, y))
-        )
-
-    @F.pandas_udf(T.BooleanType())
     def _dwithin(wkt: pd.Series, lon: pd.Series, lat: pd.Series, radius: pd.Series) -> pd.Series:
-        d = geo_udfs._eval_per_polygon(wkt, lon, lat, lambda p, x, y: p.distance(x, y))
+        import numpy as np
+
+        d = geo_udfs._eval_per_polygon(
+            wkt, lon, lat, lambda p, x, y: p.distance(x, y), null_value=np.nan
+        )
         return pd.Series(d <= radius.to_numpy())
 
-    spark.udf.register("st_contains_point", _contains)
-    spark.udf.register("st_distance_point", _distance)
+    # register the canonical decorated UDFs directly — one body each, no
+    # drift-prone re-wrapped copies (round-3 review)
+    spark.udf.register("st_contains_point", geo_udfs.st_contains_point)
+    spark.udf.register("st_distance_point", geo_udfs.st_distance_point)
     spark.udf.register("st_dwithin_point", _dwithin)
 
     # geometry × geometry family over two WKT columns — the full
@@ -152,12 +146,25 @@ def run_spatial_sql(spark: SparkSession, sql: str) -> DataFrame:
 
     pts = spark.table(p_table)
     polys = spark.table(g_table)
-    predicate = "dwithin" if m.group("fn") == "dwithin_point" else "intersects"
+    predicate = "dwithin" if m.group("fn").lower() == "dwithin_point" else "intersects"
     radius = float(m.group("radius")) if m.group("radius") else 0.0
     # semi-join each side down to its matched subset, re-register under
-    # shadow names, re-run the original SQL with the predicate removed
+    # shadow names, re-run the original SQL with the predicate removed.
+    # The join-back keys on each table's FIRST column, which must be a
+    # unique row id AND distinct between the two tables — a non-key first
+    # column would silently change row multiplicity, and a shared name
+    # makes `_sp.<id>` ambiguous.  When either precondition fails, run the
+    # original SQL unaccelerated (correct, just not fast) instead.
     id_p = pts.columns[0]
     id_g = polys.columns[0]
+    if id_p == id_g:
+        return spark.sql(sql)
+    for side, idc in ((pts, id_p), (polys, id_g)):
+        chk = side.agg(
+            F.count(F.lit(1)).alias("n"), F.count_distinct(F.col(idc)).alias("d")
+        ).first()
+        if chk["n"] != chk["d"]:
+            return spark.sql(sql)
     pairs = spatial_join.tiered_spatial_join(
         pts, polys, predicate=predicate, radius=radius,
         point_id=id_p, polygon_id=id_g,

@@ -27,6 +27,7 @@ def evaluate_expression(expr: str, auths: set[str]) -> bool:
     """Evaluate a visibility expression against an authorization set."""
     if not expr or not expr.strip():
         return True
+    expr = expr.strip()  # trailing whitespace is not a syntax error
     pos = 0
     tokens: list[str] = []
     while pos < len(expr):

@@ -42,10 +42,11 @@ def kmeans_clusters(
     sel = points.select(id_col, lon_col, lat_col, *([ts_col] if ts_col else []))
     feat_cols = [lon_col, lat_col]
     if ts_col:
-        epoch_us = F.expr(
-            f"timestampdiff(MICROSECOND, CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), {ts_col})"
+        from .spatiotemporal import epoch_us_expr
+
+        sel = sel.withColumn(
+            "_t_scaled", epoch_us_expr(ts_col) / F.lit(86_400_000_000.0) * F.lit(float(time_scale))
         )
-        sel = sel.withColumn("_t_scaled", epoch_us / F.lit(86_400_000_000.0) * F.lit(float(time_scale)))
         feat_cols.append("_t_scaled")
     feats = VectorAssembler(inputCols=feat_cols, outputCol="_features").transform(sel)
     model = KMeans(k=k, maxIter=max_iter, seed=seed, featuresCol="_features").fit(feats)

@@ -65,8 +65,11 @@ class CheckpointedPipeline:
     def _load_manifest(self, name: str) -> dict | None:
         p = self._manifest_path(name)
         if os.path.exists(p):
-            with open(p) as f:
-                return json.load(f)
+            try:
+                with open(p) as f:
+                    return json.load(f)
+            except (json.JSONDecodeError, OSError):
+                return None  # corrupt manifest = no checkpoint; stage re-runs
         return None
 
     # -- stages ------------------------------------------------------------
@@ -127,7 +130,12 @@ class CheckpointedPipeline:
             "max_rows": counts[-1] if counts else 0,
             "files": len(counts),
         }
-        with open(self._manifest_path(name), "w") as f:
+        # atomic manifest: write-to-temp + rename, so a crash mid-write
+        # can never leave a truncated manifest that blocks every later
+        # resume (the exact failure this class exists to survive)
+        mpath = self._manifest_path(name)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(
                 {
                     "stage": name,
@@ -141,6 +149,7 @@ class CheckpointedPipeline:
                 },
                 f,
             )
+        os.replace(tmp, mpath)
         self.results[name] = StageResult(name, data, rows, partitions, wall, False, fingerprint, upstream)
         return out
 
