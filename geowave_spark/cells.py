@@ -175,25 +175,31 @@ def split_bbox_antimeridian(
     LongitudeDefinition.java:52-67: a wrapped range becomes
     [-180, max] and [min, 180].
     """
+    import math
+
     lon_min, lat_min, lon_max, lat_max = bbox
-    if lon_max - lon_min >= 360.0:  # full wrap (e.g. world bbox buffered)
-        return [(-180.0, lat_min, 180.0, lat_max)]
-    if lon_max > 180.0:  # unwrapped above (e.g. 175..185)
-        return [
-            (max(lon_min, -180.0), lat_min, 180.0, lat_max),
-            (-180.0, lat_min, lon_max - 360.0, lat_max),
-        ]
-    if lon_min < -180.0:  # unwrapped below (e.g. buffered box at -180)
-        return [
-            (-180.0, lat_min, min(lon_max, 180.0), lat_max),
-            (lon_min + 360.0, lat_min, 180.0, lat_max),
-        ]
     if lon_min > lon_max:  # wrapped representation
         return [
             (-180.0, lat_min, lon_max, lat_max),
             (lon_min, lat_min, 180.0, lat_max),
         ]
-    return [bbox]
+    if lon_max - lon_min >= 360.0:  # full wrap (e.g. world bbox buffered)
+        return [(-180.0, lat_min, 180.0, lat_max)]
+    # canonicalize: translate by whole revolutions so lon_min lands in
+    # [-180, 180).  This subsumes the old unwrapped-below branch AND fixes
+    # boxes lying entirely beyond a seam (e.g. (185, .., 190) or a part
+    # starting exactly at +180, which the wrapping norm_lon would
+    # otherwise blow up into a full-longitude-row cover — round-3 review)
+    k = math.floor((lon_min + 180.0) / 360.0)
+    if k:
+        lon_min -= 360.0 * k
+        lon_max -= 360.0 * k
+    if lon_max > 180.0:  # crosses the seam after canonicalization
+        return [
+            (lon_min, lat_min, 180.0, lat_max),
+            (-180.0, lat_min, lon_max - 360.0, lat_max),
+        ]
+    return [(lon_min, lat_min, lon_max, lat_max)]
 
 
 def _split_for_cover(
@@ -209,7 +215,10 @@ def _split_for_cover(
     candidates.  Open (insert-rule) covers keep the reference's exact-fit
     convention unchanged."""
     parts = split_bbox_antimeridian(bbox)
-    if closed:
+    if closed and not any(p[0] == -180.0 for p in parts):
+        # skip when a part already starts at -180 (it covers column 0) —
+        # double-counting would break count==cover-size and push
+        # tier_for_bbox(closed=True) a tier coarser than needed
         for x0, y0, x1, y1 in list(parts):
             if x1 == 180.0 and x0 > -180.0:
                 parts.append((-180.0, y0, -180.0, y1))

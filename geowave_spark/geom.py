@@ -66,7 +66,15 @@ class Polygon:
             return False
         x0, y0, x1, y1 = self.bbox
         corners = {(x0, y0), (x1, y0), (x1, y1), (x0, y1)}
-        return {(float(p[0]), float(p[1])) for p in ext[:-1]} == corners
+        if {(float(p[0]), float(p[1])) for p in ext[:-1]} != corners:
+            return False
+        # every edge must be axis-aligned: a self-intersecting bowtie has
+        # the same corner SET but diagonal edges, and its even-odd interior
+        # is two triangles, not the bbox (round-3 review)
+        for a, b in zip(ext[:-1], ext[1:]):
+            if a[0] != b[0] and a[1] != b[1]:
+                return False
+        return True
 
     # -- predicates (vectorized over n points) -----------------------------
 
@@ -113,10 +121,11 @@ class Polygon:
             & (vy[None, :] >= y0[:, None])
             & (vy[None, :] <= y1[:, None])
         ).any(axis=1)
-        # box corners inside polygon
-        corners_in = np.zeros(x0.shape, dtype=bool)
-        for cx, cy in ((x0, y0), (x0, y1), (x1, y0), (x1, y1)):
-            corners_in |= self.contains(cx, cy)
+        # box corners inside polygon — ONE stacked contains() call (a
+        # single edge sweep over 4n points instead of 4 full ray casts)
+        all_cx = np.concatenate([x0, x0, x1, x1])
+        all_cy = np.concatenate([y0, y1, y0, y1])
+        corners_in = self.contains(all_cx, all_cy).reshape(4, -1).any(axis=0)
         # edge / box-side crossing
         cross = _edges_cross_boxes(ext, x0, y0, x1, y1)
         for hole in self.rings[1:]:

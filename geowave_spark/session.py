@@ -50,4 +50,26 @@ def get_spark(
         b = b.config(f"spark.sql.catalog.{CATALOG}.warehouse", iceberg_warehouse)
     for k, v in (extra or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    # getOrCreate returns any pre-existing session UNCHANGED — if that
+    # session runs in a non-UTC zone, calendar bins and temporal predicates
+    # silently shift.  Runtime-settable confs are corrected in place;
+    # anything else is the caller's session to manage, but say so.
+    import warnings
+
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            warnings.warn(
+                f"get_spark: reusing an existing SparkSession (was timeZone={tz}); "
+                "session timezone reset to UTC for calendar-bin determinism",
+                stacklevel=2,
+            )
+        except Exception:
+            warnings.warn(
+                f"get_spark: existing SparkSession runs with timeZone={tz}, not UTC — "
+                "temporal bins and LTZ instants may shift",
+                stacklevel=2,
+            )
+    return spark

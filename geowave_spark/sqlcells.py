@@ -89,11 +89,14 @@ def add_cell_column(df, lon_col: str = "lon", lat_col: str = "lat", tier: int = 
     """
     from pyspark.sql import functions as F  # local alias for clarity
 
-    df = df.withColumn("_gx", grid_coord(norm_lon(F.col(lon_col)), tier))
-    df = df.withColumn("_gy", grid_coord(norm_lat(F.col(lat_col)), tier))
-    temps = ["_gx", "_gy"]
+    # temp names carry the output name so the helper is re-entrant and can
+    # never clobber a caller's column that happens to be called _gx etc.
+    gx, gy = f"_{out}_gx", f"_{out}_gy"
+    df = df.withColumn(gx, grid_coord(norm_lon(F.col(lon_col)), tier))
+    df = df.withColumn(gy, grid_coord(norm_lat(F.col(lat_col)), tier))
+    temps = [gx, gy]
     finals = []
-    for prefix, src in (("_px", "_gx"), ("_py", "_gy")):
+    for prefix, src in ((f"_{out}_px", gx), (f"_{out}_py", gy)):
         cur = f"{prefix}0"
         df = df.withColumn(cur, F.col(src).bitwiseAND(F.lit(0xFFFFFFFF)))
         temps.append(cur)
@@ -123,17 +126,20 @@ def bbox_refine_pred(lon: Column, lat: Column, bbox) -> Column:
     unwrapped above (lon1 > 180), unwrapped below (lon0 < -180), and
     full-wrap (span >= 360).
     """
+    from .cells import split_bbox_antimeridian
+
     lon0, lat0, lon1, lat1 = (float(v) for v in bbox)
     pred = (lat >= F.lit(lat0)) & (lat <= F.lit(lat1))
-    if lon1 - lon0 >= 360.0:
+    if lon1 - lon0 >= 360.0 and lon0 <= lon1:
         return pred
-    if lon1 > 180.0:  # unwrapped above, e.g. (170, .., 190)
-        return pred & ((lon >= F.lit(lon0)) | (lon <= F.lit(lon1 - 360.0)))
-    if lon0 < -180.0:  # unwrapped below, e.g. buffered box at -180
-        return pred & ((lon <= F.lit(lon1)) | (lon >= F.lit(lon0 + 360.0)))
-    if lon0 > lon1:  # wrapped representation, e.g. (170, .., -170)
-        return pred & ((lon >= F.lit(lon0)) | (lon <= F.lit(lon1)))
-    return pred & (lon >= F.lit(lon0)) & (lon <= F.lit(lon1))
+    # exact per-interval test over the canonical in-range sub-boxes — a
+    # half-open OR (the old form) wrongly admitted every lon beyond one
+    # bound for boxes lying wholly past a seam, e.g. (185, .., 190)
+    # matched lon=-179 (round-3 review)
+    lon_pred = F.lit(False)
+    for bx0, _by0, bx1, _by1 in split_bbox_antimeridian((lon0, lat0, lon1, lat1)):
+        lon_pred = lon_pred | ((lon >= F.lit(bx0)) & (lon <= F.lit(bx1)))
+    return pred & lon_pred
 
 
 def extent_intersects_pred(x0: Column, y0: Column, x1: Column, y1: Column, bbox) -> Column:
