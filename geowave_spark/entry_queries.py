@@ -2005,16 +2005,15 @@ def _oracle_fingerprint() -> str:
     )
 
 
-_SQL_COS = (
-    "list_dot_product(a, b) / (sqrt(list_dot_product(a, a)) * sqrt(list_dot_product(b, b)))"
-)
-
-
 def _sql_cos(a: str, b: str) -> str:
-    return (
-        f"list_dot_product({a}, {b}) / "
-        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
-    )
+    # Mirrors similarity.cosine_mu's zero-norm / NaN clamps (cosine := 0)
+    # so the oracle agrees with the engine on degenerate embeddings.
+    denom = f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    raw = f"(CASE WHEN {denom} > 0 THEN list_dot_product({a}, {b}) / {denom} ELSE 0.0 END)"
+    return f"(CASE WHEN isnan({raw}) THEN 0.0 ELSE {raw} END)"
+
+
+_SQL_COS = _sql_cos("a", "b")
 
 
 def _oracle_ann_topk(k: int = 10, nq: int = 8) -> str:

@@ -175,7 +175,16 @@ def encode_dct(arr: np.ndarray, q: float = _Q) -> bytes:
     for c in range(3):
         blocks, ph, pw = _blockify(arr[:, :, c].astype(np.float64) - 128.0)
         f = np.einsum("ij,bcjk,lk->bcil", _D, blocks, _D)
-        coeffs.append(np.round(f / q).astype(np.int16))
+        quant = np.round(f / q)
+        if abs(quant).max() > np.iinfo(np.int16).max:
+            # the payload stores int16 coefficients; a too-small q would
+            # silently WRAP the DC terms (corrupting blocks with no error)
+            raise ValueError(
+                f"encode_dct: q={q} too small for int16 coefficient storage "
+                f"(max |coeff| {int(abs(quant).max())}); use q >= "
+                f"{abs(f).max() / np.iinfo(np.int16).max:.4f}"
+            )
+        coeffs.append(quant.astype(np.int16))
     payload = zlib.compress(np.concatenate([c.ravel() for c in coeffs]).tobytes(), 6)
     head = _MAGIC + struct.pack("<HHf", w, h, q)
     return head + payload

@@ -29,6 +29,34 @@ RADIUS = 3  # cells, like GaussianFilter
 SIGMA = 1.0
 
 
+def _smear(pts: DataFrame, level: int, lon_col: str, lat_col: str, offsets) -> DataFrame:
+    """Shared kernel smear: cell on the level grid (the tile grid — one
+    convention, sqlcells.tile_*_expr) → explode the offset table → wrapped
+    x / clamped y.  ``offsets``: [(dx, dy, weight Column literal)]."""
+    from .. import sqlcells
+
+    nx, ny = 1 << (level + 1), 1 << level
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), w.alias("w"))
+            for dx, dy, w in offsets
+        ]
+    )
+    return (
+        pts.select(
+            sqlcells.tile_x_expr(F.col(lon_col), level).alias("_cx"),
+            sqlcells.tile_y_expr(F.col(lat_col), level).alias("_cy"),
+        )
+        .withColumn("_o", F.explode(offs))
+        .select(
+            F.pmod(F.col("_cx") + F.col("_o.dx"), F.lit(nx)).alias("x"),  # lon wraps
+            (F.col("_cy") + F.col("_o.dy")).alias("y"),
+            F.col("_o.w").alias("w"),
+        )
+        .filter((F.col("y") >= 0) & (F.col("y") < ny))  # lat clamps
+    )
+
+
 def gaussian_offsets(radius: int = RADIUS, sigma: float = SIGMA) -> list[tuple[int, int, float]]:
     out = []
     for dx in range(-radius, radius + 1):
@@ -46,31 +74,10 @@ def kde(
     sigma: float = SIGMA,
 ) -> DataFrame:
     """(level, x, y, weight, normalized, percentile) KDE surface."""
-    nx, ny = 1 << (level + 1), 1 << level
     pts = add_point_cols(points, lon_col, lat_col)
-    cx = F.least(
-        F.greatest(F.floor((F.col(lon_col) + 180.0) / 360.0 * nx).cast("long"), F.lit(0)),
-        F.lit(nx - 1),
-    )
-    cy = F.least(
-        F.greatest(F.floor((F.col(lat_col) + 90.0) / 180.0 * ny).cast("long"), F.lit(0)),
-        F.lit(ny - 1),
-    )
-    offs = F.array(
-        *[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(w).alias("w"))
-            for dx, dy, w in gaussian_offsets(radius, sigma)
-        ]
-    )
-    smeared = (
-        pts.select(cx.alias("_cx"), cy.alias("_cy"))
-        .withColumn("_o", F.explode(offs))
-        .select(
-            F.pmod(F.col("_cx") + F.col("_o.dx"), F.lit(nx)).alias("x"),  # lon wraps
-            (F.col("_cy") + F.col("_o.dy")).alias("y"),
-            F.col("_o.w").alias("w"),
-        )
-        .filter((F.col("y") >= 0) & (F.col("y") < ny))  # lat clamps
+    smeared = _smear(
+        pts, level, lon_col, lat_col,
+        [(dx, dy, F.lit(w)) for dx, dy, w in gaussian_offsets(radius, sigma)],
     )
     agg = smeared.groupBy("x", "y").agg(F.sum("w").alias("weight"))
     w_all = Window.partitionBy()
@@ -117,20 +124,28 @@ def add_percentile_scalable(agg: DataFrame, weight_col: str = "weight_mu") -> Da
         return agg.withColumn("norm_mu", F.lit(0).cast("long")).withColumn(
             "pct_mu", F.lit(0).cast("long")
         )
-    # value bucketing: bucket is a PURE FUNCTION of the weight (no
-    # sampling, no partition-id coupling between jobs — fully deterministic
-    # across re-executions, unlike repartitionByRange whose layout is only
-    # per-plan-execution stable).  Equal weights always share a bucket, so
-    # min-rank tie semantics are local to one bucket's window.  Edges are
-    # EQUI-DEPTH (approxQuantile over the checkpointed grid): real KDE
-    # weight distributions are heavy-tailed, and equi-width edges would
-    # collapse ~every occupied cell into bucket 0, recreating the
-    # single-task window this function exists to remove (round-3 review).
-    # Exactness is unaffected — edges only partition the work; the rank
-    # offsets below stay exact whatever the bucket boundaries are.
-    n_buckets = max(agg.sparkSession.sparkContext.defaultParallelism * 4, 8)
+    # Rank over the DISTINCT weights, not the rows: min-rank tie semantics
+    # mean every row with the same weight gets the same index (= count of
+    # strictly-smaller rows), so ties need no intra-group ordering at all.
+    # Ranking the distinct-values frame and joining the index back makes
+    # the window work proportional to |distinct weights|, and — crucially —
+    # immune to tie skew: a 10^9-row grid where most cells share one of ~10
+    # kernel-sum values (the sparse single-point-cell case) collapses to a
+    # 10-row ranking frame instead of funneling 10^8-row tie groups through
+    # single window tasks (round-3 seventh-batch review).
+    dist = (
+        agg.groupBy(weight_col).agg(F.count(F.lit(1)).alias("_cnt")).localCheckpoint()
+    )
+    # value bucketing over the distinct frame: bucket is a PURE FUNCTION of
+    # the weight (deterministic across re-executions), and each weight
+    # appears exactly once, so equi-depth edges always split the work —
+    # no tie group can overflow a bucket.  Capped at 512: the per-row
+    # bucket expression is an O(n_buckets) literal fold, and 512 buckets
+    # bound both the expression size (codegen limits) and the collect
+    # below while leaving |distinct|/512 values per window task.
+    n_buckets = min(max(agg.sparkSession.sparkContext.defaultParallelism * 4, 8), 512)
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    edges = sorted(set(agg.stat.approxQuantile(weight_col, probs, 0.01)))
+    edges = sorted(set(dist.stat.approxQuantile(weight_col, probs, 0.01)))
     if edges:
         earr = F.array(*[F.lit(float(e)) for e in edges])
         bucket = F.aggregate(
@@ -140,29 +155,38 @@ def add_percentile_scalable(agg: DataFrame, weight_col: str = "weight_mu") -> Da
         ).cast("int")
     else:
         bucket = F.lit(0).cast("int")
-    bucketed = agg.withColumn("_bkt", bucket)
+    db = dist.withColumn("_bkt", bucket)
+    # bucket offsets in ROW counts (tiny collect: one row per bucket)
     counts = {
-        r["_bkt"]: r["n"]
-        for r in bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("n")).collect()
+        r["_bkt"]: r["rows"]
+        for r in db.groupBy("_bkt").agg(F.sum("_cnt").alias("rows")).collect()
     }
     offsets, acc = {}, 0
     for b in sorted(counts):
         offsets[b] = acc
         acc += counts[b]
     off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-    # rank() - 1 within the bucket = count of strictly-smaller rows in the
-    # bucket (percent_rank's min-rank tie handling, per-bucket parallel
-    # windows — never a single global partition)
-    w_local = Window.partitionBy("_bkt").orderBy(F.col(weight_col).asc())
-    indexed = bucketed.withColumn(
-        "_minidx", off_map[F.col("_bkt")] + F.rank().over(w_local) - 1
+    # rows strictly smaller = bucket offset + running row count of the
+    # smaller distinct weights within the bucket (parallel per-bucket
+    # windows over the distinct frame — never a single global partition)
+    w_local = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col(weight_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
+    ranks = db.withColumn(
+        "_minidx",
+        off_map[F.col("_bkt")] + F.coalesce(F.sum("_cnt").over(w_local), F.lit(0)),
+    ).select(weight_col, "_minidx")
+    # each agg row matches exactly one rank row; Spark broadcasts the rank
+    # side when small (the tie-heavy case) and shuffle-joins otherwise
+    indexed = agg.join(ranks, weight_col)
     mu = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
     denom = float(max(n - 1, 1))
     return (
         indexed.withColumn("norm_mu", mu(F.col(weight_col) / F.lit(float(max_w))))
         .withColumn("pct_mu", mu(F.col("_minidx").cast("double") / F.lit(denom)))
-        .drop("_bkt", "_minidx")
+        .drop("_minidx")
     )
 
 
@@ -219,31 +243,10 @@ def kde_exact(
     derived bands are re-quantized — the cross-engine-reproducible flavor
     used by the correctness gate.
     """
-    nx, ny = 1 << (level + 1), 1 << level
     pts = add_point_cols(points, lon_col, lat_col)
-    cx = F.least(
-        F.greatest(F.floor((F.col(lon_col) + 180.0) / 360.0 * nx).cast("long"), F.lit(0)),
-        F.lit(nx - 1),
-    )
-    cy = F.least(
-        F.greatest(F.floor((F.col(lat_col) + 90.0) / 180.0 * ny).cast("long"), F.lit(0)),
-        F.lit(ny - 1),
-    )
-    offs = F.array(
-        *[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(w).cast("long").alias("w"))
-            for dx, dy, w in gaussian_offsets_mu(radius, sigma)
-        ]
-    )
-    smeared = (
-        pts.select(cx.alias("_cx"), cy.alias("_cy"))
-        .withColumn("_o", F.explode(offs))
-        .select(
-            F.pmod(F.col("_cx") + F.col("_o.dx"), F.lit(nx)).alias("x"),
-            (F.col("_cy") + F.col("_o.dy")).alias("y"),
-            F.col("_o.w").alias("w"),
-        )
-        .filter((F.col("y") >= 0) & (F.col("y") < ny))
+    smeared = _smear(
+        pts, level, lon_col, lat_col,
+        [(dx, dy, F.lit(w).cast("long")) for dx, dy, w in gaussian_offsets_mu(radius, sigma)],
     )
     agg = smeared.groupBy("x", "y").agg(F.sum("w").alias("weight_mu"))
     if scalable_percentile:

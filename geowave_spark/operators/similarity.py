@@ -38,8 +38,17 @@ def norm2(a: Column) -> Column:
 
 
 def cosine_mu(a: Column, b: Column) -> Column:
-    """Cosine similarity in exact integer micro-units."""
-    c = dot(a, b) / (F.sqrt(norm2(a)) * F.sqrt(norm2(b)))
+    """Cosine similarity in exact integer micro-units.
+
+    Zero-norm embeddings are defined as cosine 0 (ranked last, never
+    crashing): under Spark 4's default ANSI mode a bare division would
+    raise DIVIDE_BY_ZERO on the first all-zero vector and kill the job.
+    NaN components are likewise clamped to 0 so ``floor(..).cast(long)``
+    cannot raise under ANSI.  The DuckDB oracle mirrors both clamps.
+    """
+    denom = F.sqrt(norm2(a)) * F.sqrt(norm2(b))
+    c = F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+    c = F.when(F.isnan(c), F.lit(0.0)).otherwise(c)
     return F.floor(c * 1e6 + F.lit(0.5)).cast("long")
 
 
@@ -299,6 +308,8 @@ def pq_train(
         .limit(sample_n)
         .collect()
     )
+    if not rows:
+        raise ValueError("pq_train: vectors frame is empty — nothing to train on")
     X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
     d = X.shape[1]
     if d % m:
@@ -308,7 +319,10 @@ def pq_train(
     books = np.empty((m, k, sub), dtype=np.float64)
     for j in range(m):
         Xj = X[:, j * sub:(j + 1) * sub]
-        C = Xj[rng.choice(len(Xj), size=k, replace=False)]
+        # fewer sample rows than k: seed the extra centroids by sampling
+        # with replacement (duplicates converge to distinct cells or stay
+        # redundant — harmless), instead of np.random.choice raising
+        C = Xj[rng.choice(len(Xj), size=k, replace=len(Xj) < k)].copy()
         for _ in range(n_iter):
             d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)

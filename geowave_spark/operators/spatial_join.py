@@ -263,11 +263,13 @@ def _broadcast_join(
     cell_rows, tiers = polygon_cover_local(rows, max_cells=max_cells, buffer=buffer)
     if not tiers:
         # keep the carry_cols in the empty-result schema — downstream
-        # selects must not break only on the empty-polygon execution
+        # selects must not break only on the empty-polygon execution.
+        # filter(False) instead of limit(0): the point side may be a
+        # STREAMING frame (streaming_spatial_join), where limit is illegal
         return (
             pts.select(point_id, *carry_cols)
-            .limit(0)
-            .crossJoin(polygons.select(polygon_id).limit(0))
+            .filter(F.lit(False))
+            .withColumn(polygon_id, F.lit(None).cast("string"))
             .select(point_id, polygon_id, *carry_cols)
         )
 

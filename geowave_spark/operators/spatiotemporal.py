@@ -112,6 +112,7 @@ def st_range_query(
     """
     from .stats import range_lookup
 
+    added = [c for c in ("_bin", "_cell31") if c not in points.columns]
     df = add_st_cols(points, ts_col, lon_col, lat_col, unit=unit)
     eus = epoch_us_expr(ts_col)
     # bin bounds: the same bin expression evaluated at the window's two
@@ -125,7 +126,10 @@ def st_range_query(
     )
     if not loose:
         out = out.filter((eus >= t0_us) & (eus <= t1_us))
-    return range_lookup(out, bbox, lon_col=lon_col, lat_col=lat_col, loose=loose)
+    # return the CALLER's schema: drop the helper key columns this function
+    # added (range_lookup's own drop guard sees _cell31 as pre-existing
+    # because add_st_cols added it first, so it would leak through)
+    return range_lookup(out, bbox, lon_col=lon_col, lat_col=lat_col, loose=loose).drop(*added)
 
 
 def st_join(
@@ -146,18 +150,29 @@ def st_join(
     t0_us <= ts < t1_us — the reference's SpatialTemporalQuery shape
     (spatial constraint × temporal constraint range).
     """
-    from .spatial_join import tiered_spatial_join
+    from .spatial_join import probe_broadcastable, tiered_spatial_join
 
-    pairs = tiered_spatial_join(
-        points, polygons_with_time.select(polygon_id, "wkt"),
-        point_id=point_id, polygon_id=polygon_id,
-        lon_col=lon_col, lat_col=lat_col,
-    )
-    pts_t = points.select(point_id, epoch_us_expr(ts_col).alias("_ts_us"))
+    polys = polygons_with_time.select(polygon_id, "wkt")
     windows = polygons_with_time.select(polygon_id, "t0_us", "t1_us")
+    if probe_broadcastable(polys, "wkt"):
+        # the event time rides THROUGH the broadcast join as a carried
+        # point column — no second scan of points, no point_id shuffle
+        pairs = tiered_spatial_join(
+            points.withColumn("_ts_us", epoch_us_expr(ts_col)), polys,
+            point_id=point_id, polygon_id=polygon_id,
+            lon_col=lon_col, lat_col=lat_col,
+            broadcast_polygons=True, carry_cols=("_ts_us",),
+        )
+    else:
+        # shuffle path can't carry columns — join the time back by id
+        pairs = tiered_spatial_join(
+            points, polys,
+            point_id=point_id, polygon_id=polygon_id,
+            lon_col=lon_col, lat_col=lat_col,
+            broadcast_polygons=False,
+        ).join(points.select(point_id, epoch_us_expr(ts_col).alias("_ts_us")), point_id)
     return (
-        pairs.join(pts_t, point_id)
-        .join(F.broadcast(windows), polygon_id)
+        pairs.join(F.broadcast(windows), polygon_id)
         .filter((F.col("_ts_us") >= F.col("t0_us")) & (F.col("_ts_us") < F.col("t1_us")))
         .select(point_id, polygon_id)
     )

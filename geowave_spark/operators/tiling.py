@@ -173,6 +173,12 @@ def assemble_tiles(
     pts = pts.withColumn("level", F.lit(level)).withColumn(
         "tile_x", sqlcells.tile_x_expr(F.col(lon_col), level)
     ).withColumn("tile_y", sqlcells.tile_y_expr(F.col(lat_col), level))
+    # normalize the coordinate column names for the pandas mosaic fn —
+    # non-default lon_col/lat_col must not KeyError inside the workers
+    pts = pts.select(
+        "level", "tile_x", "tile_y", "image_id", "bytes", "fmt",
+        F.col(lon_col).alias("lon"), F.col(lat_col).alias("lat"),
+    )
     return pts.groupBy("level", "tile_x", "tile_y").applyInPandas(
         _assemble(tile_px, merge), _TILE_SCHEMA
     )
@@ -214,11 +220,20 @@ def _mosaic(tile_px: int, merge: str, nodata: float = 0.0):
         ):
             img = codec.decode_image(bytes(b), fmt).astype(np.float64)
             ih, iw = img.shape[:2]
-            jj = np.nonzero((lon_c >= fx0) & (lon_c < fx1))[0]
+            # footprints are TRUE extents (never clamped — clamping would
+            # geometrically squeeze the source into a smaller box instead
+            # of cropping it); a footprint past ±180 matches the tile's
+            # pixel centers through the ±360-shifted longitude
+            lon_m = lon_c
+            if fx1 > 180.0:
+                lon_m = np.where(lon_c < fx0, lon_c + 360.0, lon_c)
+            elif fx0 < -180.0:
+                lon_m = np.where(lon_c > fx1, lon_c - 360.0, lon_c)
+            jj = np.nonzero((lon_m >= fx0) & (lon_m < fx1))[0]
             ii = np.nonzero((lat_c > fy0) & (lat_c <= fy1))[0]
             if not jj.size or not ii.size:
                 continue
-            sc = np.clip(((lon_c[jj] - fx0) / (fx1 - fx0) * iw).astype(np.int64), 0, iw - 1)
+            sc = np.clip(((lon_m[jj] - fx0) / (fx1 - fx0) * iw).astype(np.int64), 0, iw - 1)
             sr = np.clip(((fy1 - lat_c[ii]) / (fy1 - fy0) * ih).astype(np.int64), 0, ih - 1)
             patch = img[sr[:, None], sc[None, :]]
             sel = np.ix_(ii, jj)
@@ -279,13 +294,16 @@ def mosaic_tiles(
     source imagery."""
     pts = add_point_cols(images, lon_col, lat_col)
     if footprint_cols is None:
+        # TRUE extents — never clamped: _mosaic's world-to-screen affine
+        # maps the FULL source image over the footprint, so clamping here
+        # would squeeze edge-adjacent imagery instead of cropping it
         hw = F.col("w").cast("double") * F.lit(deg_per_px) / F.lit(2.0)
         hh = F.col("h").cast("double") * F.lit(deg_per_px) / F.lit(2.0)
         pts = (
-            pts.withColumn("_fx0", F.greatest(F.col(lon_col) - hw, F.lit(-180.0)))
-            .withColumn("_fx1", F.least(F.col(lon_col) + hw, F.lit(180.0)))
-            .withColumn("_fy0", F.greatest(F.col(lat_col) - hh, F.lit(-90.0)))
-            .withColumn("_fy1", F.least(F.col(lat_col) + hh, F.lit(90.0)))
+            pts.withColumn("_fx0", F.col(lon_col) - hw)
+            .withColumn("_fx1", F.col(lon_col) + hw)
+            .withColumn("_fy0", F.col(lat_col) - hh)
+            .withColumn("_fy1", F.col(lat_col) + hh)
         )
     else:
         x0c, y0c, x1c, y1c = footprint_cols
@@ -294,13 +312,28 @@ def mosaic_tiles(
             .withColumn("_fx1", F.col(x1c)).withColumn("_fy1", F.col(y1c))
         )
     nx, ny = 1 << (level + 1), 1 << level
+    # tile fan-out: tile_*_expr clamps out-of-range coordinates to the edge
+    # tile, so the main sequence crops naturally; a footprint crossing the
+    # antimeridian ALSO covers tiles on the far side (±360-shifted range)
     tx0 = sqlcells.tile_x_expr(F.col("_fx0"), level)
     tx1 = sqlcells.tile_x_expr(F.col("_fx1"), level)
     ty0 = sqlcells.tile_y_expr(F.col("_fy0"), level)
     ty1 = sqlcells.tile_y_expr(F.col("_fy1"), level)
+    empty = F.array().cast("array<bigint>")
+    wrap_hi = F.when(
+        F.col("_fx1") > 180.0,
+        F.sequence(F.lit(0).cast("long"), sqlcells.tile_x_expr(F.col("_fx1") - 360.0, level)),
+    ).otherwise(empty)
+    wrap_lo = F.when(
+        F.col("_fx0") < -180.0,
+        F.sequence(sqlcells.tile_x_expr(F.col("_fx0") + 360.0, level), F.lit(nx - 1).cast("long")),
+    ).otherwise(empty)
     pts = (
         pts.withColumn("level", F.lit(level))
-        .withColumn("tile_x", F.explode(F.sequence(tx0, tx1)))
+        .withColumn(
+            "tile_x",
+            F.explode(F.array_distinct(F.concat(F.sequence(tx0, tx1), wrap_hi, wrap_lo))),
+        )
         .withColumn("tile_y", F.explode(F.sequence(ty0, ty1)))
     )
     cols = ["level", "tile_x", "tile_y", "image_id", "bytes", "fmt",

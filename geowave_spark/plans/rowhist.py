@@ -40,6 +40,11 @@ def row_range_histogram(
     collect of keys) picks bin boundaries; one aggregation counts rows per
     bin exactly.  Returns [(lo, hi_exclusive, n_rows)] sorted by lo.
     """
+    # NULL keys never index a scan range: drop them from the counts too —
+    # approxQuantile already excludes NULLs, so binning them (they'd land
+    # in bin 0 via the otherwise-branch) would inflate the first bin and
+    # skew every split/estimate derived from the histogram
+    df = df.filter(F.col(col).isNotNull())
     probs = [i / n_bins for i in range(1, n_bins)]
     qs = df.stat.approxQuantile(col, probs, rel_err)
     edges = sorted(set(int(q) for q in qs))

@@ -133,19 +133,28 @@ def read_geojsonl(spark: SparkSession, path: str) -> DataFrame:
     """Newline-delimited GeoJSON (one Feature per line) — the streaming /
     crawl-output shape; line-splittable, so big files parallelize too."""
 
+    from pyspark.sql import functions as F
+
     def parse(batches):
         for pdf in batches:
             rows = []
-            for i, line in enumerate(pdf["value"]):
+            for p, rid, line in zip(pdf["_f"], pdf["_rowid"], pdf["value"]):
                 line = line.strip()
                 if not line:
                     continue
-                r = _feature_row("", i, json.loads(line))
+                r = _feature_row(p, int(rid), json.loads(line))
                 if r:
                     rows.append(r)
             yield pd.DataFrame(rows, columns=[f.name for f in GEOJSON_SCHEMA])
 
-    return spark.read.text(path).mapInPandas(parse, GEOJSON_SCHEMA)
+    # source file rides along via input_file_name; the fallback feature_id
+    # (features without an explicit "id") uses a globally-unique row id —
+    # a per-batch index would collide across files and Arrow batches
+    lines = (
+        spark.read.text(path)
+        .select(F.input_file_name().alias("_f"), F.monotonically_increasing_id().alias("_rowid"), "value")
+    )
+    return lines.mapInPandas(parse, GEOJSON_SCHEMA)
 
 
 def read_gpx(spark: SparkSession, path: str) -> DataFrame:
@@ -202,27 +211,24 @@ def gpx_tracks_to_wkt(points: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     pts = points.filter(F.col("kind") == "trkpt")
-    return (
-        pts.groupBy("source_file")
-        .agg(
-            F.concat(
-                F.lit("LINESTRING ("),
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("seq", "lon", "lat"))
-                        ),
-                        lambda s: F.concat(
-                            s["lon"].cast("string"), F.lit(" "), s["lat"].cast("string")
-                        ),
-                    ),
-                    ", ",
-                ),
-                F.lit(")"),
-            ).alias("wkt"),
-            F.count(F.lit(1)).alias("n_points"),
-        )
+    coords = F.transform(
+        F.array_sort(F.collect_list(F.struct("seq", "lon", "lat"))),
+        lambda s: F.concat(
+            s["lon"].cast("string"), F.lit(" "), s["lat"].cast("string")
+        ),
     )
+    agg = pts.groupBy("source_file").agg(
+        coords.alias("_coords"), F.count(F.lit(1)).alias("n_points")
+    )
+    # a one-trkpt track must emit POINT: 'LINESTRING (x y)' is invalid WKT
+    # and crashes every downstream WKT parser (JTS/GEOS and ours)
+    wkt = F.when(
+        F.col("n_points") == 1,
+        F.concat(F.lit("POINT ("), F.element_at(F.col("_coords"), 1), F.lit(")")),
+    ).otherwise(
+        F.concat(F.lit("LINESTRING ("), F.array_join(F.col("_coords"), ", "), F.lit(")"))
+    )
+    return agg.select("source_file", wkt.alias("wkt"), "n_points")
 
 
 # ---------------------------------------------------------------------------
@@ -357,6 +363,16 @@ def read_geolife(spark: SparkSession, path: str) -> DataFrame:
         )
         .withColumn(
             "trajectory_id",
-            F.regexp_extract(F.col("source_file"), r"([^/]+)/Trajectory/([^/]+)\.plt", 0),
+            # user segment + file stem ("<user>/<stem>"); files staged
+            # outside the <user>/Trajectory/<stem>.plt layout fall back to
+            # the full path — never '' (which would merge every trajectory)
+            F.when(
+                F.regexp_extract(F.col("source_file"), r"([^/]+)/Trajectory/([^/]+)\.plt", 1) != "",
+                F.concat(
+                    F.regexp_extract(F.col("source_file"), r"([^/]+)/Trajectory/([^/]+)\.plt", 1),
+                    F.lit("/"),
+                    F.regexp_extract(F.col("source_file"), r"([^/]+)/Trajectory/([^/]+)\.plt", 2),
+                ),
+            ).otherwise(F.col("source_file")),
         )
     )

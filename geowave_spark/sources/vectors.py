@@ -75,7 +75,7 @@ def write_vectors_ivf(
     assigned = model.transform(feats).select(
         "vec_id", "embedding", F.col("prediction").alias("list_id")
     )
-    books = sim.pq_train(v, m=pq_m, k=pq_k, id_col="vec_id", vec_col="embedding")
+    books = sim.pq_train(v, m=pq_m, k=pq_k, id_col="vec_id", vec_col="embedding", seed=seed)
     codes = sim.pq_encode(v, books, id_col="vec_id", vec_col="embedding")
     out = assigned.join(codes, "vec_id")
     (
@@ -149,6 +149,12 @@ def stored_ann_topk(
     Output: (query_id, vec_id, cos_mu, rank) — same contract as the
     in-memory ANN family.  Deterministic for a stored layout (trained
     artifacts are read from the sidecar, never refit).
+
+    ``id_col``/``vec_col`` name the columns of the *queries* frame only:
+    ``write_vectors_ivf`` normalizes the stored table to
+    ``vec_id``/``embedding`` at write time, so the probe always reads
+    (and emits) those names regardless of what the original ingest frame
+    called them.
     """
     import numpy as np
 
@@ -193,7 +199,7 @@ def stored_ann_topk(
     # only; `embedding` stays out of the ReadSchema.
     table = spark.read.parquet(path)
     pruned = table.filter(F.col("list_id").isin(sorted(probed_lists)))
-    cand = pruned.select(id_col, "list_id", "codes").join(
+    cand = pruned.select("vec_id", "list_id", "codes").join(
         probes.drop("_qv"), "list_id"
     )
     adc = None
@@ -202,12 +208,12 @@ def stored_ann_topk(
             F.element_at(F.col("_tbl"), j + 1), F.col("codes")[j] + F.lit(1)
         )
         adc = t if adc is None else adc + t
-    w1 = Window.partitionBy(query_id).orderBy(F.col("_adc").asc(), F.col(id_col).asc())
+    w1 = Window.partitionBy(query_id).orderBy(F.col("_adc").asc(), F.col("vec_id").asc())
     short = (
         cand.withColumn("_adc", adc)
         .withColumn("_r", F.row_number().over(w1))
         .filter(F.col("_r") <= rerank)
-        .select(query_id, id_col)
+        .select(query_id, "vec_id")
     )
 
     # exact rerank: broadcast the <= rerank*|queries| survivors into the
@@ -220,14 +226,14 @@ def stored_ann_topk(
         )
     )
     rer = (
-        pruned.select(id_col, F.col(vec_col).alias("_v"))
-        .join(F.broadcast(short), id_col)
+        pruned.select("vec_id", F.col("embedding").alias("_v"))
+        .join(F.broadcast(short), "vec_id")
         .join(qv_df, query_id)
         .withColumn("cos_mu", sim.cosine_mu(F.col("_qv"), F.col("_v").cast("array<double>")))
     )
-    w2 = Window.partitionBy(query_id).orderBy(F.col("cos_mu").desc(), F.col(id_col).asc())
+    w2 = Window.partitionBy(query_id).orderBy(F.col("cos_mu").desc(), F.col("vec_id").asc())
     return (
         rer.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
-        .select(query_id, id_col, "cos_mu", "rank")
+        .select(query_id, "vec_id", "cos_mu", "rank")
     )

@@ -173,10 +173,22 @@ def streaming_spatial_join(
         raise ValueError("stream side must be a streaming DataFrame")
     if polygons.isStreaming:
         raise ValueError("polygon side must be a batch DataFrame (broadcast build)")
+    # pin the broadcast path: auto-routing would send an oversized polygon
+    # side into _shuffle_join, whose batch-only operations (merge-hint
+    # sort-merge join, dropDuplicates, limit) raise AnalysisException on a
+    # streaming frame at query start — fail here with the real reason
+    if not spatial_join.probe_broadcastable(polygons, wkt_col):
+        raise ValueError(
+            "streaming_spatial_join: polygon side too large to broadcast "
+            "(probe_broadcastable failed) — the streaming join supports the "
+            "broadcast build only; pre-filter the polygon set or run the "
+            "batch tiered_spatial_join on micro-batches via foreachBatch"
+        )
     return spatial_join.tiered_spatial_join(
         stream, polygons, predicate=predicate, radius=radius,
         lon_col=lon_col, lat_col=lat_col, point_id=point_id,
         polygon_id=polygon_id, wkt_col=wkt_col,
+        broadcast_polygons=True,
     )
 
 
@@ -200,6 +212,11 @@ def streaming_zone_counts(
     from ..operators import spatial_join
 
     stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if not spatial_join.probe_broadcastable(polygons, wkt_col):
+        raise ValueError(
+            "streaming_zone_counts: polygon side too large to broadcast — "
+            "the streaming join supports the broadcast build only"
+        )
     # the event time rides THROUGH the join as a carried point column — a
     # join-back by id would be a stream-stream self-join (illegal without
     # artificial time bounds); carry_cols keeps the plan one stateless map
@@ -209,6 +226,7 @@ def streaming_zone_counts(
         polygons,
         lon_col=lon_col, lat_col=lat_col, point_id=point_id,
         polygon_id=polygon_id, wkt_col=wkt_col,
+        broadcast_polygons=True,
         carry_cols=(ts_col,),
     )
     return (

@@ -102,5 +102,5 @@ def test_read_geolife(spark, tmp_path):
     assert rows[0]["lat"] == 39.984702 and rows[0]["lon"] == 116.318417
     assert rows[0]["alt_feet"] == 492.0
     assert rows[0]["ts"].second == 4
-    assert rows[0]["trajectory_id"] == "000/Trajectory/20081023025304.plt"
+    assert rows[0]["trajectory_id"] == "000/20081023025304"
     assert "EvalPython" not in df._jdf.queryExecution().executedPlan().toString()
