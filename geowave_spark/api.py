@@ -103,7 +103,10 @@ class SpatialFrame:
         return tiling.assign_tiles(self.df, levels, self.lon_col, self.lat_col, self.id_col)
 
     def tile_counts(self, levels: list[int]) -> DataFrame:
-        return tiling.tile_counts(self.df, levels, point_id=self.id_col)
+        return tiling.tile_counts(
+            self.df, levels, point_id=self.id_col,
+            lon_col=self.lon_col, lat_col=self.lat_col,
+        )
 
     def kde(self, level: int, exact: bool = False) -> DataFrame:
         fn = kde_mod.kde_exact if exact else kde_mod.kde
@@ -141,7 +144,11 @@ class GeometryFrame:
         self.wkt_col = wkt_col
         self.bbox_cols = bbox_cols
         # declare every geometry an axis-aligned box == its envelope:
-        # box×box candidates then refine JVM-side (no Arrow, no WKT moves)
+        # box×box candidates then refine JVM-side (no Arrow, no WKT moves).
+        # BROADCAST-path acceleration only: the shuffle (BIG×BIG) join has
+        # no driver-side view of the right geometries to classify boxes
+        # against, so it refines exactly through the pairwise kernel —
+        # correct either way, just not the JVM fast path
         self.is_box = is_box
 
     def join(

@@ -77,12 +77,14 @@ def interval_compare(
         for dmin, dmax, qmin, qmax in dims:
             touch_some = touch_some | (dmax == qmin) | (dmin == qmax)
         return inter & touch_some
-    # CROSSES: intersects, not within, and crosses a query boundary in some dim
+    # CROSSES: intersects and crosses a query boundary in some dim (each
+    # cross disjunct forces dmin < qmin or dmax > qmax in that dimension,
+    # so "not within" is already implied — no extra predicate tree)
     inter = all_dims("INTERSECTS")
     cross_some = F.lit(False)
     for dmin, dmax, qmin, qmax in dims:
         cross_some = cross_some | ((dmin < qmin) & (dmax > qmin)) | ((dmin < qmax) & (dmax > qmax))
-    return inter & ~all_dims("WITHIN") & cross_some
+    return inter & cross_some
 
 
 def bbox_compare(

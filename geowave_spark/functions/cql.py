@@ -228,10 +228,17 @@ class _Parser:
         g = self.geometry
         if isinstance(g, tuple):
             lon, lat = g
-            return (
-                (F.col(lon) >= x0) & (F.col(lon) <= x1)
-                & (F.col(lat) >= y0) & (F.col(lat) <= y1)
-            )
+            lat_ok = (F.col(lat) >= y0) & (F.col(lat) <= y1)
+            # unwrapped antimeridian boxes (the engine's LongitudeDefinition
+            # convention: x1 > 180 or x0 < -180) match through the ±360
+            # image, like the WKT-path kernel — the two paths must agree
+            if x1 > 180.0:
+                lon_ok = (F.col(lon) >= x0) | (F.col(lon) <= x1 - 360.0)
+            elif x0 < -180.0:
+                lon_ok = (F.col(lon) <= x1) | (F.col(lon) >= x0 + 360.0)
+            else:
+                lon_ok = (F.col(lon) >= x0) & (F.col(lon) <= x1)
+            return lon_ok & lat_ok
         from . import geo_udfs
 
         wkt = (

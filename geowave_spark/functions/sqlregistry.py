@@ -62,7 +62,9 @@ def register_sql_udfs(spark: SparkSession) -> None:
         d = geo_udfs._eval_per_polygon(
             wkt, lon, lat, lambda p, x, y: p.distance(x, y), null_value=np.nan
         )
-        return pd.Series(d <= radius.to_numpy())
+        # SQL numeric literals arrive as DECIMAL objects; NaN <= Decimal
+        # raises decimal.InvalidOperation — compare in float64 (NaN→False)
+        return pd.Series(d <= radius.astype("float64").to_numpy())
 
     # register the canonical decorated UDFs directly — one body each, no
     # drift-prone re-wrapped copies (round-3 review)
@@ -77,11 +79,16 @@ def register_sql_udfs(spark: SparkSession) -> None:
 
     @F.pandas_udf(T.BooleanType())
     def _dwithin_wkt(wa: pd.Series, wb: pd.Series, radius: pd.Series) -> pd.Series:
+        import numpy as np
+
         from .geo_udfs import _distance_group, _group_vectorized
         from .. import geom
 
-        d = _group_vectorized(wa, wb, geom.distance_pair, _distance_group)
-        return pd.Series(d <= radius.to_numpy())
+        # NaN for NULL geometries (NaN <= r is False) — the 0.0 default
+        # fill would make a NULL geometry "within distance" of EVERYTHING
+        d = _group_vectorized(wa, wb, geom.distance_pair, _distance_group, null_value=np.nan)
+        # DECIMAL radius literals vs NaN raise in decimal — float64 compare
+        return pd.Series(d <= radius.astype("float64").to_numpy())
 
     from .geo_udfs import (
         st_contains_wkt,
@@ -137,6 +144,18 @@ def run_spatial_sql(spark: SparkSession, sql: str) -> DataFrame:
     if not m or not frm or sql.upper().count("SELECT") > 1:
         return spark.sql(sql)
 
+    # the rewrite (predicate → (1=1), FROM → matched-pairs join) is only
+    # equivalent when the predicate is a POSITIVE top-level WHERE conjunct:
+    # a NOT/OR context, or the predicate in the SELECT list, would return
+    # silently wrong rows — run those unmodified (correct, not accelerated)
+    where_m = re.search(r"\bWHERE\b", sql, re.IGNORECASE)
+    if not where_m or m.start() < where_m.end():
+        return spark.sql(sql)  # predicate outside WHERE (e.g. SELECT list)
+    if re.search(r"\bNOT\s*\(?\s*$", sql[: m.start()], re.IGNORECASE):
+        return spark.sql(sql)  # negated predicate
+    if re.search(r"\bOR\b", sql[where_m.end():], re.IGNORECASE):
+        return spark.sql(sql)  # disjunctive WHERE — conjunct rewrite invalid
+
     t1, a1, t2, a2 = frm.groups()
     alias_to_table = {a1: t1, a2: t2}
     p_table = alias_to_table.get(m.group("p"))
@@ -174,6 +193,15 @@ def run_spatial_sql(spark: SparkSession, sql: str) -> DataFrame:
     p_alias = m.group("p")
     g_alias = m.group("g")
     rewritten = re.sub(_SPATIAL_SQL_RE, "(1=1)", sql, count=1, flags=re.IGNORECASE)
+    # a bare SELECT * would now also surface _sp's two id columns — expand
+    # it to the two original relations so the schema matches spark.sql(sql)
+    rewritten = re.sub(
+        r"^(\s*SELECT\s+)\*",
+        rf"\g<1>{p_alias}.*, {g_alias}.*",
+        rewritten,
+        count=1,
+        flags=re.IGNORECASE,
+    )
     rewritten = re.sub(
         rf"FROM\s+{t1}\s+(?:AS\s+)?{a1}\s*,\s*{t2}\s+(?:AS\s+)?{a2}",
         f"FROM _spatial_pairs _sp "

@@ -59,6 +59,10 @@ def evaluate_expression(expr: str, auths: set[str]) -> bool:
             if i >= len(tokens) or tokens[i] != ")":
                 raise ValueError(f"unbalanced parens in {expr!r}")
             return v, i + 1
+        if tokens[i] in ("&", "|", ")"):
+            # structural token where a label is required: 'a|)' or 'a&&b'
+            # must be a parse error, not a silently-False label
+            raise ValueError(f"malformed visibility expression {expr!r}")
         return tokens[i] in auths, i + 1
 
     v, i = parse_or(0)
@@ -74,10 +78,21 @@ def visibility_filter(
 
     Distinct expressions are evaluated driver-side (one tiny aggregate),
     then pushed as an IN filter — the scan-prunable form.
+
+    Malformed expressions FAIL CLOSED: an unparseable visibility string
+    denies its rows (like an unmatched label) instead of crashing the
+    whole scan — row data must never be able to kill the query.
     """
     auths = set(authorizations)
     distinct = [r[0] for r in df.select(vis_col).distinct().collect()]
-    granted = [v for v in distinct if v is not None and evaluate_expression(v, auths)]
+
+    def _granted(v: str) -> bool:
+        try:
+            return evaluate_expression(v, auths)
+        except ValueError:
+            return False
+
+    granted = [v for v in distinct if v is not None and _granted(v)]
     open_rows = F.col(vis_col).isNull() | (F.trim(F.col(vis_col)) == "")
     if any(v is not None and (not v.strip()) for v in distinct) or None in distinct:
         return df.filter(open_rows | F.col(vis_col).isin(granted))

@@ -45,7 +45,18 @@ def sample_threshold(rate: float) -> int:
 
 
 def _gate_hash(key_col: Column, salt: str) -> Column:
-    return h60(F.concat(key_col.cast("string"), F.lit(":" + salt)))
+    # NULL keys hash through a sentinel instead of propagating NULL: a
+    # NULL gate would silently DROP every NULL-key row even at rate 1.0
+    # (NULL < thr is NULL).  All NULL-key rows share one hash — they
+    # survive or drop together, deterministically (keys are meant to be
+    # row identities; NULL identities get one collective fate, not a
+    # partition-dependent one).
+    return h60(
+        F.concat(
+            F.coalesce(key_col.cast("string"), F.lit("__null_key__")),
+            F.lit(":" + salt),
+        )
+    )
 
 
 def hash_sample(
@@ -96,13 +107,19 @@ def sample_exact_k(
     partitioning and stable under corpus growth (a row only drops out when
     a lower-hash row arrives).
 
-    One shuffle on the stratum key; the window ranks by (hash, key) —
-    the key tiebreak makes even a 60-bit hash collision deterministic.
+    One shuffle on the stratum key; the window ranks by (hash, key,
+    row-fingerprint) — the key tiebreak makes a 60-bit hash collision
+    deterministic, and the full-row fingerprint makes DUPLICATE keys
+    (contract violations, but they happen) order by row VALUES instead of
+    partition arrival order, keeping the selection a pure function of the
+    data.
     """
-    w = Window.partitionBy(strata_col).orderBy("_g", key_col)
+    fp = F.xxhash64(F.struct(*[F.col(c) for c in df.columns]))
+    w = Window.partitionBy(strata_col).orderBy("_g", key_col, "_fp")
     return (
         df.withColumn("_g", _gate_hash(F.col(key_col), salt))
+        .withColumn("_fp", fp)
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
-        .drop("_g", "_rk")
+        .drop("_g", "_rk", "_fp")
     )

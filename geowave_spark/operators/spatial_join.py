@@ -1073,6 +1073,7 @@ def geometry_join_shuffle(
         return b.select(
             id_col,
             "_seg",
+            ((x1c + pad) > 180.0).alias(f"{prefix}split"),
             F.col(wkt_col).alias(f"{prefix}wkt"),
             F.when(wrapped, F.lit(-180.0))
             .otherwise(F.greatest(x0c - pad, F.lit(-180.0)))
@@ -1104,11 +1105,13 @@ def geometry_join_shuffle(
         return left.select(left_id).limit(0).crossJoin(right.select(right_id).limit(0))
     any_split = bool(lrow[1]) or bool(rrow[1])
     lk = _extent_multitier_keys(
-        lc, left_id, "_lx0", "_ly0", "_lx1", "_ly1", r_tiers, extra_cols=l_extra
+        lc, left_id, "_lx0", "_ly0", "_lx1", "_ly1", r_tiers,
+        extra_cols=l_extra + ("_lsplit",),
     ).withColumnRenamed("_te", "_lte")
     rk = (
         _extent_multitier_keys(
-            rc, right_id, "_rx0", "_ry0", "_rx1", "_ry1", l_tiers, extra_cols=r_extra
+            rc, right_id, "_rx0", "_ry0", "_rx1", "_ry1", l_tiers,
+            extra_cols=r_extra + ("_rsplit",),
         )
         .withColumnRenamed("_te", "_rte")
         .drop("_kt", "_cell")
@@ -1119,6 +1122,26 @@ def geometry_join_shuffle(
         (F.col("_lx0") <= F.col("_rx1")) & (F.col("_lx1") >= F.col("_rx0"))
         & (F.col("_ly0") <= F.col("_ry1")) & (F.col("_ly1") >= F.col("_ry0"))
     )
+    # containment-family necessary envelope conditions (same pruning as the
+    # broadcast path): within(l,r) ⇒ bbox(l) ⊆ bbox(r) etc.  Only valid on
+    # UNSPLIT envelopes — an antimeridian-split geometry's per-image boxes
+    # are not its full envelope, so split rows skip straight to the refine
+    l_in_r = (
+        (F.col("_lx0") >= F.col("_rx0")) & (F.col("_lx1") <= F.col("_rx1"))
+        & (F.col("_ly0") >= F.col("_ry0")) & (F.col("_ly1") <= F.col("_ry1"))
+    )
+    r_in_l = (
+        (F.col("_lx0") <= F.col("_rx0")) & (F.col("_lx1") >= F.col("_rx1"))
+        & (F.col("_ly0") <= F.col("_ry0")) & (F.col("_ly1") >= F.col("_ry1"))
+    )
+    necessary = {
+        "within": l_in_r,
+        "covers": r_in_l,
+        "contains": r_in_l,
+        "equals": l_in_r & r_in_l,
+    }.get(predicate)
+    if necessary is not None and not buffer:
+        j = j.filter(necessary | F.col("_lsplit") | F.col("_rsplit"))
     # PBSM reference point: each candidate (envelope, envelope) pair
     # survives in exactly one (tier, cell) — candidate pairs are unique
     # WITHOUT any dropDuplicates shuffle unless a split occurred

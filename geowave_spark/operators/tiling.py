@@ -79,10 +79,16 @@ def tile_assignment_oracle_numpy(lon: np.ndarray, lat: np.ndarray, level: int):
     return tx, ty
 
 
-def tile_counts(points: DataFrame, levels: list[int], point_id: str = "image_id") -> DataFrame:
+def tile_counts(
+    points: DataFrame,
+    levels: list[int],
+    point_id: str = "image_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
     """Per-tile image counts — the aggregation dual of assignment."""
     return (
-        assign_tiles(points, levels, point_id=point_id)
+        assign_tiles(points, levels, lon_col, lat_col, point_id=point_id)
         .groupBy("level", "tile_x", "tile_y")
         .agg(F.count(F.lit(1)).alias("n_images"))
     )

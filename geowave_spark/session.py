@@ -28,10 +28,17 @@ def get_spark(
     """
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(32, cpus)
+    b = SparkSession.builder.appName(app)
+    # only default the master when none was provided externally: builder
+    # config overrides spark-submit's --master, so hardcoding local[n]
+    # would silently ignore a real cluster (the docstring's contract is
+    # the opposite — spark-submit provides the master)
+    submit_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    launched_by_submit = "PYSPARK_GATEWAY_PORT" in os.environ  # spark-submit app.py
+    if not launched_by_submit and "--master" not in submit_args and "spark.master" not in submit_args:
+        b = b.master(f"local[{cpus}]")
     b = (
-        SparkSession.builder.appName(app)
-        .master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
