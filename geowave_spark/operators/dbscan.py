@@ -41,6 +41,7 @@ def neighbor_pairs(
     ).withColumn("max_distance", F.lit(float(eps)))
     nb = distance_candidates(
         points, q, point_id=id_col, query_id="query_id",
+        q_lon=lon_col, q_lat=lat_col,  # q derives from the same table
         p_lon=lon_col, p_lat=lat_col, broadcast_queries=False,
     )
     return nb.select(F.col("query_id").alias("id_a"), F.col(id_col).alias("id_b"))

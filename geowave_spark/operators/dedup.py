@@ -75,21 +75,6 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def _doc_shingles(docs: DataFrame, text_col: str, id_col: str, w: int) -> DataFrame:
-    """(doc_id, shingle) distinct.
-
-    Tokens are materialized as a column BEFORE shingling: passing the raw
-    tokenize expression into the higher-order transform would re-evaluate
-    the regexp split once per shingle index (observed ~150× slowdown).
-    """
-    toks = docs.select(F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("_toks"))
-    return (
-        toks.select("doc_id", shingles_col(F.col("_toks"), w).alias("_sh"))
-        .select("doc_id", F.explode("_sh").alias("shingle"))
-        .distinct()
-    )
-
-
 def _doc_shingle_hashes(docs: DataFrame, text_col: str, id_col: str, w: int) -> DataFrame:
     """(doc_id, h) distinct — shingle hashes computed ARITHMETICALLY from
     per-token hashes, never materializing shingle strings:
@@ -653,6 +638,17 @@ def simhash_pairs(
     no candidate distinct), then fanned back out to doc pairs: the fan-out
     IS the output, so no post-expansion shuffle exists at all.
     """
+    # pigeonhole soundness: recall is only guaranteed when more chunks
+    # exist than tolerated bit errors (max_hamming errors can corrupt at
+    # most max_hamming chunks, leaving >= 1 equal); and bands > bits would
+    # give 0-bit chunks where EVERY value pair matches (quadratic blow-up)
+    if bands <= max_hamming:
+        raise ValueError(
+            f"simhash_pairs: bands={bands} must exceed max_hamming={max_hamming} "
+            "(pigeonhole: otherwise qualifying pairs can share no chunk)"
+        )
+    if bands > bits:
+        raise ValueError(f"simhash_pairs: bands={bands} > bits={bits}")
     chunk_bits = bits // bands
     mask = (1 << chunk_bits) - 1
     sh = (

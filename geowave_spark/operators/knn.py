@@ -87,7 +87,15 @@ def distance_candidates(
 
     tiers = sorted(r[0] for r in q.select("_tier").distinct().collect())
     if not tiers:
-        raise ValueError("no queries")
+        # empty query side → empty result with the contract schema (an
+        # empty partition/day must not crash dbscan/knn pipelines)
+        return (
+            q.select(query_id, *extra)
+            .withColumn(point_id, F.lit(None).cast(points.schema[point_id].dataType))
+            .withColumn("dist", F.lit(None).cast("double"))
+            .filter(F.lit(False))
+            .select(query_id, point_id, "dist", *extra)
+        )
 
     pts = add_point_cols(points, p_lon, p_lat)
     pts = pts.withColumn(
@@ -179,7 +187,15 @@ def knn_adaptive(
             points, q, point_id, query_id, "max_distance", q_lon, q_lat, p_lon, p_lat
         )
         w = Window.partitionBy(query_id).orderBy(F.col("dist").asc(), F.col(point_id).asc())
-        topk = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+        # checkpoint the per-round top-k: the loop's own counts/anti-join
+        # execute it once, and WITHOUT the checkpoint the caller's final
+        # action would re-run every round's full candidate join a second
+        # time (round-3 review) — this also truncates lineage growth
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .localCheckpoint()
+        )
         counts = topk.groupBy(query_id).agg(F.count(F.lit(1)).alias("_n"))
         done_qids = counts.filter(F.col("_n") >= k).select(query_id)
         done = topk.join(done_qids, query_id, "left_semi").select(
@@ -253,7 +269,13 @@ def knn_geometry(
         w = Window.partitionBy("polygon_id").orderBy(
             F.col("dist").asc(), F.col(point_id).asc()
         )
-        topk = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+        # checkpointed for the same reason as knn_adaptive: the final
+        # action must not re-execute every round's join + Arrow refine
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .localCheckpoint()
+        )
         counts = topk.groupBy("polygon_id").agg(F.count(F.lit(1)).alias("_n"))
         done_qids = counts.filter(F.col("_n") >= k).select("polygon_id")
         done = topk.join(done_qids, "polygon_id", "left_semi").select(

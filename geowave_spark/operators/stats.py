@@ -267,6 +267,11 @@ def hotspot_cells(
             (F.col("gy") + F.col("_o.dy")).alias("_ty"),  # out-of-range never joins
         )
     )
+    if r <= 2:
+        # degenerate grids (tier <= 1): the lon pmod wraps dx=-1 and dx=+1
+        # onto the SAME neighbor column, double-counting ring members —
+        # dedupe only here, so real tiers pay no extra exchange
+        nb = nb.dropDuplicates(["gx", "gy", "_tx", "_ty"])
     ring = (
         nb.join(
             counts.select(

@@ -49,14 +49,27 @@ ICEBERG_SESSION_CONF = {
 
 
 def iceberg_available(spark: SparkSession) -> bool:
-    """True iff the Iceberg Spark runtime is on the JVM classpath."""
+    """True iff the Iceberg Spark runtime is loadable by SPARK's
+    classloader.  java.lang.Class.forName would use the app classloader,
+    which cannot see jars added via --packages/--jars — a false negative
+    on exactly the clusters that have Iceberg (round-3 review); Spark's
+    Utils.classForName resolves through the session's MutableURLClassLoader.
+    """
     try:
-        spark.sparkContext._jvm.java.lang.Class.forName(  # noqa: SLF001
-            "org.apache.iceberg.spark.SparkCatalog"
+        spark.sparkContext._jvm.org.apache.spark.util.Utils.classForName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog", True, False
         )
         return True
     except Exception:
-        return False
+        # fall back to the plain probe (Utils signature differences), then
+        # report unavailable only if both loaders miss
+        try:
+            spark.sparkContext._jvm.java.lang.Class.forName(  # noqa: SLF001
+                "org.apache.iceberg.spark.SparkCatalog"
+            )
+            return True
+        except Exception:
+            return False
 
 
 def write_ordered_ddl(table: str, order_col: str = "cell") -> str:
@@ -158,15 +171,9 @@ class IndexedStore:
         ``lat_col`` mirror write()'s overrides — a store written with
         custom coordinate columns is queried with the same names."""
         if self.iceberg:
-            from .. import sqlcells
-
-            pred, _ = indexed.cell_range_predicate(bbox)
-            out = self.spark.table(self.location).filter(pred)
-            if not loose:
-                out = out.filter(
-                    sqlcells.bbox_refine_pred(F.col(lon_col), F.col(lat_col), bbox)
-                )
-            return out
+            return indexed.range_filter_frame(
+                self.spark.table(self.location), bbox, lon_col, lat_col, loose
+            )
         return indexed.range_lookup_indexed(
             self.spark, self.location, bbox,
             lon_col=lon_col, lat_col=lat_col, loose=loose,

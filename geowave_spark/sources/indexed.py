@@ -90,12 +90,17 @@ def cell_range_predicate(
     tier = cells.tier_for_bbox(bbox, max_dup=max_cells, closed=True)
     cover = cells.cells_for_bbox_at_tier(bbox, tier, closed=True)
     shift = 2 * (cells.MAX_TIER - tier)
+    # merge consecutive cells into ranges (getQueryRanges emits RANGES):
+    # Z-order covers contain long runs, so this typically collapses a
+    # 64-term OR into a handful of BETWEENs — smaller pushed predicate,
+    # compact codegen (and n_ranges now really counts ranges)
+    ranges = cells.ranges_for_cover(cover)
     pred = None
-    for c in cover.tolist():
-        lo, hi = c << shift, ((c + 1) << shift) - 1
+    for lo_c, hi_c in ranges:
+        lo, hi = lo_c << shift, ((hi_c + 1) << shift) - 1
         p = F.col(col).between(lo, hi)
         pred = p if pred is None else (pred | p)
-    return pred, len(cover)
+    return pred, len(ranges)
 
 
 HILBERT_TIER = 16  # bits/dim for the stored Hilbert layout (d < 2^32)
@@ -278,13 +283,19 @@ def write_indexed_hier(
     range-partitioned + sorted by code within kind, so BOTH curves get
     min-max file/row-group pruning from one table.
     """
-    is_point = (F.col(x0) == F.col(x1)) & (F.col(y0) == F.col(y1))
+    is_point = F.coalesce(
+        (F.col(x0) == F.col(x1)) & (F.col(y0) == F.col(y1)), F.lit(False)
+    )
     pt_code = sqlcells.cell_expr(F.col(x0), F.col(y0), cells.MAX_TIER)
     xz_code = xz_code_udf()(F.col(x0), F.col(y0), F.col(x1), F.col(y1))
-    out = (
-        df.withColumn("kind", F.when(is_point, F.lit(0)).otherwise(F.lit(1)))
-        .withColumn("code", F.when(is_point, pt_code).otherwise(xz_code))
-    )
+    # split by kind instead of when(is_point, ...): pandas UDFs inside a
+    # CASE branch are extracted and evaluated on EVERY row, so the old
+    # form paid the Arrow round-trip + Python quadtree walk for pure
+    # point rows whose result was discarded — an all-points table now
+    # stays 100% JVM on the write path
+    pts_part = df.filter(is_point).withColumn("kind", F.lit(0)).withColumn("code", pt_code)
+    ext_part = df.filter(~is_point).withColumn("kind", F.lit(1)).withColumn("code", xz_code)
+    out = pts_part.unionByName(ext_part)
     (
         out.repartitionByRange(n_files, F.col("kind"), F.col("code"))
         .sortWithinPartitions("kind", "code")
@@ -339,7 +350,20 @@ def range_lookup_indexed(
     """Range query against an indexed table: cell ranges reach the parquet
     scan as PushedFilters (row-group pruning via min-max on the sorted cell
     column), then exact bbox refine."""
-    df = spark.read.parquet(path)
+    return range_filter_frame(spark.read.parquet(path), bbox, lon_col, lat_col, loose)
+
+
+def range_filter_frame(
+    df: DataFrame,
+    bbox: tuple[float, float, float, float],
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    loose: bool = False,
+) -> DataFrame:
+    """The shared filter+refine body over an ALREADY-LOADED cell-indexed
+    frame — one implementation for the parquet and Iceberg read paths
+    (IndexedStore.range_lookup), so range-decomposition fixes apply to
+    both."""
     pred, _ = cell_range_predicate(bbox)
     out = df.filter(pred)
     if not loose:
