@@ -2225,8 +2225,19 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image decode statistics + resize pipeline (engine codecs →
-    rows-only), tagged with null-padded value columns."""
+    """Image decode statistics + resize pipeline + pixel-level perceptual
+    dedup (engine codecs → rows-only), tagged with null-padded value
+    columns.
+
+    The phash/neardup legs exercise functions/phash.py end-to-end: decode →
+    DCT pHash (Arrow-batched) → hamming-banded near-dup self-join.  Ten
+    lossless re-encodes of the first fixture images are planted so the
+    near-dup output is non-vacuous (each re-encode pairs with its source at
+    hamming 0; the random-noise fixture has no other near pairs)."""
+    from .functions import imagecodec as codec
+    from .functions import phash as ph
+    from .sources import images as img
+
     d = q_image_decode_stats(spark, sf_dir).select(
         F.lit("decode").alias("kind"),
         "image_id",
@@ -2241,7 +2252,37 @@ def q_image_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("h").alias("b"),
         F.col("bytes_crc").alias("c"),
     )
-    return d.unionByName(r)
+    base = _cached_images(spark, 300)
+    dup_rows = []
+    for i in range(10):  # deterministic planted near-dups (lossless re-encode)
+        arr = img.pixels_for(i)
+        dup_rows.append(
+            {
+                "image_id": f"dup:img{i:010d}",
+                "bytes": codec.encode_image(arr, "bmp"),
+                "w": arr.shape[1],
+                "h": arr.shape[0],
+                "fmt": "bmp",
+                "caption": "planted re-encode",
+                "phash": 0,
+            }
+        )
+    corpus = base.unionByName(spark.createDataFrame(dup_rows, img.SCHEMA))
+    p = ph.compute_phash(base.limit(50)).select(
+        F.lit("phash").alias("kind"),
+        "image_id",
+        F.lit(None).cast("double").alias("a"),
+        F.lit(None).cast("double").alias("b"),
+        F.col("phash64").alias("c"),
+    )
+    nd = ph.image_neardup_pairs(corpus, max_hamming=4, bands=5).select(
+        F.lit("neardup").alias("kind"),
+        F.concat_ws(":", F.col("img_a"), F.col("img_b")).alias("image_id"),
+        F.lit(None).cast("double").alias("a"),
+        F.lit(None).cast("double").alias("b"),
+        F.col("hamming").cast("long").alias("c"),
+    )
+    return d.unionByName(r).unionByName(p).unionByName(nd)
 
 
 def _oracle_pip_semi_anti() -> str:

@@ -1,0 +1,120 @@
+"""Perceptual hash (pHash) over decoded image pixels + hamming near-dup join.
+
+The input-table `phash` column is a fixture fingerprint (sha256-derived,
+sources/images.phash_for) used for deterministic geometry; THIS module
+computes a real content hash from the pixels themselves — the image-payload
+twin of the text pipeline's simhash (operators/dedup.simhash64):
+
+* `phash64_pixels` — the classic DCT pHash construction: grayscale (BT.601
+  luma) → 32x32 nearest-neighbour resample → orthonormal 2-D DCT-II → the
+  8x8 low-frequency block → threshold each AC coefficient against the
+  median of the 63 AC terms → 63-bit code (bit 63 stays 0, so the long is
+  non-negative).  Perceptually-equal images (lossless re-encodes, mild
+  noise, DCT/JPEG round-trips at PSNR>=40) land within a few bits; distinct
+  random images sit near the 31.5-bit expected hamming distance.
+* `compute_phash` — the distributed pass: Arrow-batched `mapInPandas` over
+  (id, bytes, fmt), decode via the engine codecs (functions/imagecodec),
+  one numpy hash per row inside the batch — no per-row Python UDFs
+  (input_hint mandate), no driver involvement, scales with partitions.
+* `image_neardup_pairs` — near-duplicate image pairs with
+  hamming(phash) <= max_hamming, reusing the text pipeline's chunk-equality
+  banding verbatim (operators/dedup.simhash_pairs with precomputed
+  signatures): pigeonhole-sound candidate generation (max_hamming < bands),
+  exact bit_count(xor) verify, never a cross join.  At 10^12 images the
+  banded self-join runs over distinct hash VALUES with the same hot-bucket
+  cap the text path has.
+
+Reference parity note: GeoWave has no perceptual dedup — this is part of
+the training-data-pipeline extension surface (SURVEY §"beyond the
+reference"), sharing its candidate-generation machinery with
+dedup.simhash_pairs so both payloads (text, image) take one audited plan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import dedup
+from . import imagecodec as codec
+
+# orthonormal 32-point DCT-II basis (same construction as the codec's 8x8)
+_D32 = codec._dct_matrix(32)
+_LUMA = np.array([0.299, 0.587, 0.114])
+
+
+def phash64_pixels(arr: np.ndarray) -> int:
+    """63-bit DCT perceptual hash of an (h, w, 3) uint8 pixel array.
+
+    Deterministic pure-numpy reference — the Spark path below calls exactly
+    this per row, so driver-side recomputation is a bit-exact oracle."""
+    g = arr.astype(np.float64) @ _LUMA  # (h, w) luma
+    h, w = g.shape
+    # nearest-neighbour resample to 32x32 (floor sampling — matches the
+    # multimodal resize convention)
+    gi = g[(np.arange(32) * h) // 32][:, (np.arange(32) * w) // 32]
+    f = _D32 @ gi @ _D32.T
+    ac = f[:8, :8].ravel()[1:]  # 63 low-frequency AC terms (DC dropped)
+    med = np.median(ac)
+    bits = ac > med
+    out = 0
+    for j in np.nonzero(bits)[0]:
+        out |= 1 << int(j)
+    return out
+
+
+def compute_phash(
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    out_col: str = "phash64",
+) -> DataFrame:
+    """(id, phash64 long): decode + hash every image, Arrow-batched."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [
+                phash64_pixels(codec.decode_image(b, f))
+                for b, f in zip(pdf[bytes_col], pdf[fmt_col])
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: pd.array(hashes, dtype="int64")})
+
+    return df.select(id_col, bytes_col, fmt_col).mapInPandas(
+        fn, f"{id_col} string, {out_col} long"
+    )
+
+
+def image_neardup_pairs(
+    images: DataFrame,
+    max_hamming: int = 4,
+    bands: int = 5,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(img_a, img_b, hamming) pairs with hamming(phash) <= max_hamming.
+
+    One decode pass computes the signatures; candidate generation and the
+    exact verify are dedup.simhash_pairs on the precomputed 64-bit codes
+    (pigeonhole-sound: max_hamming errors corrupt at most max_hamming of
+    the `bands` chunks, so every qualifying pair shares a chunk)."""
+    sigs = compute_phash(images, id_col, bytes_col, fmt_col, out_col="simhash").withColumnRenamed(
+        id_col, "doc_id"
+    )
+    pairs = dedup.simhash_pairs(
+        images,  # unused when signatures are supplied
+        max_hamming=max_hamming,
+        bits=64,
+        bands=bands,
+        signatures=sigs,
+        max_bucket_size=max_bucket_size,
+    )
+    return pairs.select(
+        F.col("doc_a").alias("img_a"), F.col("doc_b").alias("img_b"), "hamming"
+    )
