@@ -2233,8 +2233,16 @@ def q_image_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     DCT pHash (Arrow-batched) → hamming-banded near-dup self-join.  Ten
     lossless re-encodes of the first fixture images are planted so the
     near-dup output is non-vacuous (each re-encode pairs with its source at
-    hamming 0; the random-noise fixture has no other near pairs)."""
+    hamming 0; the random-noise fixture has no other near pairs).
+
+    The keep/similar legs run the rest of the image pipeline: perceptual
+    clustering → quality-aware canonical keep (functions/phash.py:
+    image_keep_best — each planted pair collapses to one kept row), and
+    content-based retrieval over color-histogram features
+    (functions/imagefeat.py: the planted re-encodes rank first for their
+    source queries)."""
     from .functions import imagecodec as codec
+    from .functions import imagefeat as feat
     from .functions import phash as ph
     from .sources import images as img
 
@@ -2282,7 +2290,23 @@ def q_image_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("b"),
         F.col("hamming").cast("long").alias("c"),
     )
-    return d.unionByName(r).unionByName(p).unionByName(nd)
+    keep = ph.image_keep_best(corpus, max_hamming=4, bands=5).select(
+        F.lit("keep").alias("kind"),
+        "image_id",
+        F.lit(None).cast("double").alias("a"),
+        F.lit(None).cast("double").alias("b"),
+        F.col("n_px").alias("c"),
+    )
+    sim = feat.image_similarity_topk(
+        corpus, base.limit(5), k=3
+    ).select(
+        F.lit("similar").alias("kind"),
+        F.concat_ws(":", F.col("query_id"), F.col("image_id"), F.col("rank")).alias("image_id"),
+        F.lit(None).cast("double").alias("a"),
+        F.lit(None).cast("double").alias("b"),
+        F.col("cos_mu").alias("c"),
+    )
+    return d.unionByName(r).unionByName(p).unionByName(nd).unionByName(keep).unionByName(sim)
 
 
 def _oracle_pip_semi_anti() -> str:

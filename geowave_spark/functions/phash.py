@@ -118,3 +118,65 @@ def image_neardup_pairs(
     return pairs.select(
         F.col("doc_a").alias("img_a"), F.col("doc_b").alias("img_b"), "hamming"
     )
+
+
+def image_neardup_clusters(
+    images: DataFrame,
+    max_hamming: int = 4,
+    bands: int = 5,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    max_bucket_size: int | None = None,
+    max_iter: int = 30,
+) -> DataFrame:
+    """(image_id, canonical_id): perceptual near-dup clustering.
+
+    The image twin of the text corpus pipeline (`dedup.dedup_clusters`):
+    pHash near-dup pairs → connected components (`dedup.label_components`,
+    the shared min-label fixpoint) → canonical = component-minimum id.
+    Transitive chains (A≈B≈C with hamming(A,C) > max_hamming) land in ONE
+    cluster — the semantics a 10^12-image dedup actually wants."""
+    pairs = image_neardup_pairs(
+        images, max_hamming, bands, id_col, bytes_col, fmt_col, max_bucket_size
+    ).select(F.col("img_a").alias("doc_a"), F.col("img_b").alias("doc_b"))
+    labels = dedup.label_components(
+        images.select(F.col(id_col).alias("doc_id")), pairs, max_iter=max_iter
+    )
+    return labels.select(F.col("doc_id").alias(id_col), "canonical_id")
+
+
+def image_keep_best(
+    images: DataFrame,
+    max_hamming: int = 4,
+    bands: int = 5,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    max_bucket_size: int | None = None,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Quality-aware canonical selection over perceptual clusters.
+
+    Keeps ONE image per near-dup cluster, preferring the largest pixel
+    area w*h (the keep-the-highest-resolution heuristic for image
+    corpora; ties → smallest image_id).  Output: kept rows as
+    (image_id, n_px long).  One per-cluster top-1 window — partitions by
+    canonical_id, so it parallelizes across clusters (the
+    `dedup.dedup_keep_best` shape on the image payload)."""
+    from pyspark.sql import Window
+
+    cl = image_neardup_clusters(
+        images, max_hamming, bands, id_col, bytes_col, fmt_col,
+        max_bucket_size, max_iter,
+    )
+    scored = images.select(
+        F.col(id_col), (F.col("w").cast("long") * F.col("h")).alias("n_px")
+    )
+    j = cl.join(scored, id_col)
+    win = Window.partitionBy("canonical_id").orderBy(F.desc("n_px"), F.asc(id_col))
+    return (
+        j.withColumn("_rk", F.row_number().over(win))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, "n_px")
+    )

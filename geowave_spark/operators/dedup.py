@@ -535,9 +535,38 @@ def dedup_clusters(
         .persist()
     )
 
-    labels = docs.select(F.col(id_col).alias("doc_id")).withColumn("label", F.col("doc_id"))
-    edges = verified.unionByName(
-        verified.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    labels = label_components(
+        docs.select(F.col(id_col).alias("doc_id")), verified, max_iter=max_iter
+    )
+    # labels is localCheckpoint-materialized — the cached build frames are
+    # no longer reachable from the result; release them deterministically
+    for frame in (verified, sh):
+        frame.unpersist()
+    return labels.select(F.col("doc_id").alias(id_col), "canonical_id")
+
+
+def label_components(
+    nodes: DataFrame, pairs: DataFrame, max_iter: int = 30
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    ``nodes``: one column ``doc_id`` (every vertex, including singletons);
+    ``pairs``: columns ``doc_a``, ``doc_b`` — undirected edges, either or
+    both orientations.  Returns (doc_id, canonical_id) where canonical_id
+    is the component-minimum doc_id; singletons map to themselves.
+
+    The loop shape scales: each round is one equi-join + map-side-combined
+    min agg, localCheckpoint'd so the lineage stays flat; convergence is
+    detected with a limit(1) existence probe, never a full count.  Rounds
+    needed = component hop-diameter (the reference's analytics CC is the
+    same fixpoint — analytics/.../kmeans has no CC; this mirrors the
+    standard Spark connected-components construction).  Shared by text
+    near-dup clustering (`dedup_clusters`) and image perceptual clustering
+    (`functions.phash.image_neardup_clusters`) so both payloads take one
+    audited plan."""
+    labels = nodes.select("doc_id").withColumn("label", F.col("doc_id"))
+    edges = pairs.select("doc_a", "doc_b").unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
     changed = 0
     for _ in range(max_iter):
@@ -565,18 +594,15 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     if changed != 0:
         # a chain-shaped component deeper than max_iter hops did not
         # converge — surface it rather than silently mislabel
         raise RuntimeError(
-            f"dedup_clusters: label propagation did not converge in {max_iter} "
+            f"label_components: label propagation did not converge in {max_iter} "
             "rounds (component hop-diameter exceeds max_iter); raise max_iter"
         )
-    # labels is localCheckpoint-materialized — the cached build frames are
-    # no longer reachable from the result; release them deterministically
-    for frame in (verified, edges, sh):
-        frame.unpersist()
-    return labels.select(F.col("doc_id").alias(id_col), F.col("label").alias("canonical_id"))
+    return labels.select("doc_id", F.col("label").alias("canonical_id"))
 
 
 def simhash64(docs: DataFrame, bits: int = 60, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -1,0 +1,138 @@
+"""Perceptual near-dup clustering + canonical keep over the image table.
+
+Pins: transitive chains collapse to one cluster (union-find oracle
+parity), singletons map to themselves, and keep-best retains exactly the
+largest-area member per cluster (ties -> min id)."""
+
+import numpy as np
+
+from geowave_spark.functions import imagecodec as codec
+from geowave_spark.functions import phash
+from geowave_spark.sources import images
+
+
+def _rows(n, start=0):
+    out = []
+    for i in range(start, start + n):
+        arr = images.pixels_for(i)
+        fmt = ("png", "bmp", "jpeg")[i % 3]
+        out.append(
+            {
+                "image_id": f"img{i:010d}",
+                "bytes": codec.encode_image(arr, fmt),
+                "w": arr.shape[1],
+                "h": arr.shape[0],
+                "fmt": fmt,
+                "caption": f"c{i}",
+                "phash": 0,
+            }
+        )
+    return out
+
+
+def _union_find_oracle(rows, max_hamming=4):
+    """Driver-side oracle: all-pairs hamming -> union-find components."""
+    ids = [r["image_id"] for r in rows]
+    hs = {
+        r["image_id"]: phash.phash64_pixels(codec.decode_image(r["bytes"], r["fmt"]))
+        for r in rows
+    }
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if int.bit_count(hs[ids[i]] ^ hs[ids[j]]) <= max_hamming:
+                ra, rb = find(ids[i]), find(ids[j])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min id per component
+    comp = {}
+    for i in ids:
+        comp.setdefault(find(i), []).append(i)
+    out = {}
+    for members in comp.values():
+        c = min(members)
+        for m in members:
+            out[m] = c
+    return out
+
+
+def test_clusters_match_union_find_oracle(spark):
+    """30 distinct random images + a planted transitive chain A~B~C:
+    B is a lossless re-encode of A (hamming 0) and C is A's lossy
+    round-trip (hamming <= 4); A..C land in ONE cluster even if
+    hamming(B, C) alone exceeds nothing here — the chain semantics are
+    exercised via the two planted edges sharing the A endpoint."""
+    rows = _rows(30)
+    arr = images.pixels_for(0)
+    rows.append(
+        {
+            "image_id": "zdupB",
+            "bytes": codec.encode_image(arr, "bmp"),
+            "w": arr.shape[1],
+            "h": arr.shape[0],
+            "fmt": "bmp",
+            "caption": "re-encode of img0",
+            "phash": 0,
+        }
+    )
+    rows.append(
+        {
+            "image_id": "zdupC",
+            "bytes": codec.encode_dct(arr),
+            "w": arr.shape[1],
+            "h": arr.shape[0],
+            "fmt": "jpeg",
+            "caption": "lossy round-trip of img0",
+            "phash": 0,
+        }
+    )
+    df = spark.createDataFrame(rows, images.SCHEMA)
+    got = {
+        r["image_id"]: r["canonical_id"]
+        for r in phash.image_neardup_clusters(df, max_hamming=4, bands=5).collect()
+    }
+    expect = _union_find_oracle(rows, max_hamming=4)
+    assert got == expect
+    # the planted chain is really one cluster rooted at img0
+    assert got["zdupB"] == got["zdupC"] == "img" + "0" * 10
+    # every row is labeled (singletons included)
+    assert len(got) == len(rows)
+
+
+def test_keep_best_retains_largest_area(spark):
+    """Cluster {img1(32x32), small re-encode of img1 pixels upscaled?} —
+    plant a LARGER near-dup (same pixels, but nearest-neighbour upscale
+    keeps the pHash within radius) and check keep-best prefers it."""
+    rows = _rows(12)
+    # a 2x nearest-neighbour upscale of img1: identical 32x32 resample
+    # grid -> identical pHash, 4x the pixel area
+    arr = images.pixels_for(1)
+    big = arr.repeat(2, axis=0).repeat(2, axis=1)
+    rows.append(
+        {
+            "image_id": "zbig1",
+            "bytes": codec.encode_image(big, "bmp"),
+            "w": big.shape[1],
+            "h": big.shape[0],
+            "fmt": "bmp",
+            "caption": "2x upscale of img1",
+            "phash": 0,
+        }
+    )
+    df = spark.createDataFrame(rows, images.SCHEMA)
+    kept = {r["image_id"]: r["n_px"] for r in phash.image_keep_best(df).collect()}
+    # exactly one kept per cluster: 12 originals + upscale merged with img1
+    oracle = _union_find_oracle(rows)
+    n_clusters = len(set(oracle.values()))
+    assert len(kept) == n_clusters
+    assert "zbig1" in kept  # the larger member wins its cluster
+    assert "img" + "1".rjust(10, "0") not in kept
+    h, w = images.pixels_for(1).shape[:2]
+    assert kept["zbig1"] == 4 * h * w
