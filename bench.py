@@ -13,6 +13,10 @@ evidenced by parallelism levels in this sandbox).
 `python bench.py --skew` measures the hot-cell skew defenses: a 50%-in-
 one-cell workload through the forced shuffle join, AQE-only vs
 histogram-planned salting (numbers recorded in BENCH.md).
+
+`python bench.py --images` measures the image-payload pipeline at 200k
+images: pHash, near-dup pairs/clusters/keep, color-histogram features,
+and brute-tier content retrieval with planted-clone rank-1 hits.
 """
 
 from __future__ import annotations
@@ -418,6 +422,83 @@ def bench_ann(cpus: int, n: int = 1_000_000, k: int = 10, nq: int = 32) -> dict:
         spark.stop()
 
 
+def bench_images(cpus: int, n: int = 200_000, n_dups: int = 200, nq: int = 16) -> dict:
+    """Image-payload pipeline at scale: decode-bound passes over n images.
+
+    The input_hint table (image_id, bytes, w, h, fmt, caption, phash) with
+    n_dups planted lossless re-encodes; measures the four pipeline stages a
+    10^12-image corpus runs — pHash, near-dup pairs+clusters+keep, feature
+    extraction, and content retrieval (brute tier, nq queries).  All passes
+    are one Arrow-batched map over the table (the decode is the from-scratch
+    engine codec, so per-image cost is an honest upper bound vs libjpeg)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from geowave_spark.functions import imagecodec as codec
+    from geowave_spark.functions import imagefeat as feat
+    from geowave_spark.functions import phash as ph
+    from geowave_spark.session import get_spark
+    from geowave_spark.sources import images as img
+
+    spark = get_spark(f"bench-images-{cpus}", cpus=cpus, shuffle_partitions=max(32, cpus))
+    try:
+        path = img.ensure_images(spark, n, root="/tmp/geowave_fixture_cache")
+        base = spark.read.parquet(path)
+        dup_rows = []
+        for i in range(n_dups):
+            arr = img.pixels_for(i)
+            dup_rows.append(
+                {
+                    "image_id": f"dup:img{i:010d}",
+                    "bytes": codec.encode_image(arr, "bmp"),
+                    "w": arr.shape[1], "h": arr.shape[0], "fmt": "bmp",
+                    "caption": "planted re-encode", "phash": 0,
+                }
+            )
+        corpus = base.unionByName(spark.createDataFrame(dup_rows, img.SCHEMA))
+        total = n + n_dups
+        out: dict = {"n": total, "n_dups": n_dups}
+
+        t0 = time.monotonic()
+        c = ph.compute_phash(corpus).count()
+        sec = round(time.monotonic() - t0, 3)
+        out["phash"] = {"sec": sec, "images_per_sec": round(total / sec, 1), "rows": c}
+
+        t0 = time.monotonic()
+        pairs = ph.image_neardup_pairs(corpus, max_hamming=4, bands=5).count()
+        sec = round(time.monotonic() - t0, 3)
+        out["neardup_pairs"] = {"sec": sec, "images_per_sec": round(total / sec, 1), "pairs": pairs}
+
+        t0 = time.monotonic()
+        kept = ph.image_keep_best(corpus, max_hamming=4, bands=5).count()
+        sec = round(time.monotonic() - t0, 3)
+        out["cluster_keep"] = {"sec": sec, "images_per_sec": round(total / sec, 1), "kept": kept}
+
+        t0 = time.monotonic()
+        c = feat.compute_features(corpus).count()
+        sec = round(time.monotonic() - t0, 3)
+        out["features"] = {"sec": sec, "images_per_sec": round(total / sec, 1), "rows": c}
+
+        queries = base.filter(
+            F.col("image_id").isin([f"img{i:010d}" for i in range(nq)])
+        )
+        t0 = time.monotonic()
+        top = feat.image_similarity_topk(corpus, queries, k=10)
+        hit = top.filter(
+            (F.col("rank") == 1)
+            & (F.col("image_id") == F.concat(F.lit("dup:"), F.col("query_id")))
+        ).count()
+        sec = round(time.monotonic() - t0, 3)
+        out["retrieval_brute"] = {
+            "sec": sec, "images_per_sec": round(total / sec, 1), "nq": nq,
+            "clone_rank1_hits": hit,
+        }
+        return out
+    finally:
+        spark.stop()
+
+
 def main() -> None:
     scaling = "--scaling" in sys.argv
     if "--skew" in sys.argv:
@@ -425,6 +506,9 @@ def main() -> None:
         return
     if "--ann" in sys.argv:
         print(json.dumps({"ann": bench_ann(CPUS)}))
+        return
+    if "--images" in sys.argv:
+        print(json.dumps({"images": bench_images(CPUS)}))
         return
     times, total, n_rows = bench_once(CPUS)
     headline_sec = sum(times[n] for n in HEADLINE)

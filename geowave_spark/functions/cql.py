@@ -241,6 +241,12 @@ class _Parser:
             return lon_ok & lat_ok
         from . import geo_udfs
 
+        if x1 < -180.0 or (x0 < -180.0 <= x1):
+            # canonicalize the x0 < -180 unwrapped form into the engine's
+            # x1 > 180 convention (the pairwise kernel only retests the
+            # -360 image of x1 > 180 geometries), so both BBOX paths and
+            # the join refine agree on antimeridian boxes
+            x0, x1 = x0 + 360.0, x1 + 360.0
         wkt = (
             f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))"
         )

@@ -73,6 +73,33 @@ def test_bbox_on_point_features(spark, events):
     assert "EvalPython" not in plan
 
 
+@pytest.mark.parametrize(
+    "box",
+    [(160.0, -20.0, 200.0, 20.0), (-200.0, -20.0, -160.0, 20.0)],
+    ids=["x1_gt_180", "x0_lt_-180"],
+)
+def test_bbox_antimeridian_paths_agree(spark, events, box):
+    """Both unwrapped-box spellings (x1 > 180 and its x0 < -180 mirror)
+    select the same rows through the point-pair path AND the WKT path —
+    the WKT path canonicalizes to the engine's x1 > 180 convention before
+    hitting the kernel's -360 retest."""
+    x0, y0, x1, y1 = box
+    expr = f"BBOX(geom, {x0}, {y0}, {x1}, {y1})"
+    got_pts = cql.cql_filter(events, expr, geometry=("lon", "lat"))
+    wkts = events.withColumn(
+        "gwkt",
+        F.concat(F.lit("POINT ("), F.col("lon").cast("string"), F.lit(" "),
+                 F.col("lat").cast("string"), F.lit(")")),
+    )
+    got_wkt = cql.cql_filter(wkts, expr.replace("geom", "gwkt"), geometry="gwkt")
+    want = events.filter(
+        ((F.col("lon") >= 160) | (F.col("lon") <= -160))
+        & (F.col("lat") >= y0) & (F.col("lat") <= y1)
+    )
+    assert _ids(got_pts) == _ids(got_wkt) == _ids(want)
+    assert _ids(want)  # non-vacuous: the fixture has rows in the band
+
+
 def test_bbox_combines_with_attributes(spark, events):
     got = cql.cql_filter(
         events,
