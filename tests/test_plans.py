@@ -200,3 +200,33 @@ def test_pq_ann_scan_is_codes_only(spark, sf_dir):
         assert "_v#" not in ln and "embedding#" not in ln, ln
     # the shortlist that meets the vectors again is a broadcast probe
     assert "BroadcastHashJoin" in plan
+
+
+def test_image_neardup_pairs_no_cartesian_one_decode_pass(spark):
+    """Perceptual near-dup candidates come from the banded equi-join —
+    never a cross join — and Python appears only as the Arrow-batched
+    decode/hash stages (FlatMapGroups-free, EvalPython-free)."""
+    from geowave_spark.functions import phash as ph
+    from geowave_spark.sources import images as img
+
+    corpus = img.generate_images(spark, 400)
+    out = ph.image_neardup_pairs(corpus, max_hamming=4, bands=5)
+    out.count()
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan  # row-at-a-time Python banned
+    # candidate generation is an equi-join (hash or sort-merge by size)
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+
+
+def test_image_features_single_map_stage(spark):
+    """The feature pass is one MapInPandas over (id, bytes, fmt) — no
+    shuffle, no extra scan of the wide table."""
+    from geowave_spark.functions import imagefeat as feat
+    from geowave_spark.sources import images as img
+
+    out = feat.compute_features(img.generate_images(spark, 200))
+    plan = _plan(out)
+    assert plan.count("MapInPandas") >= 1
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
