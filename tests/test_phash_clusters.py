@@ -136,3 +136,46 @@ def test_keep_best_retains_largest_area(spark):
     assert "img" + "1".rjust(10, "0") not in kept
     h, w = images.pixels_for(1).shape[:2]
     assert kept["zbig1"] == 4 * h * w
+
+
+def test_blank_image_hot_bucket_cap(spark):
+    """A duplicate-heavy corpus (byte-identical frames all hash alike) is
+    the image twin of the one-shingle-everywhere text corpus: the clique
+    shares every band bucket.  With max_bucket_size the hot buckets drop
+    (bounded cost, recall-only semantics, logged); distinct-image pairs
+    elsewhere still surface."""
+    import numpy as np
+
+    rows = _rows(20)
+    blank = codec.encode_image(np.zeros((16, 16, 3), dtype=np.uint8), "bmp")
+    for i in range(60):  # 60 identical black frames, all pHash 0
+        rows.append(
+            {
+                "image_id": f"blank{i:04d}",
+                "bytes": blank,
+                "w": 16, "h": 16, "fmt": "bmp",
+                "caption": "blank", "phash": 0,
+            }
+        )
+    arr = images.pixels_for(0)
+    rows.append(
+        {
+            "image_id": "zdup0",
+            "bytes": codec.encode_image(arr, "bmp"),
+            "w": arr.shape[1], "h": arr.shape[0], "fmt": "bmp",
+            "caption": "re-encode of img0", "phash": 0,
+        }
+    )
+    df = spark.createDataFrame(rows, images.SCHEMA)
+    # uncapped: the blank clique alone is C(60,2) = 1770 pairs
+    uncapped = phash.image_neardup_pairs(df, max_hamming=4, bands=5)
+    n_unc = uncapped.count()
+    assert n_unc >= 1770
+    # capped: blank buckets (60 members) drop; the planted pair survives
+    capped = phash.image_neardup_pairs(
+        df, max_hamming=4, bands=5, max_bucket_size=30
+    ).collect()
+    got = {(r["img_a"], r["img_b"]) for r in capped}
+    assert ("img0000000000", "zdup0") in got
+    assert all("blank" not in a or "blank" not in b for a, b in got)
+    assert len(got) < n_unc
