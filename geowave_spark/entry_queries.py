@@ -2297,6 +2297,15 @@ def q_image_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("b"),
         F.col("n_px").alias("c"),
     )
+    # cross-modal curation: the planted re-encodes carry a different
+    # caption than their source, so each is flagged (10 conflict rows)
+    conf = ph.caption_conflicts(corpus, max_hamming=4, bands=5).select(
+        F.lit("conflict").alias("kind"),
+        F.concat_ws(":", F.col("img_a"), F.col("img_b")).alias("image_id"),
+        F.lit(None).cast("double").alias("a"),
+        F.lit(None).cast("double").alias("b"),
+        F.col("hamming").cast("long").alias("c"),
+    )
     sim = feat.image_similarity_topk(
         corpus, base.limit(5), k=3
     ).select(
@@ -2306,7 +2315,10 @@ def q_image_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("b"),
         F.col("cos_mu").alias("c"),
     )
-    return d.unionByName(r).unionByName(p).unionByName(nd).unionByName(keep).unionByName(sim)
+    return (
+        d.unionByName(r).unionByName(p).unionByName(nd)
+        .unionByName(keep).unionByName(conf).unionByName(sim)
+    )
 
 
 def _oracle_pip_semi_anti() -> str:

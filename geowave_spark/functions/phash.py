@@ -146,6 +146,45 @@ def image_neardup_clusters(
     return labels.select(F.col("doc_id").alias(id_col), "canonical_id")
 
 
+def caption_conflicts(
+    images: DataFrame,
+    max_hamming: int = 4,
+    bands: int = 5,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    caption_col: str = "caption",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(img_a, img_b, hamming, caption_a, caption_b): near-identical pixels
+    with DIFFERENT captions — the cross-modal curation flag.
+
+    On an image+caption corpus a perceptual duplicate whose caption
+    disagrees is either caption noise (mislabel, boilerplate swap) or an
+    alt-text variant; both matter when the table feeds caption-supervised
+    training.  Pure composition: pHash near-dup pairs (one decode pass)
+    joined back to the caption column on both sides, kept where captions
+    differ — two broadcast-or-shuffle equi-joins on id, no new plan shapes
+    to audit at 10^12 rows."""
+    pairs = image_neardup_pairs(
+        images, max_hamming, bands, id_col, bytes_col, fmt_col, max_bucket_size
+    )
+    caps = images.select(F.col(id_col), F.col(caption_col))
+    ca = caps.select(
+        F.col(id_col).alias("img_a"), F.col(caption_col).alias("caption_a")
+    )
+    cb = caps.select(
+        F.col(id_col).alias("img_b"), F.col(caption_col).alias("caption_b")
+    )
+    return (
+        pairs.join(ca, "img_a").join(cb, "img_b")
+        .filter(
+            ~F.col("caption_a").eqNullSafe(F.col("caption_b"))
+        )
+        .select("img_a", "img_b", "hamming", "caption_a", "caption_b")
+    )
+
+
 def image_keep_best(
     images: DataFrame,
     max_hamming: int = 4,

@@ -179,3 +179,36 @@ def test_blank_image_hot_bucket_cap(spark):
     assert ("img0000000000", "zdup0") in got
     assert all("blank" not in a or "blank" not in b for a, b in got)
     assert len(got) < n_unc
+
+
+def test_caption_conflicts(spark):
+    """Perceptual duplicates with disagreeing captions are flagged; the
+    same-caption duplicate pair is NOT."""
+    rows = _rows(15)
+    arr0 = images.pixels_for(0)
+    arr1 = images.pixels_for(1)
+    rows.append(  # pixel dup of img0, DIFFERENT caption -> conflict
+        {
+            "image_id": "zalt0",
+            "bytes": codec.encode_image(arr0, "bmp"),
+            "w": arr0.shape[1], "h": arr0.shape[0], "fmt": "bmp",
+            "caption": "a completely different description", "phash": 0,
+        }
+    )
+    rows.append(  # pixel dup of img1, SAME caption -> clean duplicate
+        {
+            "image_id": "zsame1",
+            "bytes": codec.encode_image(arr1, "bmp"),
+            "w": arr1.shape[1], "h": arr1.shape[0], "fmt": "bmp",
+            "caption": "c1", "phash": 0,
+        }
+    )
+    df = spark.createDataFrame(rows, images.SCHEMA)
+    got = phash.caption_conflicts(df, max_hamming=4, bands=5).collect()
+    pairs = {(r["img_a"], r["img_b"]) for r in got}
+    assert ("img0000000000", "zalt0") in pairs
+    assert ("img0000000001", "zsame1") not in pairs
+    row = [r for r in got if r["img_b"] == "zalt0"][0]
+    assert row["caption_a"] == "c0"
+    assert row["caption_b"] == "a completely different description"
+    assert row["hamming"] == 0
