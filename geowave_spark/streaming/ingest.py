@@ -114,6 +114,30 @@ def streaming_dedup(
     )
 
 
+def streaming_image_dedup(
+    stream: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """First-seen PERCEPTUAL image dedup on a stream: decode → DCT pHash
+    (Arrow-batched, works unchanged on streaming frames) → stateful
+    first-seen-per-hash filter.
+
+    The streaming twin of the batch `phash.image_neardup_pairs` exact-hash
+    core (hamming-0 duplicates — re-encodes, byte copies — are dropped as
+    they arrive; sub-hamming variants need the batch banded join).  Output:
+    the stream's (id, phash64) rows for first-seen hashes only.  State is
+    one boolean per distinct hash, partitioned across executors; the image
+    bytes never enter the state store."""
+    from ..functions import phash as ph
+
+    sigs = ph.compute_phash(stream, id_col, bytes_col, fmt_col, out_col="phash64")
+    return streaming_dedup(sigs, key_col="phash64", order_col=id_col,
+                           state_ttl_ms=state_ttl_ms)
+
+
 def streaming_tile_counts(
     stream: DataFrame,
     level: int,

@@ -157,3 +157,57 @@ def test_streaming_zone_counts_match_batch(spark, sf_dir, tmp_path):
     ).collect()))
     assert got == want
     assert len(got) > 0
+
+
+def test_streaming_image_dedup_first_seen_perceptual(spark, tmp_path):
+    """Streaming pHash dedup: a re-encode (different bytes, identical
+    pixels) arriving in a LATER micro-batch is dropped; genuinely new
+    images pass.  The decode/hash stage is the same Arrow-batched
+    mapInPandas as the batch path, running inside the streaming query."""
+    from geowave_spark.functions import imagecodec as codec
+    from geowave_spark.functions import phash
+    from geowave_spark.sources import images
+
+    src = str(tmp_path / "img_in")
+    os.makedirs(src, exist_ok=True)
+
+    def row(i, image_id, fmt):
+        arr = images.pixels_for(i)
+        return {
+            "image_id": image_id,
+            "bytes": codec.encode_image(arr, fmt),
+            "w": arr.shape[1], "h": arr.shape[0], "fmt": fmt,
+            "caption": f"c{i}", "phash": 0,
+        }
+
+    batch1 = spark.createDataFrame(
+        [row(0, "a0", "png"), row(1, "a1", "bmp")], images.SCHEMA
+    )
+    # b0 is a bmp re-encode of image 0 (same pixels, different bytes);
+    # b2 is new content
+    batch2 = spark.createDataFrame(
+        [row(0, "b0", "bmp"), row(2, "b2", "png")], images.SCHEMA
+    )
+    batch1.write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(images.SCHEMA)
+        .option("maxFilesPerTrigger", "100").parquet(src)
+    )
+    out = ingest.streaming_image_dedup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("img_dedup_sink").outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        batch2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {
+            r["image_id"]: r["phash64"]
+            for r in spark.sql("SELECT * FROM img_dedup_sink").collect()
+        }
+    finally:
+        q.stop()
+    assert set(got) == {"a0", "a1", "b2"}  # b0 deduped against a0
+    assert got["a0"] == phash.phash64_pixels(images.pixels_for(0))
