@@ -431,8 +431,6 @@ def bench_images(cpus: int, n: int = 200_000, n_dups: int = 200, nq: int = 16) -
     extraction, and content retrieval (brute tier, nq queries).  All passes
     are one Arrow-batched map over the table (the decode is the from-scratch
     engine codec, so per-image cost is an honest upper bound vs libjpeg)."""
-    import os as _os
-
     from pyspark.sql import functions as F
 
     from geowave_spark.functions import imagecodec as codec

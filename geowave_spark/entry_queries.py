@@ -2239,8 +2239,10 @@ def q_image_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering → quality-aware canonical keep (functions/phash.py:
     image_keep_best — each planted pair collapses to one kept row), and
     content-based retrieval over color-histogram features
-    (functions/imagefeat.py: the planted re-encodes rank first for their
-    source queries)."""
+    (functions/imagefeat.py: for losslessly-stored queries the planted
+    re-encode ties its source at cos 1.0 and wins the id tie-break; a
+    jpeg-stored query's exact self outranks the clone of its
+    pre-compression pixels — both pinned by the numpy-oracle test)."""
     from .functions import imagecodec as codec
     from .functions import imagefeat as feat
     from .functions import phash as ph
@@ -2276,21 +2278,27 @@ def q_image_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
     corpus = base.unionByName(spark.createDataFrame(dup_rows, img.SCHEMA))
-    p = ph.compute_phash(base.limit(50)).select(
+    # ONE decode+hash pass feeds every pHash leg below: signatures are
+    # checkpointed once, the pair join runs once, and clusters/keep/
+    # conflicts compose on the shared frames (the signatures=/pairs=
+    # pass-through the operators expose for exactly this composition)
+    sigs = ph.compute_phash(corpus).localCheckpoint()
+    nd_pairs = ph.image_neardup_pairs(corpus, max_hamming=4, bands=5, signatures=sigs)
+    p = sigs.join(base.limit(50).select("image_id"), "image_id").select(
         F.lit("phash").alias("kind"),
         "image_id",
         F.lit(None).cast("double").alias("a"),
         F.lit(None).cast("double").alias("b"),
         F.col("phash64").alias("c"),
     )
-    nd = ph.image_neardup_pairs(corpus, max_hamming=4, bands=5).select(
+    nd = nd_pairs.select(
         F.lit("neardup").alias("kind"),
         F.concat_ws(":", F.col("img_a"), F.col("img_b")).alias("image_id"),
         F.lit(None).cast("double").alias("a"),
         F.lit(None).cast("double").alias("b"),
         F.col("hamming").cast("long").alias("c"),
     )
-    keep = ph.image_keep_best(corpus, max_hamming=4, bands=5).select(
+    keep = ph.image_keep_best(corpus, pairs=nd_pairs).select(
         F.lit("keep").alias("kind"),
         "image_id",
         F.lit(None).cast("double").alias("a"),
@@ -2299,7 +2307,7 @@ def q_image_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # cross-modal curation: the planted re-encodes carry a different
     # caption than their source, so each is flagged (10 conflict rows)
-    conf = ph.caption_conflicts(corpus, max_hamming=4, bands=5).select(
+    conf = ph.caption_conflicts(corpus, pairs=nd_pairs).select(
         F.lit("conflict").alias("kind"),
         F.concat_ws(":", F.col("img_a"), F.col("img_b")).alias("image_id"),
         F.lit(None).cast("double").alias("a"),

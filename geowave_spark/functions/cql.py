@@ -229,13 +229,16 @@ class _Parser:
         if isinstance(g, tuple):
             lon, lat = g
             lat_ok = (F.col(lat) >= y0) & (F.col(lat) <= y1)
-            # unwrapped antimeridian boxes (the engine's LongitudeDefinition
-            # convention: x1 > 180 or x0 < -180) match through the ±360
-            # image, like the WKT-path kernel — the two paths must agree
+            # unwrapped antimeridian boxes match through the ±360 image,
+            # like the WKT-path kernel — the two paths must agree.  First
+            # canonicalize the x0 < -180 spellings into the engine's
+            # x1 > 180 convention (a box ENTIRELY below -180 is just its
+            # +360 image — without this, `lon <= x1` matched nothing and
+            # the straddle branch over-selected up to lon 180)
+            if x1 < -180.0 or (x0 < -180.0 <= x1):
+                x0, x1 = x0 + 360.0, x1 + 360.0
             if x1 > 180.0:
                 lon_ok = (F.col(lon) >= x0) | (F.col(lon) <= x1 - 360.0)
-            elif x0 < -180.0:
-                lon_ok = (F.col(lon) <= x1) | (F.col(lon) >= x0 + 360.0)
             else:
                 lon_ok = (F.col(lon) >= x0) & (F.col(lon) <= x1)
             return lon_ok & lat_ok

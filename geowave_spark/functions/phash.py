@@ -97,16 +97,23 @@ def image_neardup_pairs(
     bytes_col: str = "bytes",
     fmt_col: str = "fmt",
     max_bucket_size: int | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """(img_a, img_b, hamming) pairs with hamming(phash) <= max_hamming.
 
     One decode pass computes the signatures; candidate generation and the
     exact verify are dedup.simhash_pairs on the precomputed 64-bit codes
     (pigeonhole-sound: max_hamming errors corrupt at most max_hamming of
-    the `bands` chunks, so every qualifying pair shares a chunk)."""
-    sigs = compute_phash(images, id_col, bytes_col, fmt_col, out_col="simhash").withColumnRenamed(
-        id_col, "doc_id"
-    )
+    the `bands` chunks, so every qualifying pair shares a chunk).
+
+    ``signatures``: optional precomputed (id, phash64) frame — callers
+    composing several pHash stages (pairs + clusters + conflicts) pass the
+    one decode pass through so it never re-runs."""
+    sigs = (
+        signatures.select(F.col(id_col), F.col("phash64"))
+        if signatures is not None
+        else compute_phash(images, id_col, bytes_col, fmt_col, out_col="phash64")
+    ).withColumnRenamed(id_col, "doc_id").withColumnRenamed("phash64", "simhash")
     pairs = dedup.simhash_pairs(
         images,  # unused when signatures are supplied
         max_hamming=max_hamming,
@@ -129,6 +136,8 @@ def image_neardup_clusters(
     fmt_col: str = "fmt",
     max_bucket_size: int | None = None,
     max_iter: int = 30,
+    pairs: DataFrame | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """(image_id, canonical_id): perceptual near-dup clustering.
 
@@ -136,10 +145,17 @@ def image_neardup_clusters(
     pHash near-dup pairs → connected components (`dedup.label_components`,
     the shared min-label fixpoint) → canonical = component-minimum id.
     Transitive chains (A≈B≈C with hamming(A,C) > max_hamming) land in ONE
-    cluster — the semantics a 10^12-image dedup actually wants."""
-    pairs = image_neardup_pairs(
-        images, max_hamming, bands, id_col, bytes_col, fmt_col, max_bucket_size
-    ).select(F.col("img_a").alias("doc_a"), F.col("img_b").alias("doc_b"))
+    cluster — the semantics a 10^12-image dedup actually wants.
+
+    ``pairs`` / ``signatures``: optional precomputed stages (the pair frame
+    from `image_neardup_pairs`, or the (id, phash64) signature frame) so a
+    composed pipeline decodes each image exactly once."""
+    if pairs is None:
+        pairs = image_neardup_pairs(
+            images, max_hamming, bands, id_col, bytes_col, fmt_col,
+            max_bucket_size, signatures=signatures,
+        )
+    pairs = pairs.select(F.col("img_a").alias("doc_a"), F.col("img_b").alias("doc_b"))
     labels = dedup.label_components(
         images.select(F.col(id_col).alias("doc_id")), pairs, max_iter=max_iter
     )
@@ -155,6 +171,8 @@ def caption_conflicts(
     fmt_col: str = "fmt",
     caption_col: str = "caption",
     max_bucket_size: int | None = None,
+    pairs: DataFrame | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """(img_a, img_b, hamming, caption_a, caption_b): near-identical pixels
     with DIFFERENT captions — the cross-modal curation flag.
@@ -162,13 +180,16 @@ def caption_conflicts(
     On an image+caption corpus a perceptual duplicate whose caption
     disagrees is either caption noise (mislabel, boilerplate swap) or an
     alt-text variant; both matter when the table feeds caption-supervised
-    training.  Pure composition: pHash near-dup pairs (one decode pass)
-    joined back to the caption column on both sides, kept where captions
-    differ — two broadcast-or-shuffle equi-joins on id, no new plan shapes
-    to audit at 10^12 rows."""
-    pairs = image_neardup_pairs(
-        images, max_hamming, bands, id_col, bytes_col, fmt_col, max_bucket_size
-    )
+    training.  Pure composition: pHash near-dup pairs (one decode pass,
+    reusable via ``pairs``/``signatures``) joined back to the caption
+    column on both sides, kept where captions differ — two
+    broadcast-or-shuffle equi-joins on id, no new plan shapes to audit at
+    10^12 rows."""
+    if pairs is None:
+        pairs = image_neardup_pairs(
+            images, max_hamming, bands, id_col, bytes_col, fmt_col,
+            max_bucket_size, signatures=signatures,
+        )
     caps = images.select(F.col(id_col), F.col(caption_col))
     ca = caps.select(
         F.col(id_col).alias("img_a"), F.col(caption_col).alias("caption_a")
@@ -194,6 +215,10 @@ def image_keep_best(
     fmt_col: str = "fmt",
     max_bucket_size: int | None = None,
     max_iter: int = 30,
+    pairs: DataFrame | None = None,
+    signatures: DataFrame | None = None,
+    w_col: str = "w",
+    h_col: str = "h",
 ) -> DataFrame:
     """Quality-aware canonical selection over perceptual clusters.
 
@@ -202,15 +227,18 @@ def image_keep_best(
     corpora; ties → smallest image_id).  Output: kept rows as
     (image_id, n_px long).  One per-cluster top-1 window — partitions by
     canonical_id, so it parallelizes across clusters (the
-    `dedup.dedup_keep_best` shape on the image payload)."""
+    `dedup.dedup_keep_best` shape on the image payload).
+
+    ``pairs`` / ``signatures``: optional precomputed stages (see
+    `image_neardup_clusters`) so composed pipelines decode once."""
     from pyspark.sql import Window
 
     cl = image_neardup_clusters(
         images, max_hamming, bands, id_col, bytes_col, fmt_col,
-        max_bucket_size, max_iter,
+        max_bucket_size, max_iter, pairs=pairs, signatures=signatures,
     )
     scored = images.select(
-        F.col(id_col), (F.col("w").cast("long") * F.col("h")).alias("n_px")
+        F.col(id_col), (F.col(w_col).cast("long") * F.col(h_col)).alias("n_px")
     )
     j = cl.join(scored, id_col)
     win = Window.partitionBy("canonical_id").orderBy(F.desc("n_px"), F.asc(id_col))

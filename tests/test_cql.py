@@ -100,6 +100,30 @@ def test_bbox_antimeridian_paths_agree(spark, events, box):
     assert _ids(want)  # non-vacuous: the fixture has rows in the band
 
 
+def test_bbox_entirely_below_range_is_plus360_image(spark, events):
+    """A box ENTIRELY below -180 (x1 < -180) is exactly its +360 image —
+    both paths select [x0+360, x1+360], never the over-selection up to
+    lon 180 the old straddle branch produced."""
+    expr = "BBOX(geom, -200, -20, -185, 20)"
+    got_pts = cql.cql_filter(events, expr, geometry=("lon", "lat"))
+    wkts = events.withColumn(
+        "gwkt",
+        F.concat(F.lit("POINT ("), F.col("lon").cast("string"), F.lit(" "),
+                 F.col("lat").cast("string"), F.lit(")")),
+    )
+    got_wkt = cql.cql_filter(wkts, expr.replace("geom", "gwkt"), geometry="gwkt")
+    want = events.filter(
+        (F.col("lon") >= 160) & (F.col("lon") <= 175)
+        & (F.col("lat") >= -20) & (F.col("lat") <= 20)
+    )
+    assert _ids(got_pts) == _ids(got_wkt) == _ids(want)
+    assert _ids(want)
+    # a point OUTSIDE the image but inside the old over-selection
+    probe = events.filter((F.col("lon") > 176) & (F.col("lat").between(-20, 20)))
+    if probe.take(1):
+        assert not set(_ids(probe)) & set(_ids(got_pts))
+
+
 def test_bbox_combines_with_attributes(spark, events):
     got = cql.cql_filter(
         events,

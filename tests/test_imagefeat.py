@@ -12,23 +12,7 @@ from geowave_spark.functions import imagefeat
 from geowave_spark.sources import images
 
 
-def _rows(n, start=0):
-    out = []
-    for i in range(start, start + n):
-        arr = images.pixels_for(i)
-        fmt = ("png", "bmp", "jpeg")[i % 3]
-        out.append(
-            {
-                "image_id": f"img{i:010d}",
-                "bytes": codec.encode_image(arr, fmt),
-                "w": arr.shape[1],
-                "h": arr.shape[0],
-                "fmt": fmt,
-                "caption": f"c{i}",
-                "phash": 0,
-            }
-        )
-    return out
+from conftest import image_rows as _rows
 
 
 def test_spark_features_match_numpy_reference(spark):

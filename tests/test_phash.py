@@ -18,23 +18,7 @@ def _img_df(spark, rows):
     return spark.createDataFrame(rows, images.SCHEMA)
 
 
-def _rows(n, start=0, fmt_cycle=("png", "bmp", "jpeg")):
-    out = []
-    for i in range(start, start + n):
-        arr = images.pixels_for(i)
-        fmt = fmt_cycle[i % len(fmt_cycle)]
-        out.append(
-            {
-                "image_id": f"img{i:010d}",
-                "bytes": codec.encode_image(arr, fmt),
-                "w": arr.shape[1],
-                "h": arr.shape[0],
-                "fmt": fmt,
-                "caption": f"c{i}",
-                "phash": 0,
-            }
-        )
-    return out
+from conftest import image_rows as _rows
 
 
 def test_spark_phash_matches_numpy_reference(spark):
