@@ -174,7 +174,10 @@ def encode_dct(arr: np.ndarray, q: float = _Q) -> bytes:
     coeffs = []
     for c in range(3):
         blocks, ph, pw = _blockify(arr[:, :, c].astype(np.float64) - 128.0)
-        f = np.einsum("ij,bcjk,lk->bcil", _D, blocks, _D)
+        # broadcast matmul over the (bh, bw) block grid — identical
+        # contraction to einsum("ij,bcjk,lk->bcil", D, blocks, D) but ~20x
+        # faster on small images (einsum's path overhead dominates there)
+        f = (_D @ blocks) @ _D.T
         quant = np.round(f / q)
         if abs(quant).max() > np.iinfo(np.int16).max:
             # the payload stores int16 coefficients; a too-small q would
@@ -200,7 +203,8 @@ def decode_dct(data: bytes) -> np.ndarray:
     out = np.empty((h, w, 3), np.uint8)
     for c in range(3):
         f = flat[c * nb : (c + 1) * nb].reshape(ph // 8, pw // 8, 8, 8) * q
-        blocks = np.einsum("ji,bcjk,kl->bcil", _D, f, _D)
+        # inverse transform as broadcast matmul (see encode_dct note)
+        blocks = (_D.T @ f) @ _D
         img = blocks.transpose(0, 2, 1, 3).reshape(ph, pw) + 128.0
         out[:, :, c] = np.clip(np.round(img[:h, :w]), 0, 255).astype(np.uint8)
     return out
