@@ -71,7 +71,9 @@ def compute_features(
             ]
             yield pd.DataFrame({id_col: pdf[id_col], out_col: feats})
 
-    return df.select(id_col, bytes_col, fmt_col).mapInPandas(
+    from .phash import ensure_decode_splits
+
+    return ensure_decode_splits(df.select(id_col, bytes_col, fmt_col)).mapInPandas(
         fn, f"{id_col} string, {out_col} array<float>"
     )
 

@@ -220,13 +220,21 @@ def test_image_neardup_pairs_no_cartesian_one_decode_pass(spark):
 
 
 def test_image_features_single_map_stage(spark):
-    """The feature pass is one MapInPandas over (id, bytes, fmt) — no
-    shuffle, no extra scan of the wide table."""
+    """The feature pass is one MapInPandas over (id, bytes, fmt).  A
+    production-shaped input (>= 64 partitions) passes through with NO
+    exchange; an under-partitioned local frame gets exactly the one
+    round-robin re-split (wave-evenness — see ensure_decode_splits)."""
     from geowave_spark.functions import imagefeat as feat
     from geowave_spark.sources import images as img
 
-    out = feat.compute_features(img.generate_images(spark, 200))
-    plan = _plan(out)
+    big_shape = img.generate_images(spark, 200).repartition(64)
+    plan = _plan(feat.compute_features(big_shape))
     assert plan.count("MapInPandas") >= 1
-    assert "Exchange" not in plan
     assert "CartesianProduct" not in plan
+    # the ONLY exchange is the caller's own repartition(64) — the decode
+    # guard added nothing on a production-shaped input
+    assert plan.count("Exchange") == 1
+
+    small = img.generate_images(spark, 200)  # 8 scan partitions
+    plan2 = _plan(feat.compute_features(small))
+    assert plan2.count("Exchange") == 1  # the decode re-split, nothing else
