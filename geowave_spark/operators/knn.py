@@ -33,9 +33,19 @@ def _tier_offsets_expr() -> Column:
 
 
 def _tier_expr(maxd: Column) -> Column:
-    """Coarsest tier whose cell side (180/2^t) >= max_distance."""
+    """Coarsest tier whose cell side (180/2^t) >= max_distance.
+
+    Degenerate radii are legal and must not poison the driver-side tier
+    collect: max_distance <= 0 (eps=0 DBSCAN means exact-duplicate
+    neighbors) and NULL (no match possible — the dist <= NULL refine
+    drops every pair) both pin to MAX_TIER instead of producing a NULL
+    tier (NULL would make TIER_OFFSETS[None] / sorted([None, 5]) throw
+    an unrelated-looking TypeError on the driver)."""
     t = F.floor(F.log2(F.lit(180.0) / maxd)).cast("int")
-    return F.least(F.greatest(t, F.lit(0)), F.lit(cells.MAX_TIER))
+    bounded = F.least(F.greatest(t, F.lit(0)), F.lit(cells.MAX_TIER))
+    return F.when(
+        maxd.isNull() | (maxd <= 0), F.lit(cells.MAX_TIER)
+    ).otherwise(bounded)
 
 
 def distance_candidates(
@@ -111,8 +121,14 @@ def distance_candidates(
         ),
     ).select(point_id, F.col(p_lon).alias("_p_lon"), F.col(p_lat).alias("_p_lat"), "key")
 
-    right = F.broadcast(q) if broadcast_queries else q
-    cand = pts.join(right, "key")
+    if broadcast_queries:
+        cand = pts.join(F.broadcast(q), "key")
+    else:
+        # both sides are exploded frames whose size Catalyst routinely
+        # under-estimates (post-filter/aggregate stats) — pin the
+        # spillable sort-merge plan like spatial_join._shuffle_join does,
+        # or a mis-broadcast of a 10^6+-row exploded side OOMs the driver
+        cand = pts.join(q.hint("merge"), "key")
 
     # explicit products (not pow) → bit-identical to the SQL oracle's dx*dx+dy*dy
     dx = F.col("_p_lon") - F.col("_q_lon")
@@ -208,9 +224,9 @@ def knn_adaptive(
         if d >= max_distance or remaining.limit(1).count() == 0:
             # at the cap: emit whatever the final round found for leftovers
             if d >= max_distance:
-                leftovers = topk.join(
-                    counts.filter(F.col("_n") >= k).select(query_id), query_id, "left_anti"
-                ).select(query_id, point_id, "dist", "rank")
+                leftovers = topk.join(done_qids, query_id, "left_anti").select(
+                    query_id, point_id, "dist", "rank"
+                )
                 results = results.unionByName(leftovers)
             break
         d = min(d * 4.0, float(max_distance))
@@ -241,12 +257,17 @@ def knn_geometry(
     radius d), the rest re-join at 4d.  Output: (query_id, point_id,
     dist, rank), ties by point id.
     """
-    from .spatial_join import tiered_spatial_join
+    from .spatial_join import probe_broadcastable, tiered_spatial_join
 
     remaining = queries.select(
         F.col(query_id).alias("polygon_id"), F.col(wkt_col).alias("wkt")
     )
     pts = points.select(point_id, p_lon, p_lat)
+    # the query side only SHRINKS across rounds, so one probe decides the
+    # plan for the whole loop: broadcast rounds carry (lon, lat) through
+    # the join (no second scan of the point table per round — round-3
+    # review); an oversized query side falls back to the id re-join
+    carry = probe_broadcastable(remaining, "wkt")
     results = None
     d = float(init_distance)
     while True:
@@ -254,13 +275,19 @@ def knn_geometry(
         # own exact-distance refine — the kernel below computes the exact
         # distance once and applies the <= d gate itself (the non-loose
         # join would run the same Arrow kernel a second time per round)
-        pairs = tiered_spatial_join(
-            pts, remaining, predicate="dwithin", radius=d,
-            point_id=point_id, lon_col=p_lon, lat_col=p_lat, loose=True,
-        )
+        if carry:
+            pairs = tiered_spatial_join(
+                pts, remaining, predicate="dwithin", radius=d,
+                point_id=point_id, lon_col=p_lon, lat_col=p_lat, loose=True,
+                broadcast_polygons=True, carry_cols=(p_lon, p_lat),
+            )
+        else:
+            pairs = tiered_spatial_join(
+                pts, remaining, predicate="dwithin", radius=d,
+                point_id=point_id, lon_col=p_lon, lat_col=p_lat, loose=True,
+            ).join(pts, point_id)
         cand = (
-            pairs.join(pts, point_id)
-            .join(F.broadcast(remaining), "polygon_id")
+            pairs.join(F.broadcast(remaining), "polygon_id")
             .withColumn(
                 "dist", geo_udfs.st_distance_point(F.col("wkt"), F.col(p_lon), F.col(p_lat))
             )

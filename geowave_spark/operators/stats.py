@@ -124,15 +124,13 @@ def range_lookup(
     pts = add_point_cols(points, lon_col, lat_col)
     has_index = "cell" in points.columns
     if has_index:
-        # closed=True: keep the boundary cell when the bbox's upper edge
-        # lies exactly on a cell line (query-side cover convention)
-        tier = cells.tier_for_bbox(bbox, max_dup=max_cells, closed=True)
-        cover = cells.cells_for_bbox_at_tier(bbox, tier, closed=True)
-        shift = 2 * (cells.MAX_TIER - tier)
-        pred = F.lit(False)
-        for lo, hi in cells.ranges_for_cover(cover):
-            pred = pred | F.col("cell").between(lo << shift, ((hi + 1) << shift) - 1)
-        pts = pts.filter(pred)
+        # one shared implementation of the boundary-closed cover → range
+        # predicate (sources/indexed.cell_range_predicate) — the seam /
+        # closed-edge conventions live in exactly one place
+        from ..sources.indexed import cell_range_predicate
+
+        pred, _ = cell_range_predicate(bbox, max_cells=max_cells, col="cell")
+        pts = pts.filter(pred if pred is not None else F.lit(False))
     # loose (IndexOnlySpatialQuery) skips only the EXACT refine — it still
     # requires an index pre-filter; without a stored cell column the bbox
     # filter IS the scan filter and must apply regardless

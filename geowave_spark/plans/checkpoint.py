@@ -88,13 +88,20 @@ class CheckpointedPipeline:
         change (e.g. input table snapshot id + parameter hash); a matching
         manifest short-circuits to a parquet read of the previous output.
         ``repartition=(n, cols)`` pre-partitions the checkpoint on the next
-        stage's join key.
+        stage's join key.  The spec is part of the matched identity: a
+        caller who changes (n, cols) without touching the fingerprint gets
+        a re-run, never a stale layout whose co-location guarantee the
+        next stage silently loses.
         """
         upstream = upstream or []
+        spec = [repartition[0], list(repartition[1])] if repartition else None
         man = self._load_manifest(name)
         data = self._data_path(name)
-        if man and man.get("fingerprint") == fingerprint and os.path.exists(
-            os.path.join(data, "_SUCCESS")
+        if (
+            man
+            and man.get("fingerprint") == fingerprint
+            and man.get("repartition", None) == spec
+            and os.path.exists(os.path.join(data, "_SUCCESS"))
         ):
             df = self.spark.read.parquet(data)
             self.results[name] = StageResult(
@@ -140,6 +147,7 @@ class CheckpointedPipeline:
                 {
                     "stage": name,
                     "fingerprint": fingerprint,
+                    "repartition": spec,
                     "upstream": upstream,
                     "rows": rows,
                     "partitions": partitions,

@@ -183,8 +183,14 @@ def write_indexed_balanced(
     """
     from ..sources.indexed import with_cell_column
 
-    out = with_cell_column(df, lon_col, lat_col, phash_col).localCheckpoint()
-    hist = row_range_histogram(out, "cell", n_bins=max(n_files * 8, 64))
+    out = with_cell_column(df, lon_col, lat_col, phash_col)
+    # the histogram pass needs ONLY the 8-byte cell column — caching the
+    # full payload rows (multi-KB image bytes) to share compute with the
+    # write would evict/spill executor storage at real table sizes; two
+    # column-pruned scans move strictly less data (round-3 review)
+    hist = row_range_histogram(
+        out.select("cell").localCheckpoint(), "cell", n_bins=max(n_files * 8, 64)
+    )
     cuts = split_points(hist, n_files)
     arr = F.array(*[F.lit(c) for c in cuts]) if cuts else F.array(F.lit(0))
     fid = (
