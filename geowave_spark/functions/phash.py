@@ -74,7 +74,13 @@ def ensure_decode_splits(df: DataFrame) -> DataFrame:
     cores run as 2 ragged waves and measured 0.63 scaling efficiency vs
     0.96 with 4 splits/core (BENCH.md image scaling).  Only frames under
     64 partitions are ever touched — a production table scans with far
-    more splits than that, so no bytes ever shuffle at real scale."""
+    more splits than that, so no bytes ever shuffle at real scale.
+
+    Streaming frames pass through untouched: partition count is a
+    micro-batch property there (``df.rdd`` is illegal pre-start), and the
+    source's ``maxFilesPerTrigger``/topic partitioning owns parallelism."""
+    if df.isStreaming:
+        return df
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism * 4
     parts = df.rdd.getNumPartitions()
