@@ -595,8 +595,13 @@ def q_st_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``subbin``: one-week slice inside the year bin answered from the
       bias-bits (bin, interleave(x, y, t)) layout — key-range pruning
       below bin granularity (write_indexed_st / st_subbin_range_lookup,
-      the SpatialTemporalDimensionalityTypeProvider bias-bits analog).
+      the SpatialTemporalDimensionalityTypeProvider bias-bits analog);
+    * ``cql``: the same spatio-temporal shape expressed as ONE (E)CQL
+      string — BBOX + DURING + IN/LIKE/BETWEEN through the recursive
+      parser (functions/cql, the CQLQueryFilter analog), so the filter
+      language itself sits behind the DuckDB oracle gate.
     """
+    from .functions import cql as _cql
     from .operators import spatiotemporal as st
     from .sources import indexed as _indexed
 
@@ -614,7 +619,18 @@ def q_st_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", _cents(F.col("value")).alias("value_c"),
         F.lit("subbin").alias("kind"),
     )
-    return binq.unionByName(sub)
+    cqlq = _cql.cql_filter(
+        ev,
+        "BBOX(geom, -30, 10, 45, 55) "
+        "AND ts DURING 2024-01-06T00:00:00Z/2024-01-20T00:00:00Z "
+        "AND (event_type IN ('click', 'view') OR event_type LIKE 'purch%') "
+        "AND value BETWEEN 5 AND 400",
+        geometry=("lon", "lat"),
+    ).select(
+        "event_id", "event_type", _cents(F.col("value")).alias("value_c"),
+        F.lit("cql").alias("kind"),
+    )
+    return binq.unionByName(sub).unionByName(cqlq)
 
 
 def q_st_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1559,11 +1575,24 @@ def _oracle_st_range() -> str:
             f"AND lat >= CAST({y0!r} AS DOUBLE) AND lat <= CAST({y1!r} AS DOUBLE)"
         )
 
+    cql_leg = (
+        f"SELECT event_id, event_type, {sql_cents('value')} AS value_c, "
+        "'cql' AS kind FROM ev "
+        f"WHERE lon >= CAST({x0!r} AS DOUBLE) AND lon <= CAST({x1!r} AS DOUBLE) "
+        f"AND lat >= CAST({y0!r} AS DOUBLE) AND lat <= CAST({y1!r} AS DOUBLE) "
+        # DURING is the OPEN interval (OGC temporal semantics) — strict >/<
+        "AND ts > TIMESTAMP '2024-01-06 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-20 00:00:00' "
+        "AND (event_type IN ('click', 'view') OR event_type LIKE 'purch%') "
+        "AND value BETWEEN 5 AND 400"
+    )
     return (
         f"WITH {EV_CTE} "
         + win(ST_EPOCH_2024_US + ST_T0_US, ST_EPOCH_2024_US + ST_T1_US, "bin")
         + " UNION ALL "
         + win(ST_SUBBIN_T0_US, ST_SUBBIN_T1_US, "subbin")
+        + " UNION ALL "
+        + cql_leg
     )
 
 
