@@ -229,18 +229,30 @@ def st_distance_wkt(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
 
 
 def _within_group(gb, left_wkts: np.ndarray, scalar_fn) -> np.ndarray:
-    """left-WITHIN-gb group kernel: when gb is a closed box, ANY left
-    geometry is within it iff its bbox is — one vectorized interval test
-    per group; non-box gb falls back to the scalar kernel per pair."""
+    """left-WITHIN-gb group kernel: when gb is a closed box, coverage is
+    one vectorized interval test per group.  JTS `within` additionally
+    needs interior contact: a left bbox STRICTLY inside the open box
+    implies it (and any positive-area left implies it when covered), so
+    only boundary-touching lower-dim candidates take the scalar
+    interiors refine — a measure-zero family on real data.  Non-box gb
+    falls back to the scalar kernel per pair."""
     gs = [geom.geometry_from_wkt(w) for w in left_wkts]
     out = np.zeros(len(gs), dtype=bool)
     if isinstance(gb, geom.Polygon) and gb.is_box():
         bx0, by0, bx1, by1 = gb.bbox
         arr = np.array([g.bbox for g in gs], dtype=np.float64)
-        return (
+        fits = (
             (arr[:, 0] >= bx0) & (arr[:, 1] >= by0)
             & (arr[:, 2] <= bx1) & (arr[:, 3] <= by1)
         )
+        strict = (
+            (arr[:, 0] > bx0) & (arr[:, 1] > by0)
+            & (arr[:, 2] < bx1) & (arr[:, 3] < by1)
+        )
+        for i in np.nonzero(fits & ~strict)[0]:
+            if geom._dim(gs[i]) < 2:
+                fits[i] = geom.interiors_intersect_pair(gs[i], gb)
+        return fits
     for i, g in enumerate(gs):
         out[i] = scalar_fn(g, gb)
     return out
@@ -276,7 +288,7 @@ def _scalar_group(gb, left_wkts: np.ndarray, scalar_fn) -> np.ndarray:
 
 @F.pandas_udf(T.BooleanType())
 def st_within_wkt(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
-    """A within B (inclusive coveredBy — GeomWithin/GeomCovers family)."""
+    """A within B (JTS-strict: coveredBy AND interior contact)."""
     got = _group_vectorized(wkt_a, wkt_b, geom.within_pair, _within_group)
     return pd.Series(got.astype(bool))
 

@@ -710,8 +710,14 @@ def _hole_rings(g) -> list:
 
 
 def within_pair(ga, gb) -> bool:
-    """JTS-`within`-style (inclusive): ga lies in the closed gb."""
-    return covers_pair(gb, ga)
+    """JTS-`within` (strict DE-9IM ``T*F**F***``): ga lies in the CLOSED
+    gb AND the interiors intersect — a geometry lying wholly ON gb's
+    boundary is coveredBy but not within (the within/coveredBy
+    distinction, mirroring contains/covers).  For positive-area ga the
+    interior clause is implied by coverage (an open nonempty interior
+    cannot fit inside a boundary), so area×area behavior is unchanged;
+    it bites exactly for points/lines riding the boundary."""
+    return covers_pair(gb, ga) and interiors_intersect_pair(ga, gb)
 
 
 def equals_pair(ga, gb) -> bool:
@@ -966,8 +972,23 @@ def interiors_intersect_pair(ga, gb) -> bool:
     if bool(_strictly_inside(ga, sb[:, 0], sb[:, 1]).any()):
         return True
     # equal or nested with all samples exactly on the shared boundary: a
-    # positive-area geometry covered by the other still shares interior
-    return covers_pair(ga, gb) or covers_pair(gb, ga)
+    # positive-area geometry covered by the other still shares interior.
+    # Decompose multipolygons per PART: a part of one covered by the other
+    # shares interior even when neither WHOLE covers the other (two
+    # multipolygons sharing one identical part plus disjoint extras must
+    # report interior contact); parts have disjoint interiors by validity,
+    # so part-pair covers is exhaustive for this residual case
+    pas = [p for p in (ga.parts if isinstance(ga, MultiGeometry) else [ga]) if _dim(p) == 2]
+    pbs = [p for p in (gb.parts if isinstance(gb, MultiGeometry) else [gb]) if _dim(p) == 2]
+    for pa in pas:
+        px0, py0, px1, py1 = pa.bbox
+        for pb in pbs:
+            qx0, qy0, qx1, qy1 = pb.bbox
+            if px0 > qx1 or qx0 > px1 or py0 > qy1 or qy0 > py1:
+                continue
+            if covers_pair(pa, pb) or covers_pair(pb, pa):
+                return True
+    return False
 
 
 def touches_pair(ga, gb) -> bool:

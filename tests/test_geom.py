@@ -143,11 +143,19 @@ def test_covers_within_equals_family():
         (P("LINESTRING (1 1, 3 3)"), sq, True),
         (P("LINESTRING (1 1, 9 9)"), sq, False),
         (P("LINESTRING (2 10, 18 10)"), hole, False),              # crosses hole
-        (P("POINT (0 2)"), sq, True),                              # boundary point
     ]
     for b, a, want in cases:
         assert geom.within_pair(b, a) == want
         assert geom.covers_pair(a, b) == want
+    # boundary point: covered but NOT within (JTS-strict T*F**F*** — the
+    # interiors never meet when the point rides the boundary)
+    bp = P("POINT (0 2)")
+    assert geom.covers_pair(sq, bp)
+    assert not geom.within_pair(bp, sq)
+    assert geom.touches_pair(bp, sq)
+    # interior point: both
+    ip = P("POINT (1 2)")
+    assert geom.covers_pair(sq, ip) and geom.within_pair(ip, sq)
     assert geom.equals_pair(sq, P("POLYGON ((4 0, 4 4, 0 4, 0 0, 4 0))"))
     assert not geom.equals_pair(sq, hole)
     # line-covers-line: witness-sampled collinear coverage (round-2 add;

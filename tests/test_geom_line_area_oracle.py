@@ -1,0 +1,223 @@
+"""Exact independent oracle for line × area predicates.
+
+Companion to test_geom_sampling_oracle (area × area): for a SEGMENT CHAIN
+against a RECTILINEAR polygon, every predicate has closed-form truth via
+exact rational arithmetic — no sampling error at all:
+
+* cut each segment at every contact parameter with every polygon edge
+  (edges are axis-aligned; contact params are exact ``Fraction``s);
+* classify each sub-segment midpoint (a Fraction point) as strictly
+  inside / strictly outside / on-boundary with an exact half-open
+  ray cast — midpoints of cut sub-segments can only be on the boundary
+  when the sub-segment is COLLINEAR with an edge, which the
+  classification handles as 'bnd';
+* DE-9IM truth then reads off the midpoint classes:
+      interiors(line, poly) = any 'in' midpoint
+      covered_by            = no 'out' midpoint and no 'out' endpoint
+      crosses               = interiors and some part outside
+      touches               = contact and not interiors
+      within                = covered_by and interiors
+
+The historical kernel bugs (corner-contact crosses, dashed-line covers,
+cut-midpoint witnesses) are exactly line-vs-area classification errors —
+this oracle decides every such case with zero tolerance.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+from geowave_spark import geom
+
+from test_geom_sampling_oracle import _rand_rectilinear, _rings_of
+
+W = geom.geometry_from_wkt
+
+
+# ---------------------------------------------------------------------------
+# exact primitives (integer coords: all inputs are half-integer, doubled)
+# ---------------------------------------------------------------------------
+
+def _int_edges(wkt: str) -> list[tuple[int, int, int, int]]:
+    out = []
+    for ring in _rings_of(wkt):
+        a = np.rint(ring[:-1] * 2).astype(np.int64)
+        b = np.rint(ring[1:] * 2).astype(np.int64)
+        for (x0, y0), (x1, y1) in zip(a, b):
+            out.append((int(x0), int(y0), int(x1), int(y1)))
+    return out
+
+
+def _pip_exact(edges, x: Fraction, y: Fraction) -> str:
+    """'in' / 'out' / 'bnd' via exact on-edge test + half-open ray cast."""
+    for ex0, ey0, ex1, ey1 in edges:
+        if ex0 == ex1:  # vertical
+            if x == ex0 and min(ey0, ey1) <= y <= max(ey0, ey1):
+                return "bnd"
+        else:  # horizontal
+            if y == ey0 and min(ex0, ex1) <= x <= max(ex0, ex1):
+                return "bnd"
+    cnt = 0
+    for ex0, ey0, ex1, ey1 in edges:
+        if ex0 != ex1:
+            continue  # horizontal edges never count in the vertical-edge cast
+        lo, hi = (ey0, ey1) if ey0 < ey1 else (ey1, ey0)
+        if lo <= y < hi and x < ex0:  # half-open: vertex-y rays stay exact
+            cnt += 1
+    return "in" if cnt % 2 else "out"
+
+
+def _cut_params(ax, ay, bx, by, edges) -> list[Fraction]:
+    """All contact parameters t in [0,1] of segment (a->b) with the
+    axis-aligned edge set, exact."""
+    dx, dy = bx - ax, by - ay
+    ts = {Fraction(0), Fraction(1)}
+    for ex0, ey0, ex1, ey1 in edges:
+        if ex0 == ex1:  # vertical edge x = c
+            c = ex0
+            lo, hi = min(ey0, ey1), max(ey0, ey1)
+            if dx == 0:
+                if ax == c:  # collinear: project edge endpoints
+                    if dy != 0:
+                        for ey in (lo, hi):
+                            t = Fraction(ey - ay, dy)
+                            if 0 <= t <= 1:
+                                ts.add(t)
+                continue
+            t = Fraction(c - ax, dx)
+            if 0 <= t <= 1:
+                yy = ay + t * dy
+                if lo <= yy <= hi:
+                    ts.add(t)
+        else:  # horizontal edge y = c
+            c = ey0
+            lo, hi = min(ex0, ex1), max(ex0, ex1)
+            if dy == 0:
+                if ay == c:
+                    if dx != 0:
+                        for ex in (lo, hi):
+                            t = Fraction(ex - ax, dx)
+                            if 0 <= t <= 1:
+                                ts.add(t)
+                continue
+            t = Fraction(c - ay, dy)
+            if 0 <= t <= 1:
+                xx = ax + t * dx
+                if lo <= xx <= hi:
+                    ts.add(t)
+    return sorted(ts)
+
+
+def _line_area_truth(line_pts: list[tuple[float, float]], poly_wkt: str) -> dict[str, bool]:
+    edges = _int_edges(poly_wkt)
+    ipts = [(int(round(x * 2)), int(round(y * 2))) for x, y in line_pts]
+    mids: list[str] = []
+    contact = False
+    for (ax, ay), (bx, by) in zip(ipts[:-1], ipts[1:]):
+        if (ax, ay) == (bx, by):
+            continue
+        ts = _cut_params(ax, ay, bx, by, edges)
+        for t in ts:
+            if 0 < t < 1:
+                contact = True  # cut points lie ON an edge by construction
+        for t0, t1 in zip(ts[:-1], ts[1:]):
+            tm = (t0 + t1) / 2
+            mids.append(
+                _pip_exact(edges, ax + tm * (bx - ax), ay + tm * (by - ay))
+            )
+    ends = [_pip_exact(edges, Fraction(x), Fraction(y)) for x, y in ipts]
+    interiors = "in" in mids
+    some_out = "out" in mids or "out" in ends
+    contact = contact or any(c != "out" for c in mids) or any(c != "out" for c in ends)
+    covered = not some_out
+    return {
+        "intersects": contact,
+        "disjoint": not contact,
+        "interiors": interiors,
+        "touches": contact and not interiors,
+        "within_line": covered and interiors,   # line WITHIN polygon
+        "covers_poly_line": covered,            # polygon COVERS line
+        "crosses": interiors and some_out,
+        "overlaps": False,                      # mixed dims never overlap
+        "equals": False,                        # mixed dims never equal
+    }
+
+
+def _rand_chain(rng: np.random.RandomState) -> list[tuple[float, float]]:
+    """2-4 vertex polyline on the half-integer grid; mixes axis-aligned
+    (collinear-overlap cases) and diagonal (corner-contact cases) steps."""
+    n = rng.randint(2, 5)
+    x, y = rng.randint(-8, 7) / 2.0, rng.randint(-8, 7) / 2.0
+    pts = [(x, y)]
+    for _ in range(n - 1):
+        k = rng.randint(3)
+        dx = rng.randint(-6, 7) / 2.0
+        dy = rng.randint(-6, 7) / 2.0
+        if k == 0:
+            dy = 0.0
+        elif k == 1:
+            dx = 0.0
+        if dx == 0.0 and dy == 0.0:
+            dx = 0.5
+        x, y = x + dx, y + dy
+        pts.append((x, y))
+    return pts
+
+
+def _chain_wkt(pts: list[tuple[float, float]]) -> str:
+    return "LINESTRING (" + ", ".join(f"{x} {y}" for x, y in pts) + ")"
+
+
+@pytest.mark.parametrize("seed", [3, 17, 31, 43])
+def test_line_area_kernel_matches_exact_truth(seed):
+    rng = np.random.RandomState(seed)
+    n_checked = 0
+    for _ in range(150):
+        poly = _rand_rectilinear(rng)
+        pts = _rand_chain(rng)
+        want = _line_area_truth(pts, poly)
+        gl, gp = W(_chain_wkt(pts)), W(poly)
+        got = {
+            "intersects": geom.intersects_pair(gl, gp),
+            "disjoint": geom.disjoint_pair(gl, gp),
+            "interiors": geom.interiors_intersect_pair(gl, gp),
+            "touches": geom.touches_pair(gl, gp),
+            "within_line": geom.within_pair(gl, gp),
+            "covers_poly_line": geom.covers_pair(gp, gl),
+            "crosses": geom.crosses_pair(gl, gp),
+            "overlaps": geom.overlaps_pair(gl, gp),
+            "equals": geom.equals_pair(gl, gp),
+        }
+        for name in want:
+            assert bool(got[name]) == want[name], (
+                f"{name}: kernel={bool(got[name])} truth={want[name]} for\n"
+                f"  line={_chain_wkt(pts)}\n  poly={poly}"
+            )
+        n_checked += 1
+    assert n_checked == 150
+
+
+def test_line_area_known_hard_cases():
+    """The historical ADVICE shapes, pinned against the exact oracle."""
+    box = "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+    cases = [
+        # corner-to-corner diagonal through the box (midpoint strictly in)
+        [(-1.0, -1.0), (3.0, 3.0)],
+        # diagonal hitting one corner only (touch, no interior)
+        [(-1.0, 1.0), (1.0, -1.0)],  # wait: passes through (0,0)? no: x+y=0 line hits corner (0,0) and (1,-1)? recompute below
+        # edge-riding segment (covered by boundary, no interior)
+        [(0.0, 0.0), (1.0, 0.0)],
+        # dashed bridge over the boundary
+        [(0.5, 0.5), (0.5, 2.0)],
+    ]
+    for pts in cases:
+        want = _line_area_truth(pts, box)
+        gl, gp = W(_chain_wkt(pts)), W(box)
+        assert geom.intersects_pair(gl, gp) == want["intersects"], pts
+        assert geom.interiors_intersect_pair(gl, gp) == want["interiors"], pts
+        assert geom.touches_pair(gl, gp) == want["touches"], pts
+        assert geom.crosses_pair(gl, gp) == want["crosses"], pts
+        assert geom.covers_pair(gp, gl) == want["covers_poly_line"], pts
