@@ -586,6 +586,32 @@ def _segments_proper_cross_any(A: np.ndarray, B: np.ndarray) -> bool:
     return bool(_segments_proper_cross_matrix(A, B).any())
 
 
+def _proper_cross_line_interior_any(ga, gb, A: np.ndarray, B: np.ndarray) -> bool:
+    """Line×line: any proper segment crossing whose crossing POINT is not
+    a Mod-2 boundary endpoint of either geometry.
+
+    A segment-level proper cross is strictly inside both SEGMENTS, but in
+    a multi-part / revisiting chain the crossing point can coincide with
+    a dangling endpoint elsewhere in the same geometry — such a point is
+    in the geometry's BOUNDARY (SFS Mod-2 rule), so it witnesses no
+    interior-interior contact (JTS relate: the node takes the Boundary
+    label).  Blocked exactly: the unique crossing point of a properly
+    crossing pair equals boundary point q iff q lies ON both segments
+    (exact orientation tests — no float crossing-point is computed)."""
+    M = _segments_proper_cross_matrix(A, B)
+    if not M.any():
+        return False
+    bd = np.concatenate([_boundary_points(ga), _boundary_points(gb)])
+    if not bd.size:
+        return True
+    blocked = np.zeros_like(M)
+    for qx, qy in bd:
+        on_a = _on_segment_exact(qx, qy, A[:, 0], A[:, 1], A[:, 2], A[:, 3])
+        on_b = _on_segment_exact(qx, qy, B[:, 0], B[:, 1], B[:, 2], B[:, 3])
+        blocked |= on_a[:, None] & on_b[None, :]
+    return bool((M & ~blocked).any())
+
+
 def covers_pair(ga, gb) -> bool:
     """JTS-`covers`: every point of gb lies in the CLOSED ga.
 
@@ -946,9 +972,13 @@ def interiors_intersect_pair(ga, gb) -> bool:
         return bool(_strictly_inside(gb, pts[:, 0], pts[:, 1]).any())
     if db == 1:  # line × line
         A, B = _nondeg_segments(ga), _nondeg_segments(gb)
-        if _segments_proper_cross_any(A, B):
-            return True
         if _collinear_overlap_any(A, B):
+            return True
+        # proper crossings witness interior contact only when the crossing
+        # point is not a Mod-2 boundary endpoint of either side (a dangling
+        # endpoint elsewhere in a multi-part chain can sit exactly on the
+        # crossing — the node is Boundary, not Interior)
+        if _proper_cross_line_interior_any(ga, gb, A, B):
             return True
         return _line_vertex_interior_contact(ga, gb) or _line_vertex_interior_contact(gb, ga)
     if da == 1:  # line × area
