@@ -171,10 +171,18 @@ def _rand_rectilinear(rng: np.random.RandomState) -> str:
             f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}), "
             f"({hx0} {hy0}, {hx0} {hy1}, {hx1} {hy1}, {hx1} {hy0}, {hx0} {hy0}))"
         )
-    # multipolygon: two boxes (occasionally adjacent or overlapping range)
+    # multipolygon: two boxes (occasionally corner-touching).  SFS/JTS
+    # validity requires parts to touch at FINITELY many points, never
+    # along a positive-length edge; dx == 1.0 makes the boxes x-adjacent,
+    # so force dy >= 1.0 there (part1 is 1 tall) to demote a would-be
+    # shared edge to a single corner point — edge-adjacent multis are
+    # invalid input, on which union-parity truth and per-part kernels
+    # legitimately disagree (fuzz seeds 265/288 of the line×area oracle).
     x0, y0 = g(-8, 0), g(-8, 0)
     dx = rng.randint(2, 8) / 2.0
     dy = rng.randint(0, 8) / 2.0
+    if dx == 1.0 and dy < 1.0:
+        dy = 1.0
     return (
         "MULTIPOLYGON ((("
         f"{x0} {y0}, {x0 + 1} {y0}, {x0 + 1} {y0 + 1}, {x0} {y0 + 1}, {x0} {y0})), "
@@ -252,3 +260,38 @@ def test_hole_exactly_filled_by_other():
     ga, gb = W(a), W(b)
     for name, fn in PAIR_FNS.items():
         assert bool(fn(ga, gb)) == want[name], name
+
+
+def test_rand_rectilinear_multipolygons_are_valid():
+    """The fuzz generator must emit only SFS-valid multipolygons: parts may
+    touch at finitely many points, never share a positive-length boundary
+    segment (JTS declares edge-adjacent parts invalid, and DE-9IM truth is
+    undefined there — union-parity oracles and per-part kernels disagree).
+    Pins the fix for fuzz-found line×area `within` mismatches (seeds
+    265/288): dx == 1.0 x-adjacency demoted to a corner point-touch."""
+    rng = np.random.RandomState(0)
+    n_multi = 0
+    for _ in range(4000):
+        wkt = _rand_rectilinear(rng)
+        if not wkt.startswith("MULTIPOLYGON"):
+            continue
+        n_multi += 1
+        rings = [np.rint(r * 2).astype(np.int64) for r in _rings_of(wkt)]
+        assert len(rings) == 2
+        (a, b) = rings
+        # collect axis-aligned edges per part as (axis, coord, lo, hi)
+        def edges(r):
+            out = []
+            for (x0, y0), (x1, y1) in zip(r[:-1], r[1:]):
+                if x0 == x1:
+                    out.append(("v", int(x0), min(y0, y1), max(y0, y1)))
+                else:
+                    out.append(("h", int(y0), min(x0, x1), max(x0, x1)))
+            return out
+        for axa, ca, loa, hia in edges(a):
+            for axb, cb, lob, hib in edges(b):
+                if axa == axb and ca == cb:
+                    # collinear edges of the two parts must not overlap
+                    # with positive length
+                    assert min(hia, hib) - max(loa, lob) <= 0, wkt
+    assert n_multi > 500  # the branch is actually exercised
