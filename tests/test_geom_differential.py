@@ -111,7 +111,7 @@ def _unwrap(fn):
     return getattr(fn, "func", fn)
 
 
-@pytest.mark.parametrize("seed", [11, 23, 37])
+@pytest.mark.parametrize("seed", [11, 23, 37, 529])
 def test_vectorized_matches_scalar_random_pairs(seed):
     rng = np.random.RandomState(seed)
     rights = [_rand_geom(rng) for _ in range(8)]

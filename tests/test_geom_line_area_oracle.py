@@ -171,7 +171,7 @@ def _chain_wkt(pts: list[tuple[float, float]]) -> str:
     return "LINESTRING (" + ", ".join(f"{x} {y}" for x, y in pts) + ")"
 
 
-@pytest.mark.parametrize("seed", [3, 17, 31, 43])
+@pytest.mark.parametrize("seed", [3, 17, 31, 43, 265, 288, 471])
 def test_line_area_kernel_matches_exact_truth(seed):
     rng = np.random.RandomState(seed)
     n_checked = 0

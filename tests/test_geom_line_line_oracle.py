@@ -219,7 +219,7 @@ PAIR_FNS = {
 }
 
 
-@pytest.mark.parametrize("seed", [7, 21, 33, 47])
+@pytest.mark.parametrize("seed", [7, 21, 33, 47, 137, 284])
 def test_line_line_kernel_matches_exact_truth(seed):
     rng = np.random.RandomState(seed)
     for _ in range(150):
@@ -284,7 +284,7 @@ def _mwkt(parts) -> str:
     )
 
 
-@pytest.mark.parametrize("seed", [901, 913, 927])
+@pytest.mark.parametrize("seed", [901, 913, 927, 1042, 1133])
 def test_multiline_kernel_matches_exact_truth(seed):
     rng = np.random.RandomState(seed)
     for _ in range(100):

@@ -206,7 +206,7 @@ PAIR_FNS = {
 }
 
 
-@pytest.mark.parametrize("seed", [2, 13, 29, 41])
+@pytest.mark.parametrize("seed", [2, 13, 29, 41, 407, 463])
 def test_scalar_kernel_matches_sampling_truth(seed):
     rng = np.random.RandomState(seed)
     for _ in range(120):
