@@ -615,39 +615,37 @@ def _proper_cross_line_interior_any(ga, gb, A: np.ndarray, B: np.ndarray) -> boo
 def covers_pair(ga, gb) -> bool:
     """JTS-`covers`: every point of gb lies in the CLOSED ga.
 
-    Exact for ga with area via: all gb vertices (and segment midpoints) in
-    closed ga + no proper segment crossing between gb and ga's boundary.
-    The midpoint test closes the concave case where a gb edge slips out
-    through a reflex vertex of ga; configurations where an edge exits and
-    re-enters PRECISELY through two boundary vertices with its midpoint
-    also inside are the one measure-zero family this test can miss
-    (document-level caveat; box ga is fully exact via interval algebra).
-    For ga without area, only point containment is supported (a line
-    covering a line needs collinear-overlap arrangement — out of scope).
+    Exact, with a two-tier design: generic pairs are decided by the
+    float witness path below (all gb vertices, segment midpoints and
+    cut-sub-segment midpoints in closed ga + no proper boundary crossing
+    + hole witnesses — exact-double, SQL-replicable); pairs in DEGENERATE
+    CONTACT (a vertex of one geometry exactly on a segment of the other —
+    the only configurations where float witnesses can land on boundaries)
+    route to the exact rational fallback (:func:`exactgeom.covers`), which
+    is certified for piecewise-linear inputs.  Box ga stays on the exact
+    interval-algebra fast path.  A 0/1-dim ga covering gb is inherently a
+    degenerate-contact question and always runs exact.
     """
     if isinstance(gb, Point):
         return bool(np.any(ga.contains(np.array([gb.x]), np.array([gb.y]))))
     if not _has_area(ga):
         # lower-dim cover: a 0/1-dim geometry never covers an area; a line
-        # covers a line iff every witness sample (vertices + segment
-        # midpoints) lies on it — same sampling caveat as the area tests
+        # covers a line iff every cut-sub-segment of gb lies ON ga —
+        # decided in exact rational arithmetic (on-ga contact is the
+        # degenerate family by definition)
         if _has_area(gb) or isinstance(ga, Point):
             return False
-        sp = _sample_points(gb)
-        # subdivide gb's segments at contacts with ga's segments/endpoints:
-        # a gb segment bridging a GAP in a dashed multi-part ga can have all
-        # of vertices+midpoints on ga while the gap midpoint is not — the
-        # cut midpoints (cuts at ga endpoint contacts) expose the gap
-        cm = _cut_midpoints(gb.segments(), ga.segments())
-        if cm.size:
-            sp = np.concatenate([sp, cm])
-        return bool(np.all(ga.contains(sp[:, 0], sp[:, 1])))
+        from . import exactgeom
+        return exactgeom.covers(ga, gb)
     ax0, ay0, ax1, ay1 = ga.bbox
     bx0, by0, bx1, by1 = gb.bbox
     if bx0 < ax0 or bx1 > ax1 or by0 < ay0 or by1 > ay1:
         return False
     if isinstance(ga, Polygon) and ga.is_box():
         return True  # bbox containment is exact for a closed box
+    from . import exactgeom
+    if exactgeom.degenerate_contact(ga, gb):
+        return exactgeom.covers(ga, gb)
     vb = gb.vertices()
     if not bool(np.all(ga.contains(vb[:, 0], vb[:, 1]))):
         return False
@@ -668,9 +666,9 @@ def covers_pair(ga, gb) -> bool:
     # though no gb vertex/edge touches it: witness via hole vertices AND
     # hole-edge midpoints strictly interior to gb (the midpoints close the
     # inscribed-diamond case where every hole vertex sits exactly on gb's
-    # boundary; like the outer test, configurations where every sampled
-    # hole point lies precisely on gb's boundary remain the documented
-    # measure-zero escape)
+    # boundary; configurations where every sampled hole point lies
+    # precisely on gb's boundary are degenerate contacts and were routed
+    # to the exact rational fallback above, so they never reach this code)
     if _has_area(gb):
         Sg = gb.segments()
         for hole in _hole_rings(ga):
@@ -782,8 +780,9 @@ def equals_pair(ga, gb) -> bool:
 # Interior-aware predicates (touches / crosses / overlaps / contains /
 # disjoint) — completes the reference's registered 9-op family
 # (GeomFunctionRegistry.java:26-42, UDFRegistrySPI.java:16-27) as true
-# geometry predicates rather than interval algebra.  Same witness-sampling
-# design (and measure-zero caveats) as covers_pair above.
+# geometry predicates rather than interval algebra.  Same two-tier design
+# as covers_pair above: float witnesses for generic pairs, the exact
+# rational fallback (exactgeom) for degenerate-contact pairs.
 # ---------------------------------------------------------------------------
 
 
@@ -953,6 +952,13 @@ def interiors_intersect_pair(ga, gb) -> bool:
     bx0, by0, bx1, by1 = gb.bbox
     if ax0 > bx1 or bx0 > ax1 or ay0 > by1 or by0 > ay1:
         return False
+    # degenerate-contact pairs involving an area go to the exact rational
+    # kernel (the line×line path below is already exact via blocked
+    # orientation tests and stays here)
+    if max(_dim(ga), _dim(gb)) == 2:
+        from . import exactgeom
+        if exactgeom.degenerate_contact(ga, gb):
+            return exactgeom.interiors_intersect(ga, gb)
     if _dim(ga) > _dim(gb):
         ga, gb = gb, ga
     da, db = _dim(ga), _dim(gb)
