@@ -337,14 +337,54 @@ def q_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tracks_df_via_shapefile(spark: SparkSession) -> DataFrame:
+    """The tornado-track workload round-tripped through the ESRI shapefile
+    ingest path (sources/shapefile.py): written once to a deterministic
+    temp location, re-read with ``read_shapefile``.  The WKT reproduces
+    ``_tracks_df`` bit-for-bit (pinned in tests/test_shapefile.py), so the
+    DuckDB oracle is unchanged — this makes the driver's line_dwithin_join
+    a true ingest→index→join pipeline, mirroring the reference's flagship
+    IT (shapefile ingest → spatial join,
+    AbstractGeoWaveBasicVectorIT.java:150-215).  Falls back to the
+    in-memory frame if the scratch dir is unwritable (read-only images)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from .sources import shapefile as _shp
+
+    try:
+        d = _os.path.join(_tempfile.gettempdir(), "geowave_spark_fixtures")
+        _os.makedirs(d, exist_ok=True)
+        stem = _os.path.join(d, "line_tracks")
+        if not (_os.path.exists(stem + ".shp") and _os.path.exists(stem + ".dbf")):
+            tmp_stem = stem + f".tmp{_os.getpid()}"
+            _shp.write_shapefile(
+                tmp_stem,
+                [(3, [[(float(x), float(y)) for x, y in pts]]) for _, pts in LINE_TRACKS],
+                records=[{"TRACK_ID": tid} for tid, _ in LINE_TRACKS],
+                fields=[("TRACK_ID", "C", 16, 0)],
+            )
+            _os.replace(tmp_stem + ".shp", stem + ".shp")
+            _os.replace(tmp_stem + ".dbf", stem + ".dbf")
+        df = _shp.read_shapefile(spark, stem + ".shp")
+        return df.select(
+            F.get_json_object("attributes", "$.TRACK_ID").alias("polygon_id"),
+            "wkt",
+        )
+    except OSError:
+        return _tracks_df(spark)
+
+
 def q_line_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Points × LINESTRING tracks within distance — the reference's own
     flagship IT shape (hail points × tornado tracks,
-    GeoWaveSparkSpatialJoinIT.java:97-175)."""
+    GeoWaveSparkSpatialJoinIT.java:97-175).  The track side arrives via
+    the shapefile INGEST path, not createDataFrame — end-to-end parity
+    with the reference IT's ingest→join flow."""
     ev = _events(spark, sf_dir)
     return spatial_join.tiered_spatial_join(
-        ev, _tracks_df(spark), predicate="dwithin", radius=LINE_RADIUS,
-        point_id="event_id",
+        ev, _tracks_df_via_shapefile(spark), predicate="dwithin",
+        radius=LINE_RADIUS, point_id="event_id",
     )
 
 
