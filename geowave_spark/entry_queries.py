@@ -93,10 +93,19 @@ def sql_morton_steps(prefix: str, src: str) -> list[str]:
     return steps
 
 
-def sql_grid(axis: str, col: str, tier: int) -> str:
-    """Grid coordinate at tier (square 2^t grid) — twin of sqlcells.grid_coord."""
+def sql_grid(axis: str, col: str, tier: int, bounds=None) -> str:
+    """Grid coordinate at tier (square 2^t grid) — twin of sqlcells.grid_coord.
+
+    ``bounds``: custom per-dimension frame (clamped, no wrap) — twin of the
+    engine's custom-CRS index math (sqlcells.norm_lon/lat with bounds)."""
     r = 1 << tier
-    if axis == "lon":
+    if bounds is not None:
+        b0, b1 = (bounds[0], bounds[2]) if axis == "lon" else (bounds[1], bounds[3])
+        norm = (
+            f"((({col}) - CAST({float(b0)!r} AS DOUBLE)) / CAST({float(b1 - b0)!r} AS DOUBLE))"
+        )
+        norm = f"least(greatest({norm}, CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))"
+    elif axis == "lon":
         norm = f"((({col}) + CAST(180.0 AS DOUBLE)) / CAST(360.0 AS DOUBLE))"
         norm = f"(({norm}) - floor({norm}))"  # antimeridian wrap
     else:
@@ -105,13 +114,21 @@ def sql_grid(axis: str, col: str, tier: int) -> str:
     return f"least(greatest(CAST(floor(({norm}) * CAST({float(r)} AS DOUBLE)) AS BIGINT), 0), {r - 1})"
 
 
-def sql_cell_select(tier: int, out: str, lon: str = "lon", lat: str = "lat") -> tuple[str, str]:
+def sql_cell_select(
+    tier: int, out: str, lon: str = "lon", lat: str = "lat", bounds=None
+) -> tuple[str, str]:
     """(inner grid-coord select fragment, outer interleave fragment)."""
-    gx, gy = f"_gx{tier}", f"_gy{tier}"
-    inner = f"{sql_grid('lon', lon, tier)} AS {gx}, {sql_grid('lat', lat, tier)} AS {gy}"
-    xs = sql_morton_steps(f"_x{tier}_", gx)
-    ys = sql_morton_steps(f"_y{tier}_", gy)
-    outer = ", ".join(xs + ys) + f", ((_x{tier}_5) | ((_y{tier}_5) << 1)) AS {out}"
+    gx, gy = f"_gx{tier}c" if bounds is not None else f"_gx{tier}", (
+        f"_gy{tier}c" if bounds is not None else f"_gy{tier}"
+    )
+    inner = (
+        f"{sql_grid('lon', lon, tier, bounds)} AS {gx}, "
+        f"{sql_grid('lat', lat, tier, bounds)} AS {gy}"
+    )
+    pre = f"{tier}c" if bounds is not None else str(tier)
+    xs = sql_morton_steps(f"_x{pre}_", gx)
+    ys = sql_morton_steps(f"_y{pre}_", gy)
+    outer = ", ".join(xs + ys) + f", ((_x{pre}_5) | ((_y{pre}_5) << 1)) AS {out}"
     return inner, outer
 
 
@@ -593,6 +610,11 @@ def q_knn_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RANGE_BBOX = (-30.0, 10.0, 45.0, 55.0)
+# single source of truth for the st_range CQL legs: both the engine-side
+# CQL strings and the DuckDB oracle derive from these (ADVICE r3: the CQL
+# text used to hardcode the bbox/window/bounds separately from the oracle)
+ST_CQL_WINDOW = ("2024-01-06T00:00:00", "2024-01-20T00:00:00")
+ST_CQL_VALUE = (5, 400)
 
 
 def q_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -639,38 +661,92 @@ def q_st_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``cql``: the same spatio-temporal shape expressed as ONE (E)CQL
       string — BBOX + DURING + IN/LIKE/BETWEEN through the recursive
       parser (functions/cql, the CQLQueryFilter analog), so the filter
-      language itself sits behind the DuckDB oracle gate.
+      language itself sits behind the DuckDB oracle gate;
+    * ``arith``: an ECQL filter exercising arithmetic expressions and the
+      GeoTools property functions (abs / floor / strLength / strTrim /
+      min) — the grammar growth beyond the r3 subset, oracle-mirrored.
+
+    Every leg's bbox / window / value constants derive from RANGE_BBOX /
+    ST_CQL_WINDOW / ST_CQL_VALUE, shared with the oracle SQL.
     """
-    from .functions import cql as _cql
+    return (
+        q_st_range_bin(spark, sf_dir)
+        .unionByName(q_st_range_subbin(spark, sf_dir))
+        .unionByName(q_st_range_cql(spark, sf_dir))
+        .unionByName(q_st_range_arith(spark, sf_dir))
+    )
+
+
+def q_st_range_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import spatiotemporal as st
-    from .sources import indexed as _indexed
 
     ev = _events(spark, sf_dir)
-    binq = st.st_range_query(
+    return st.st_range_query(
         ev, RANGE_BBOX, ST_EPOCH_2024_US + ST_T0_US, ST_EPOCH_2024_US + ST_T1_US
     ).select(
         "event_id", "event_type", _cents(F.col("value")).alias("value_c"),
         F.lit("bin").alias("kind"),
     )
-    sub = _indexed.st_subbin_range_lookup(
+
+
+def q_st_range_subbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources import indexed as _indexed
+
+    return _indexed.st_subbin_range_lookup(
         spark, _ensure_st_store(spark, sf_dir), RANGE_BBOX,
         ST_SUBBIN_T0_US, ST_SUBBIN_T1_US,
     ).select(
         "event_id", "event_type", _cents(F.col("value")).alias("value_c"),
         F.lit("subbin").alias("kind"),
     )
-    cqlq = _cql.cql_filter(
-        ev,
-        "BBOX(geom, -30, 10, 45, 55) "
-        "AND ts DURING 2024-01-06T00:00:00Z/2024-01-20T00:00:00Z "
+
+
+def q_st_range_cql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import cql as _cql
+
+    bx0, by0, bx1, by1 = RANGE_BBOX
+    w0, w1 = ST_CQL_WINDOW
+    v0, v1 = ST_CQL_VALUE
+    return _cql.cql_filter(
+        _events(spark, sf_dir),
+        f"BBOX(geom, {bx0!r}, {by0!r}, {bx1!r}, {by1!r}) "
+        f"AND ts DURING {w0}Z/{w1}Z "
         "AND (event_type IN ('click', 'view') OR event_type LIKE 'purch%') "
-        "AND value BETWEEN 5 AND 400",
+        f"AND value BETWEEN {v0} AND {v1}",
         geometry=("lon", "lat"),
     ).select(
         "event_id", "event_type", _cents(F.col("value")).alias("value_c"),
         F.lit("cql").alias("kind"),
     )
-    return binq.unionByName(sub).unionByName(cqlq)
+
+
+def q_st_range_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import cql as _cql
+
+    bx0, by0, bx1, by1 = RANGE_BBOX
+    v0, v1 = ST_CQL_VALUE
+    return _cql.cql_filter(
+        _events(spark, sf_dir),
+        f"BBOX(geom, {bx0!r}, {by0!r}, {bx1!r}, {by1!r}) "
+        "AND value * 2 + 10 > 100 "
+        "AND abs(lat - 30) < 12 "
+        "AND strLength(strTrim(event_type)) >= 4 "
+        f"AND floor(value / 10) BETWEEN {v0} AND min({v1}, 300)",
+        geometry=("lon", "lat"),
+    ).select(
+        "event_id", "event_type", _cents(F.col("value")).alias("value_c"),
+        F.lit("arith").alias("kind"),
+    )
+
+
+def q_line_dwithin_mem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-memory-tracks variant of line_dwithin_join — same work as the
+    r1-r3 bench row (the registered query now ingests from a shapefile)."""
+    ev = _events(spark, sf_dir)
+    return spatial_join.tiered_spatial_join(
+        ev, _tracks_df(spark), predicate="dwithin", radius=LINE_RADIUS,
+        point_id="event_id",
+    )
 
 
 def q_st_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -733,11 +809,24 @@ def q_interval_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.select("event_id", *cols)
 
 
+PROJ_BOUNDS = (0.0, 0.0, 1_800_000.0, 900_000.0)  # metres-like custom frame
+
+
 def q_cell_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order cell ids at two tiers, plus a PROJECTED-frame cell: the same
+    engine index math normalized over custom per-dimension bounds
+    (SpatialDimensionalityTypeProvider.java:107-124 custom-CRS analog) —
+    oracle-checked against the identical DuckDB normalization."""
     ev = _events(spark, sf_dir)
     ev = sqlcells.add_cell_column(ev, tier=10, out="cell10")
     ev = sqlcells.add_cell_column(ev, tier=4, out="cell4")
-    return ev.select("event_id", "cell10", "cell4")
+    ev = ev.withColumn("px", (F.col("lon") + F.lit(180.0)) * F.lit(5000.0)).withColumn(
+        "py", (F.col("lat") + F.lit(90.0)) * F.lit(5000.0)
+    )
+    ev = sqlcells.add_cell_column(
+        ev, "px", "py", tier=10, out="cell10_proj", bounds=PROJ_BOUNDS
+    )
+    return ev.select("event_id", "cell10", "cell4", "cell10_proj")
 
 
 def q_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -916,6 +1005,19 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (n_probe=2): each query also probes the buckets
+    reached by flipping its two smallest-|margin| hyperplane bits — the
+    registered default since single-probe recall (0.25 @ 10⁶ vectors) is
+    not an ANN anyone should ship while multi-probe reaches ~0.6 at the
+    same stored layout.  The probe derivation is deterministic Column
+    math, mirrored bit-for-bit in the DuckDB oracle."""
+    em = _embs(spark, sf_dir)
+    out = similarity.lsh_ann_topk(em, em.filter(F.col("vec_id") < 32), k=10, n_probe=2)
+    return out.select("query_id", "vec_id", "cos_mu", F.col("rank").cast("long").alias("rank"))
+
+
+def q_ann_lsh_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-probe LSH leg, kept for bench continuity with r1-r3."""
     em = _embs(spark, sf_dir)
     out = similarity.lsh_ann_topk(em, em.filter(F.col("vec_id") < 32), k=10)
     return out.select("query_id", "vec_id", "cos_mu", F.col("rank").cast("long").alias("rank"))
@@ -1062,11 +1164,17 @@ def _oracle_dbscan() -> str:
 
 
 def q_kmeans_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMeans + per-cluster convex hulls (iterative → rows-only check)."""
+    """Deterministic Lloyd k-means + exact per-cluster hull vertices.
+
+    Engine-deterministic (h60-seeded init, integer micro-degree coords,
+    fixed 4 iterations, id tie-breaks) so the whole pipeline — including
+    the hull walk — has an exact DuckDB oracle (_oracle_kmeans_hulls);
+    formerly MLlib KMeans with a rows-only check."""
     from .operators import kmeans
 
     ev = _events(spark, sf_dir)
-    return kmeans.cluster_hulls(kmeans.kmeans_clusters(ev, k=8))
+    asg = kmeans.kmeans_lloyd(ev, k=8, n_iter=4)
+    return kmeans.cluster_hulls_exact(asg)
 
 
 _IMG_CACHE_ROOT = "/tmp/geowave_fixture_cache"
@@ -1615,16 +1723,29 @@ def _oracle_st_range() -> str:
             f"AND lat >= CAST({y0!r} AS DOUBLE) AND lat <= CAST({y1!r} AS DOUBLE)"
         )
 
+    w0, w1 = ST_CQL_WINDOW
+    v0, v1 = ST_CQL_VALUE
+    bbox_sql = (
+        f"lon >= CAST({x0!r} AS DOUBLE) AND lon <= CAST({x1!r} AS DOUBLE) "
+        f"AND lat >= CAST({y0!r} AS DOUBLE) AND lat <= CAST({y1!r} AS DOUBLE)"
+    )
     cql_leg = (
         f"SELECT event_id, event_type, {sql_cents('value')} AS value_c, "
-        "'cql' AS kind FROM ev "
-        f"WHERE lon >= CAST({x0!r} AS DOUBLE) AND lon <= CAST({x1!r} AS DOUBLE) "
-        f"AND lat >= CAST({y0!r} AS DOUBLE) AND lat <= CAST({y1!r} AS DOUBLE) "
+        f"'cql' AS kind FROM ev WHERE {bbox_sql} "
         # DURING is the OPEN interval (OGC temporal semantics) — strict >/<
-        "AND ts > TIMESTAMP '2024-01-06 00:00:00' "
-        "AND ts < TIMESTAMP '2024-01-20 00:00:00' "
+        f"AND ts > TIMESTAMP '{w0.replace('T', ' ')}' "
+        f"AND ts < TIMESTAMP '{w1.replace('T', ' ')}' "
         "AND (event_type IN ('click', 'view') OR event_type LIKE 'purch%') "
-        "AND value BETWEEN 5 AND 400"
+        f"AND value BETWEEN {v0} AND {v1}"
+    )
+    arith_leg = (
+        f"SELECT event_id, event_type, {sql_cents('value')} AS value_c, "
+        f"'arith' AS kind FROM ev WHERE {bbox_sql} "
+        "AND value * CAST(2 AS DOUBLE) + CAST(10 AS DOUBLE) > CAST(100 AS DOUBLE) "
+        "AND abs(lat - CAST(30 AS DOUBLE)) < CAST(12 AS DOUBLE) "
+        "AND CAST(length(trim(event_type)) AS DOUBLE) >= CAST(4 AS DOUBLE) "
+        f"AND floor(value / CAST(10 AS DOUBLE)) "
+        f"BETWEEN CAST({v0} AS DOUBLE) AND least(CAST({v1} AS DOUBLE), CAST(300 AS DOUBLE))"
     )
     return (
         f"WITH {EV_CTE} "
@@ -1633,6 +1754,8 @@ def _oracle_st_range() -> str:
         + win(ST_SUBBIN_T0_US, ST_SUBBIN_T1_US, "subbin")
         + " UNION ALL "
         + cql_leg
+        + " UNION ALL "
+        + arith_leg
     )
 
 
@@ -1747,9 +1870,15 @@ def _oracle_hotspot() -> str:
 def _oracle_cell_ids() -> str:
     in10, out10 = sql_cell_select(10, "cell10")
     in4, out4 = sql_cell_select(4, "cell4")
+    inp, outp = sql_cell_select(10, "cell10_proj", lon="px", lat="py", bounds=PROJ_BOUNDS)
     return (
-        f"WITH {EV_CTE}, g AS (SELECT event_id, {in10}, {in4} FROM ev) "
-        f"SELECT event_id, cell10, cell4 FROM (SELECT event_id, {out10}, {out4} FROM g)"
+        f"WITH {EV_CTE}, "
+        "evp AS (SELECT event_id, lon, lat, "
+        "(lon + CAST(180.0 AS DOUBLE)) * CAST(5000.0 AS DOUBLE) AS px, "
+        "(lat + CAST(90.0 AS DOUBLE)) * CAST(5000.0 AS DOUBLE) AS py FROM ev), "
+        f"g AS (SELECT event_id, {in10}, {in4}, {inp} FROM evp) "
+        f"SELECT event_id, cell10, cell4, cell10_proj "
+        f"FROM (SELECT event_id, {out10}, {out4}, {outp} FROM g)"
     )
 
 
@@ -2105,13 +2234,39 @@ def _sql_bucket(e: str, n_planes: int = 12) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _oracle_ann_lsh(k: int = 10, nq: int = 32) -> str:
+def _oracle_ann_lsh(
+    k: int = 10, nq: int = 32, n_probe: int = 2, n_planes: int = 12
+) -> str:
+    """Multi-probe twin of similarity.lsh_ann_topk: the margin sort and
+    bit flips replicate the engine's Column math exactly (struct (m, i)
+    sort ascending = smallest |dot| first, ties by plane index; the dot
+    products are the same left-to-right folds, so the doubles match)."""
+    planes = similarity.hyperplane_components(n_planes)
+    arrs = [
+        "[" + ", ".join(f"CAST({float(c)!r} AS DOUBLE)" for c in comps) + "]"
+        for comps in planes
+    ]
+    margins = (
+        "list_sort(["
+        + ", ".join(
+            f"struct_pack(m := abs(list_dot_product(qe, {a})), i := {i})"
+            for i, a in enumerate(arrs)
+        )
+        + "])"
+    )
+    masks = "[" + ", ".join(str(1 << i) for i in range(n_planes)) + "]"
+    probe_list = "[CAST(bucket AS BIGINT)" + "".join(
+        f", xor(CAST(bucket AS BIGINT), CAST(({masks})[mg[{j + 1}]['i'] + 1] AS BIGINT))"
+        for j in range(n_probe)
+    ) + "]"
     return (
         "WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), "
         f"v AS (SELECT vec_id, e, {_sql_bucket('e')} AS bucket FROM v0), "
         f"q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM v WHERE vec_id < {nq}), "
-        f"cand AS (SELECT q.query_id, v.vec_id, {sql_mu(_sql_cos('q.qe', 'v.e'))} AS cos_mu "
-        "FROM v JOIN q ON v.bucket = q.bucket), "
+        f"qm AS (SELECT query_id, qe, bucket, {margins} AS mg FROM q), "
+        f"qp AS (SELECT query_id, qe, unnest(list_distinct({probe_list})) AS bucket FROM qm), "
+        f"cand AS (SELECT qp.query_id, v.vec_id, {sql_mu(_sql_cos('qp.qe', 'v.e'))} AS cos_mu "
+        "FROM v JOIN qp ON CAST(v.bucket AS BIGINT) = qp.bucket), "
         "r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_mu DESC, vec_id ASC) AS rank FROM cand) "
         f"SELECT query_id, vec_id, cos_mu, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= {k}"
     )
@@ -2137,6 +2292,91 @@ def _oracle_pricing() -> str:
         f"CAST(sum({sql_cents('l_extendedprice')}) AS BIGINT) AS sum_price_c, "
         f"CAST(sum({sql_cents('l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)')}) AS BIGINT) AS sum_disc_price_c "
         "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    )
+
+
+def _oracle_kmeans_hulls(k: int = 8, n_iter: int = 4) -> str:
+    """Exact oracle for the deterministic Lloyd + hull pipeline: the Lloyd
+    iterations unroll to CTEs (the iteration count is fixed by contract),
+    the hull is a gift-wrapping walk as a recursive CTE over exact BIGINT
+    orientation tests, pre-filtered by the Akl–Toussaint octagon (points
+    strictly inside the polygon of the 8 extreme points are never hull
+    vertices, so dropping them is exact)."""
+    hk = sql_h60("'km:' || CAST(event_id AS VARCHAR)")
+    ctes = [
+        EV_CTE,
+        f"pts AS (SELECT event_id, {sql_mu('lon')} AS xm, {sql_mu('lat')} AS ym FROM ev)",
+        (
+            f"c0 AS (SELECT (row_number() OVER (ORDER BY {hk}, event_id) - 1) AS c, "
+            f"xm AS cx, ym AS cy FROM pts ORDER BY {hk}, event_id LIMIT {k})"
+        ),
+    ]
+
+    def assign(name: str, cents: str) -> str:
+        return (
+            f"{name} AS (SELECT event_id, xm, ym, c FROM ("
+            "SELECT p.event_id, p.xm, p.ym, i.c, row_number() OVER ("
+            "PARTITION BY p.event_id ORDER BY "
+            "(p.xm - i.cx) * (p.xm - i.cx) + (p.ym - i.cy) * (p.ym - i.cy), i.c"
+            f") AS rn FROM pts p CROSS JOIN {cents} i) WHERE rn = 1)"
+        )
+
+    for i in range(1, n_iter + 1):
+        ctes.append(assign(f"a{i}", f"c{i - 1}"))
+        ctes.append(
+            f"s{i} AS (SELECT c, CAST(sum(xm) AS BIGINT) AS sx, "
+            f"CAST(sum(ym) AS BIGINT) AS sy, count(*) AS n FROM a{i} GROUP BY c)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT i.c, "
+            f"COALESCE(CAST(floor(CAST(s.sx AS DOUBLE) / s.n) AS BIGINT), i.cx) AS cx, "
+            f"COALESCE(CAST(floor(CAST(s.sy AS DOUBLE) / s.n) AS BIGINT), i.cy) AS cy "
+            f"FROM c{i - 1} i LEFT JOIN s{i} s ON s.c = i.c)"
+        )
+    ctes.append(assign("af", f"c{n_iter}"))
+    ctes.append("ncnt AS (SELECT c, count(*) AS n FROM af GROUP BY c)")
+    ctes.append("dpts AS (SELECT DISTINCT c, xm, ym FROM af)")
+    # octagon extreme points, CCW direction order starting east
+    metrics = ["xm", "xm + ym", "ym", "ym - xm", "-xm", "-(xm + ym)", "-ym", "xm - ym"]
+    for i, m in enumerate(metrics):
+        ctes.append(
+            f"e{i} AS (SELECT c, xm AS ex{i}, ym AS ey{i} FROM ("
+            f"SELECT c, xm, ym, row_number() OVER (PARTITION BY c ORDER BY ({m}) DESC, xm, ym) AS rn "
+            "FROM dpts) WHERE rn = 1)"
+        )
+    joins = " ".join(f"JOIN e{i} ON e{i}.c = e0.c" for i in range(1, 8))
+    cols = ", ".join(f"ex{i}, ey{i}" for i in range(8))
+    ctes.append(f"ext AS (SELECT e0.c AS c, {cols} FROM e0 {joins})")
+    strict_inside = " AND ".join(
+        f"((ex{(i + 1) % 8} - ex{i}) * (d.ym - ey{i}) - (ey{(i + 1) % 8} - ey{i}) * (d.xm - ex{i})) > 0"
+        for i in range(8)
+    )
+    ctes.append(
+        "surv AS (SELECT d.c, d.xm, d.ym FROM dpts d JOIN ext x ON x.c = d.c "
+        f"WHERE NOT ({strict_inside}))"
+    )
+    orient = "(q.xm - h.x) * (r.ym - h.y) - (q.ym - h.y) * (r.xm - h.x)"
+    beyond = (
+        "(r.xm - h.x) * (q.xm - h.x) + (r.ym - h.y) * (q.ym - h.y) > "
+        "(q.xm - h.x) * (q.xm - h.x) + (q.ym - h.y) * (q.ym - h.y)"
+    )
+    ctes.append(
+        "hull AS ("
+        "SELECT c, CAST(0 AS BIGINT) AS seq, xm AS x, ym AS y, xm AS sx, ym AS sy FROM ("
+        "SELECT c, xm, ym, row_number() OVER (PARTITION BY c ORDER BY xm, ym) AS rn FROM surv"
+        ") WHERE rn = 1 "
+        "UNION ALL "
+        "SELECT h.c, h.seq + 1, q.xm, q.ym, h.sx, h.sy "
+        "FROM hull h JOIN surv q ON q.c = h.c AND NOT (q.xm = h.x AND q.ym = h.y) "
+        "WHERE NOT (q.xm = h.sx AND q.ym = h.sy) AND h.seq < 100000 "
+        "AND NOT EXISTS (SELECT 1 FROM surv r WHERE r.c = h.c "
+        "AND NOT (r.xm = h.x AND r.ym = h.y) AND NOT (r.xm = q.xm AND r.ym = q.ym) "
+        f"AND ({orient} < 0 OR ({orient} = 0 AND {beyond}))))"
+    )
+    return (
+        "WITH RECURSIVE " + ", ".join(ctes) + " "
+        "SELECT h.c AS cluster, n.n AS n_points, h.seq AS seq, h.x AS vx, h.y AS vy "
+        "FROM hull h JOIN ncnt n ON n.c = h.c"
     )
 
 
@@ -2530,10 +2770,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_except_customers": q_set_except,
     "dbscan": q_dbscan,
     "image_tile_counts": q_image_tile_counts,
-    # rows-only tail (no SQL oracle possible)
+    "kmeans_hulls": q_kmeans_hulls,
+    # rows-only tail (no SQL oracle possible: approximate sketches by
+    # design, stored-index scan, engine codec bytes)
     "sketch_stats": q_sketch_stats,
     "ann_ivf_pq": q_ann_ivf_pq,
-    "kmeans_hulls": q_kmeans_hulls,
     "image_codec": q_image_codec,
 }
 
@@ -2561,6 +2802,14 @@ BENCH_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq": q_ann_pq,
     "image_decode_stats": q_image_decode_stats,
     "image_resize": q_image_resize,
+    # r4 continuity rows: grown consolidated queries split per leg so the
+    # bench compares same-work rows across rounds
+    "st_range_bin": q_st_range_bin,
+    "st_range_subbin": q_st_range_subbin,
+    "st_range_cql": q_st_range_cql,
+    "st_range_arith": q_st_range_arith,
+    "line_dwithin_mem": q_line_dwithin_mem,
+    "ann_lsh_single": q_ann_lsh_single,
 }
 
 
@@ -2613,6 +2862,7 @@ def build_oracles() -> dict[str, str]:
         "agg_pricing_summary": _oracle_pricing(),
         "window_topk_orders": _oracle_window_topk(),
         "set_except_customers": _oracle_set_except(),
+        "kmeans_hulls": _oracle_kmeans_hulls(),
         "image_tile_counts": _oracle_image_tiles(),
         # image_resize / image_decode_stats: engine codec output → rows-only
     }
