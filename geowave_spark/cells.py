@@ -41,6 +41,14 @@ JOIN_MAX_CELLS = 80  # duplicate-cell cap used by the Spark join (GeoWaveIndexed
 
 _WORLD = (-180.0, -90.0, 180.0, 90.0)
 
+# Custom per-dimension bounds (CRS step 1): every normalization primitive
+# takes an optional ``bounds=(x0, y0, x1, y1)``.  None = the EPSG:4326
+# world frame with antimeridian WRAP on x (LongitudeDefinition semantics);
+# a custom bounds tuple uses CLAMPED linear normalization on BOTH axes —
+# the reference's custom-CRS index math (BasicDimensionDefinition via
+# SpatialDimensionalityTypeProvider.java:107-124 decodeCRS/crsCode), where
+# only the geographic default gets longitude wrapping.
+
 
 # ---------------------------------------------------------------------------
 # Morton (Z-order) bit interleaving, vectorized on uint64
@@ -87,15 +95,24 @@ def deinterleave(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 # Normalization (LongitudeDefinition / LatitudeDefinition semantics)
 # ---------------------------------------------------------------------------
 
-def norm_lon(lon: np.ndarray) -> np.ndarray:
-    """Normalize lon ∈ [-180,180] → [0,1), wrapping across the antimeridian."""
+def norm_lon(lon: np.ndarray, bounds=None) -> np.ndarray:
+    """Normalize x: world frame wraps across the antimeridian
+    (LongitudeDefinition); custom ``bounds`` clamp (BasicDimensionDefinition
+    — projected CRSes have no seam)."""
+    if bounds is not None:
+        x = (np.asarray(lon, dtype=np.float64) - bounds[0]) / (bounds[2] - bounds[0])
+        return np.clip(x, 0.0, 1.0)
     x = (np.asarray(lon, dtype=np.float64) + 180.0) / 360.0
     x = x - np.floor(x)  # wrap
     return x
 
 
-def norm_lat(lat: np.ndarray) -> np.ndarray:
-    """Normalize lat ∈ [-90,90] → [0,1], clamped (LatitudeDefinition clamps)."""
+def norm_lat(lat: np.ndarray, bounds=None) -> np.ndarray:
+    """Normalize y → [0,1], clamped (LatitudeDefinition clamps; custom
+    bounds use the same clamp over (y0, y1))."""
+    if bounds is not None:
+        x = (np.asarray(lat, dtype=np.float64) - bounds[1]) / (bounds[3] - bounds[1])
+        return np.clip(x, 0.0, 1.0)
     x = (np.asarray(lat, dtype=np.float64) + 90.0) / 180.0
     return np.clip(x, 0.0, 1.0)
 
@@ -107,9 +124,13 @@ def grid_coord(norm: np.ndarray, tier: int) -> np.ndarray:
     return np.clip(g, 0, r - 1)
 
 
-def latlon_to_cell(lon: np.ndarray, lat: np.ndarray, tier: int = MAX_TIER) -> np.ndarray:
+def latlon_to_cell(
+    lon: np.ndarray, lat: np.ndarray, tier: int = MAX_TIER, bounds=None
+) -> np.ndarray:
     """Point → Z-order cell id at ``tier`` (vectorized)."""
-    return interleave(grid_coord(norm_lon(lon), tier), grid_coord(norm_lat(lat), tier))
+    return interleave(
+        grid_coord(norm_lon(lon, bounds), tier), grid_coord(norm_lat(lat, bounds), tier)
+    )
 
 
 def cell_at_tier(cell: np.ndarray, from_tier: int, to_tier: int) -> np.ndarray:
@@ -124,18 +145,20 @@ def cell_at_tier(cell: np.ndarray, from_tier: int, to_tier: int) -> np.ndarray:
     return (np.asarray(cell).astype(np.uint64) >> shift).astype(np.int64)
 
 
-def cell_to_bounds(cell: np.ndarray, tier: int) -> tuple[np.ndarray, ...]:
+def cell_to_bounds(cell: np.ndarray, tier: int, bounds=None) -> tuple[np.ndarray, ...]:
     """Cell id → (lon_min, lat_min, lon_max, lat_max) numeric extent.
 
     Mirrors getRangeForId / BinnedSFCUtils.getRangeForId semantics
     (TieredSFCIndexStrategy.java:208-243; BinnedSFCUtils.java:116-155).
     """
+    b = _WORLD if bounds is None else bounds
     x, y = deinterleave(cell)
     r = float(1 << tier)
-    lon_min = x / r * 360.0 - 180.0
-    lon_max = (x + 1) / r * 360.0 - 180.0
-    lat_min = y / r * 180.0 - 90.0
-    lat_max = (y + 1) / r * 180.0 - 90.0
+    sx, sy = b[2] - b[0], b[3] - b[1]
+    lon_min = x / r * sx + b[0]
+    lon_max = (x + 1) / r * sx + b[0]
+    lat_min = y / r * sy + b[1]
+    lat_max = (y + 1) / r * sy + b[1]
     return lon_min, lat_min, lon_max, lat_max
 
 
@@ -203,7 +226,7 @@ def split_bbox_antimeridian(
 
 
 def _split_for_cover(
-    bbox: tuple[float, float, float, float], closed: bool
+    bbox: tuple[float, float, float, float], closed: bool, bounds=None
 ) -> list[tuple[float, float, float, float]]:
     """Antimeridian split, plus the +180 seam column for CLOSED covers.
 
@@ -213,7 +236,12 @@ def _split_for_cover(
     (query-side) cover ending at the antimeridian must also include the
     wrapped column, or rows the exact refine accepts never become
     candidates.  Open (insert-rule) covers keep the reference's exact-fit
-    convention unchanged."""
+    convention unchanged.
+
+    Custom ``bounds`` have no wrap and no seam — the bbox passes through
+    whole (clamped normalization handles out-of-frame edges)."""
+    if bounds is not None:
+        return [bbox]
     parts = split_bbox_antimeridian(bbox)
     if closed and not any(p[0] == -180.0 for p in parts):
         # skip when a part already starts at -180 (it covers column 0) —
@@ -236,21 +264,25 @@ def split_bbox_query(
 
 
 def count_cells_for_bbox(
-    bbox: tuple[float, float, float, float], tier: int, closed: bool = False
+    bbox: tuple[float, float, float, float], tier: int, closed: bool = False,
+    bounds=None,
 ) -> int:
     """Covering-cell count of bbox at tier (closed form, cf. getEstimatedIdCount
     ZOrderSFC.java:83-94).  ``closed`` counts the boundary-closed cover
     (query-side convention, see _grid_range)."""
     total = 0
-    for b in _split_for_cover(bbox, closed):
-        x0, x1 = _grid_range(norm_lon(b[0]).item(), norm_lon_upper(b[2]), tier, closed=closed)
-        y0, y1 = _grid_range(norm_lat(b[1]).item(), norm_lat(b[3]).item(), tier, closed=closed)
+    for b in _split_for_cover(bbox, closed, bounds):
+        x0, x1 = _grid_range(norm_lon(b[0], bounds).item(), norm_lon_upper(b[2], bounds), tier, closed=closed)
+        y0, y1 = _grid_range(norm_lat(b[1], bounds).item(), norm_lat(b[3], bounds).item(), tier, closed=closed)
         total += (x1 - x0 + 1) * (y1 - y0 + 1)
     return total
 
 
-def norm_lon_upper(lon: float) -> float:
-    """Normalize an upper lon bound; +180 maps to 1.0 (not wrapped to 0)."""
+def norm_lon_upper(lon: float, bounds=None) -> float:
+    """Normalize an upper x bound; the world frame maps +180 to 1.0 (not
+    wrapped to 0); custom bounds clamp, so no seam case exists."""
+    if bounds is not None:
+        return float(norm_lon(np.float64(lon), bounds))
     if lon == 180.0:
         return 1.0
     return float(norm_lon(np.float64(lon)))
@@ -261,6 +293,7 @@ def tier_for_bbox(
     max_dup: int = DEFAULT_MAX_DUP,
     max_tier: int = MAX_TIER,
     closed: bool = False,
+    bounds=None,
 ) -> int:
     """Adaptive insert rule: FINEST tier whose covering count <= max_dup.
 
@@ -271,20 +304,20 @@ def tier_for_bbox(
     than the open cover at the same tier).
     """
     for t in range(max_tier, -1, -1):
-        if count_cells_for_bbox(bbox, t, closed=closed) <= max_dup:
+        if count_cells_for_bbox(bbox, t, closed=closed, bounds=bounds) <= max_dup:
             return t
     return 0
 
 
 def cells_for_bbox_at_tier(
     bbox: tuple[float, float, float, float], tier: int, cap: int | None = None,
-    closed: bool = False,
+    closed: bool = False, bounds=None,
 ) -> np.ndarray:
     """All covering cell ids of bbox at a fixed tier (ordered, deduped)."""
     out = []
-    for b in _split_for_cover(bbox, closed):
-        x0, x1 = _grid_range(norm_lon(b[0]).item(), norm_lon_upper(b[2]), tier, closed)
-        y0, y1 = _grid_range(norm_lat(b[1]).item(), norm_lat(b[3]).item(), tier, closed)
+    for b in _split_for_cover(bbox, closed, bounds):
+        x0, x1 = _grid_range(norm_lon(b[0], bounds).item(), norm_lon_upper(b[2], bounds), tier, closed)
+        y0, y1 = _grid_range(norm_lat(b[1], bounds).item(), norm_lat(b[3], bounds).item(), tier, closed)
         xs = np.arange(x0, x1 + 1, dtype=np.int64)
         ys = np.arange(y0, y1 + 1, dtype=np.int64)
         gx, gy = np.meshgrid(xs, ys)
@@ -300,6 +333,7 @@ def cells_for_bbox(
     max_dup: int = DEFAULT_MAX_DUP,
     max_tier: int = MAX_TIER,
     closed: bool = False,
+    bounds=None,
 ) -> tuple[int, np.ndarray]:
     """Adaptive (tier, covering cells) for an extent — the insert path.
 
@@ -307,8 +341,8 @@ def cells_for_bbox(
     ``closed``: boundary-closed upper edges (query-side covers; see
     _grid_range).
     """
-    t = tier_for_bbox(bbox, max_dup=max_dup, max_tier=max_tier, closed=closed)
-    return t, cells_for_bbox_at_tier(bbox, t, closed=closed)
+    t = tier_for_bbox(bbox, max_dup=max_dup, max_tier=max_tier, closed=closed, bounds=bounds)
+    return t, cells_for_bbox_at_tier(bbox, t, closed=closed, bounds=bounds)
 
 
 def neighbor_cells(lon: float, lat: float, tier: int, ring: int = 1) -> np.ndarray:

@@ -30,10 +30,13 @@ from pyspark.sql import types as T
 from .. import cells, geom
 
 
-def _ring_bbox(p, buffer: float) -> tuple[float, float, float, float]:
+def _ring_bbox(p, buffer: float, bounds=None) -> tuple[float, float, float, float]:
     x0, y0, x1, y1 = p.bbox
     if buffer:
         x0, y0, x1, y1 = x0 - buffer, y0 - buffer, x1 + buffer, y1 + buffer
+    if bounds is not None:
+        # custom frame: clamp to its own y extent (no geographic poles)
+        return x0, max(y0, bounds[1]), x1, min(y1, bounds[3])
     return x0, max(y0, -90.0), x1, min(y1, 90.0)
 
 
@@ -43,6 +46,7 @@ def cover_keys(
     buffer: float = 0.0,
     trim: bool = True,
     closed: bool = False,
+    bounds=None,
 ) -> pd.Series:
     """WKT series → list[int64] packed covering keys (adaptive tier).
 
@@ -62,14 +66,16 @@ def cover_keys(
     out = []
     for wkt in wkts:
         p = geom.geometry_from_wkt(wkt)
-        bbox = _ring_bbox(p, buffer)
-        tier, cs = cells.cells_for_bbox(bbox, max_dup=max_cells, closed=closed)
+        bbox = _ring_bbox(p, buffer, bounds)
+        tier, cs = cells.cells_for_bbox(
+            bbox, max_dup=max_cells, closed=closed, bounds=bounds
+        )
         if trim and not buffer and cs.size > 3:
             # drop covering cells that miss the true geometry; for unwrapped
             # antimeridian polygons also test the +360-shifted copy
-            lon0, lat0, lon1, lat1 = cells.cell_to_bounds(cs, tier)
+            lon0, lat0, lon1, lat1 = cells.cell_to_bounds(cs, tier, bounds=bounds)
             keep = p.intersects_boxes(lon0, lat0, lon1, lat1)
-            if p.bbox[2] > 180.0:
+            if bounds is None and p.bbox[2] > 180.0:
                 keep |= p.intersects_boxes(lon0 + 360.0, lat0, lon1 + 360.0, lat1)
             cs = cs[keep]
         out.append(cells.pack_key(tier, cs).tolist())
@@ -77,7 +83,8 @@ def cover_keys(
 
 
 def _eval_per_polygon(
-    wkts: pd.Series, lon: pd.Series, lat: pd.Series, fn, null_value: float = 0.0
+    wkts: pd.Series, lon: pd.Series, lat: pd.Series, fn, null_value: float = 0.0,
+    wrap: bool = True,
 ) -> np.ndarray:
     """Group a candidate batch by polygon and evaluate vectorized.
 
@@ -92,7 +99,7 @@ def _eval_per_polygon(
         idx = np.nonzero(codes == u)[0]
         p = geom.geometry_from_wkt(w)
         v = fn(p, lon_v[idx], lat_v[idx])
-        if p.bbox[2] > 180.0:  # unwrapped antimeridian polygon
+        if wrap and p.bbox[2] > 180.0:  # unwrapped antimeridian polygon
             v2 = fn(p, lon_v[idx] + 360.0, lat_v[idx])
             v = np.minimum(v, v2) if v.dtype != bool else (v | v2)
         res[idx] = v
@@ -103,6 +110,24 @@ def _eval_per_polygon(
 def st_contains_point(wkts: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
     got = _eval_per_polygon(wkts, lon, lat, lambda p, x, y: p.contains(x, y))
     return pd.Series(got.astype(bool))
+
+
+# no-wrap twins for custom-bounds (projected CRS) frames, where the
+# bbox[2] > 180 heuristic above would misread metre coordinates as
+# unwrapped antimeridian geometry
+@F.pandas_udf(T.BooleanType())
+def st_contains_point_nowrap(wkts: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+    got = _eval_per_polygon(wkts, lon, lat, lambda p, x, y: p.contains(x, y), wrap=False)
+    return pd.Series(got.astype(bool))
+
+
+@F.pandas_udf(T.DoubleType())
+def st_distance_point_nowrap(wkts: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+    got = _eval_per_polygon(
+        wkts, lon, lat, lambda p, x, y: p.distance(x, y), null_value=float("nan"),
+        wrap=False,
+    )
+    return pd.Series(got, dtype=np.float64)
 
 
 @F.pandas_udf(T.DoubleType())

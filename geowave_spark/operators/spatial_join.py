@@ -81,6 +81,7 @@ def add_point_cols(
     lon_col: str = "lon",
     lat_col: str = "lat",
     phash_col: str | None = "phash",
+    bounds=None,
 ) -> DataFrame:
     """Ensure lon/lat columns exist (derived from phash if absent) and add
     the finest-tier Morton cell — all JVM-side."""
@@ -88,7 +89,9 @@ def add_point_cols(
         df = df.withColumn(lon_col, sqlcells.lon_from_phash(F.col(phash_col))).withColumn(
             lat_col, sqlcells.lat_from_phash(F.col(phash_col))
         )
-    return sqlcells.add_cell_column(df, lon_col, lat_col, cells.MAX_TIER, "_cell31")
+    return sqlcells.add_cell_column(
+        df, lon_col, lat_col, cells.MAX_TIER, "_cell31", bounds=bounds
+    )
 
 
 def _point_keys_expr(tiers: list[int]) -> Column:
@@ -106,6 +109,7 @@ def polygon_cover_local(
     rows: list[tuple[str, str]],
     max_cells: int = cells.JOIN_MAX_CELLS,
     buffer: float = 0.0,
+    bounds=None,
 ) -> tuple[list[tuple], list[int]]:
     """Driver-side cover for a small polygon set (the broadcast path).
 
@@ -132,7 +136,8 @@ def polygon_cover_local(
     # accepts the pair.  Trim still removes cells the true geometry
     # doesn't touch (closed cell rectangles keep edge contact).
     keys_per_poly = geo_udfs.cover_keys(
-        wkts, max_cells=max_cells, buffer=buffer, trim=not buffer, closed=True
+        wkts, max_cells=max_cells, buffer=buffer, trim=not buffer, closed=True,
+        bounds=bounds,
     )
     out: list[tuple] = []
     tiers: set[int] = set()
@@ -151,13 +156,21 @@ def polygon_cover_local(
 
 
 
-def _box_contains_pred(lon: Column, lat: Column) -> Column:
+def _box_contains_pred(lon: Column, lat: Column, bounds=None) -> Column:
     """JVM-only boundary-inclusive point-in-box, antimeridian-aware.
 
     Mirrors the oracle SQL predicate exactly; the +360 clause is harmless
     for x1 <= 180 boxes only because workload boxes with x1 == 180 also
-    have x0 == -180 (see entry_queries._SQL_PIP_PRED discussion).
+    have x0 == -180 (see entry_queries._SQL_PIP_PRED discussion).  Custom
+    ``bounds`` (projected CRS) have no wrap — the +360 retest is dropped
+    (it would false-positive in metre coordinates).
     """
+    base = (
+        (lat >= F.col("y0")) & (lat <= F.col("y1"))
+        & (lon >= F.col("x0")) & (lon <= F.col("x1"))
+    )
+    if bounds is not None:
+        return base
     lon2 = lon + F.lit(360.0)
     return (
         (lat >= F.col("y0"))
@@ -169,15 +182,18 @@ def _box_contains_pred(lon: Column, lat: Column) -> Column:
     )
 
 
-def _box_dist_expr(lon: Column, lat: Column) -> Column:
+def _box_dist_expr(lon: Column, lat: Column, bounds=None) -> Column:
     """JVM-only planar distance to a box (0 inside), antimeridian copy via
-    least() — same IEEE op sequence as the oracle's formula."""
+    least() — same IEEE op sequence as the oracle's formula.  Custom
+    ``bounds`` drop the +360 copy (no wrap in a projected frame)."""
 
     def d(px: Column) -> Column:
         ddx = F.greatest(F.col("x0") - px, px - F.col("x1"), F.lit(0.0))
         ddy = F.greatest(F.col("y0") - lat, lat - F.col("y1"), F.lit(0.0))
         return F.sqrt(ddx * ddx + ddy * ddy)
 
+    if bounds is not None:
+        return d(lon)
     return F.least(d(lon), d(lon + F.lit(360.0)))
 
 
@@ -196,12 +212,19 @@ def tiered_spatial_join(
     loose: bool = False,
     salt: int = 0,
     carry_cols: tuple[str, ...] = (),
+    bounds=None,
 ) -> DataFrame:
     """Return matched (point_id, polygon_id) pairs (deduped).
 
     predicate: 'intersects' (default, like SpatialQueryFilter) or 'dwithin'
     (GeomWithinDistance with `radius`).  loose=True skips the exact refine
     (IndexOnlySpatialQuery.java:34-43 semantics).
+
+    ``bounds``: custom per-dimension index bounds (x0, y0, x1, y1) — the
+    reference's custom-CRS index math (SpatialDimensionalityTypeProvider
+    .java:107-124): clamped linear normalization, no antimeridian wrap.
+    Geometry predicates stay planar in the CRS's own units, matching the
+    reference's JTS behavior under a projected CRS.
 
     ``carry_cols``: extra POINT-side columns to keep on the output rows
     (e.g. an event-time column for a downstream windowed aggregation on an
@@ -211,7 +234,7 @@ def tiered_spatial_join(
     if predicate not in ("intersects", "dwithin"):
         raise ValueError(f"unknown predicate {predicate!r}")
     buffer = radius if predicate == "dwithin" else 0.0
-    pts = add_point_cols(points, lon_col, lat_col)
+    pts = add_point_cols(points, lon_col, lat_col, bounds=bounds)
     if broadcast_polygons is None:
         # a 50k-row side of multi-MB coastline WKTs must not be collected
         # to the driver — the probe sizes on rows AND bytes
@@ -221,35 +244,48 @@ def tiered_spatial_join(
         return _broadcast_join(
             pts, polygons, predicate, radius, buffer, lon_col, lat_col,
             point_id, polygon_id, wkt_col, max_cells, loose, carry_cols,
+            bounds=bounds,
         )
     if carry_cols:
         raise ValueError("carry_cols is only supported on the broadcast path")
     return _shuffle_join(
         pts, polygons, predicate, radius, buffer, lon_col, lat_col,
-        point_id, polygon_id, wkt_col, max_cells, loose, salt,
+        point_id, polygon_id, wkt_col, max_cells, loose, salt, bounds=bounds,
     )
 
 
-def _refine_box(j: DataFrame, predicate: str, radius: float, lon_col: str, lat_col: str) -> DataFrame:
+def _refine_box(
+    j: DataFrame, predicate: str, radius: float, lon_col: str, lat_col: str,
+    bounds=None,
+) -> DataFrame:
     if predicate == "intersects":
-        return j.filter(_box_contains_pred(F.col(lon_col), F.col(lat_col)))
-    return j.filter(_box_dist_expr(F.col(lon_col), F.col(lat_col)) <= F.lit(float(radius)))
+        return j.filter(_box_contains_pred(F.col(lon_col), F.col(lat_col), bounds))
+    return j.filter(
+        _box_dist_expr(F.col(lon_col), F.col(lat_col), bounds) <= F.lit(float(radius))
+    )
 
 
 def _refine_general(
-    j: DataFrame, predicate: str, radius: float, lon_col: str, lat_col: str, wkt_col: str
+    j: DataFrame, predicate: str, radius: float, lon_col: str, lat_col: str,
+    wkt_col: str, bounds=None,
 ) -> DataFrame:
+    contains = (
+        geo_udfs.st_contains_point if bounds is None else geo_udfs.st_contains_point_nowrap
+    )
+    dist = (
+        geo_udfs.st_distance_point if bounds is None else geo_udfs.st_distance_point_nowrap
+    )
     if predicate == "intersects":
-        return j.filter(geo_udfs.st_contains_point(F.col(wkt_col), F.col(lon_col), F.col(lat_col)))
+        return j.filter(contains(F.col(wkt_col), F.col(lon_col), F.col(lat_col)))
     return j.filter(
-        geo_udfs.st_distance_point(F.col(wkt_col), F.col(lon_col), F.col(lat_col))
-        <= F.lit(float(radius))
+        dist(F.col(wkt_col), F.col(lon_col), F.col(lat_col)) <= F.lit(float(radius))
     )
 
 
 def _broadcast_join(
     pts, polygons, predicate, radius, buffer, lon_col, lat_col,
     point_id, polygon_id, wkt_col, max_cells, loose, carry_cols=(),
+    bounds=None,
 ) -> DataFrame:
     """Small polygon side: driver-side cover + broadcast hash join.
 
@@ -260,7 +296,9 @@ def _broadcast_join(
     """
     spark = pts.sparkSession
     rows = [(r[0], r[1]) for r in polygons.select(polygon_id, wkt_col).collect()]
-    cell_rows, tiers = polygon_cover_local(rows, max_cells=max_cells, buffer=buffer)
+    cell_rows, tiers = polygon_cover_local(
+        rows, max_cells=max_cells, buffer=buffer, bounds=bounds
+    )
     if not tiers:
         # keep the carry_cols in the empty-result schema — downstream
         # selects must not break only on the empty-polygon execution.
@@ -291,7 +329,7 @@ def _broadcast_join(
         )
         j = pt_keys.join(right, "key")
         if not loose:
-            j = _refine_box(j, predicate, radius, lon_col, lat_col)
+            j = _refine_box(j, predicate, radius, lon_col, lat_col, bounds)
         parts.append(j.select(point_id, polygon_id, *carry_cols))
     if gen_rows:
         # WKT is broadcast ONCE per polygon (joined by id after the cell
@@ -312,7 +350,7 @@ def _broadcast_join(
         )
         j = pt_keys.join(cells_bc, "key").join(wkts_bc, polygon_id)
         if not loose:
-            j = _refine_general(j, predicate, radius, lon_col, lat_col, wkt_col)
+            j = _refine_general(j, predicate, radius, lon_col, lat_col, wkt_col, bounds)
         parts.append(j.select(point_id, polygon_id, *carry_cols))
     out = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
     # DedupeFilter semantics hold BY CONSTRUCTION for point joins: a point
@@ -327,7 +365,7 @@ def _broadcast_join(
 
 def _shuffle_join(
     pts, polygons, predicate, radius, buffer, lon_col, lat_col,
-    point_id, polygon_id, wkt_col, max_cells, loose, salt,
+    point_id, polygon_id, wkt_col, max_cells, loose, salt, bounds=None,
 ) -> DataFrame:
     """Large polygon side: one Arrow bbox UDF + pure-Column span-based
     tiering (<= 4 covering cells per polygon, the reference's
@@ -359,7 +397,13 @@ def _shuffle_join(
     # the +360-shifted copy, so recall and exactness both hold
     keep = ["_px0", "_py0", "_px1", "_py1"]
     others = [c for c in lb.columns if c not in keep]
-    norm = lb.filter((F.col("_px1") <= 180.0) & (F.col("_px0") >= -180.0))
+    if bounds is not None:
+        # custom bounds: clamped normalization, no antimeridian seam — the
+        # whole side passes through unsplit (the wrap branches below see an
+        # empty frame and short-circuit)
+        norm, lb = lb, lb.filter(F.lit(False))
+    else:
+        norm = lb.filter((F.col("_px1") <= 180.0) & (F.col("_px0") >= -180.0))
     # full-wrap rule first (cells.split_bbox_antimeridian semantics): a
     # bbox overflowing BOTH edges (world-spanning polygon + buffer) must
     # become one world box — it would otherwise land in BOTH the hi and
@@ -389,7 +433,8 @@ def _shuffle_join(
                          .select(*lb.columns))
         )
     pc = _extent_cells(
-        lb2, polygon_id, "_px0", "_py0", "_px1", "_py1", extra_cols=(wkt_col,)
+        lb2, polygon_id, "_px0", "_py0", "_px1", "_py1", extra_cols=(wkt_col,),
+        bounds=bounds,
     )
     offs = F.array(*[F.lit(int(o)) for o in cells.TIER_OFFSETS[: cells.MAX_TIER + 1]])
     poly_cells = pc.withColumn(
@@ -424,7 +469,7 @@ def _shuffle_join(
         joined = pt_keys.join(poly_cells, "key")
 
     if not loose:
-        joined = _refine_general(joined, predicate, radius, lon_col, lat_col, wkt_col)
+        joined = _refine_general(joined, predicate, radius, lon_col, lat_col, wkt_col, bounds)
     out = joined.select(point_id, polygon_id)
     # points meet each polygon at most once (one cell per tier) — dedupe is
     # only needed when a wrapped polygon was split into two sub-extents
@@ -550,11 +595,12 @@ def tiered_extent_join(
 def _extent_cells(
     df: DataFrame, id_col: str, x0: str, y0: str, x1: str, y1: str,
     extra_cols: tuple[str, ...] = (),
+    bounds=None,
 ) -> DataFrame:
     """Extent rows → (id, x0..y1, _te, _cell) at the span-based adaptive
     tier (<= 4 cells per row) — pure Column math shared by both extent-join
     paths."""
-    ex = df.withColumn("_te", _extent_tier_expr(x0, y0, x1, y1))
+    ex = df.withColumn("_te", _extent_tier_expr(x0, y0, x1, y1, bounds))
     ex = ex.withColumn("_r", F.pow(F.lit(2.0), F.col("_te").cast("double")).cast("long"))
     rl = F.col("_r").cast("double")
     # norm_lon_upper on BOTH lon bounds (same seam rule as
@@ -562,10 +608,10 @@ def _extent_cells(
     # exactly +180, where the wrap would put the lower bound in cell 0
     # while the upper clamps to r-1 — a degenerate x0=x1=180 box would
     # otherwise explode a sequence over the whole 2^31-cell row
-    gx0 = F.least(F.greatest(F.floor(sqlcells.norm_lon_upper(F.col(x0)) * rl), F.lit(0)), F.col("_r") - 1).cast("long")
-    gy0 = F.least(F.greatest(F.floor(sqlcells.norm_lat(F.col(y0)) * rl), F.lit(0)), F.col("_r") - 1).cast("long")
-    gx1 = F.least(F.greatest(F.floor(sqlcells.norm_lon_upper(F.col(x1)) * rl), gx0), F.col("_r") - 1).cast("long")
-    gy1 = F.least(F.greatest(F.floor(sqlcells.norm_lat(F.col(y1)) * rl), gy0), F.col("_r") - 1).cast("long")
+    gx0 = F.least(F.greatest(F.floor(sqlcells.norm_lon_upper(F.col(x0), bounds) * rl), F.lit(0)), F.col("_r") - 1).cast("long")
+    gy0 = F.least(F.greatest(F.floor(sqlcells.norm_lat(F.col(y0), bounds) * rl), F.lit(0)), F.col("_r") - 1).cast("long")
+    gx1 = F.least(F.greatest(F.floor(sqlcells.norm_lon_upper(F.col(x1), bounds) * rl), gx0), F.col("_r") - 1).cast("long")
+    gy1 = F.least(F.greatest(F.floor(sqlcells.norm_lat(F.col(y1), bounds) * rl), gy0), F.col("_r") - 1).cast("long")
     return (
         ex.withColumn("_gx0", gx0).withColumn("_gx1", gx1)
         .withColumn("_gy0", gy0).withColumn("_gy1", gy1)
@@ -576,12 +622,14 @@ def _extent_cells(
     )
 
 
-def _extent_tier_expr(x0: str, y0: str, x1: str, y1: str) -> Column:
+def _extent_tier_expr(x0: str, y0: str, x1: str, y1: str, bounds=None) -> Column:
     """Span-based adaptive tier for an extent row (same rule as
     `_extent_cells` — tier t is the finest grid whose cell >= the extent's
     span, so the cover is always <= 2x2 cells)."""
-    sx = (F.col(x1) - F.col(x0)) / F.lit(360.0)
-    sy = (F.col(y1) - F.col(y0)) / F.lit(180.0)
+    wx = 360.0 if bounds is None else float(bounds[2] - bounds[0])
+    wy = 180.0 if bounds is None else float(bounds[3] - bounds[1])
+    sx = (F.col(x1) - F.col(x0)) / F.lit(wx)
+    sy = (F.col(y1) - F.col(y0)) / F.lit(wy)
     span = F.greatest(sx, sy, F.lit(0.0))
     return (
         F.when(span <= 0.0, F.lit(cells.MAX_TIER))

@@ -40,19 +40,30 @@ def interleave(x: Column, y: Column) -> Column:
     return part1by1(x).bitwiseOR(F.shiftleft(part1by1(y), 1))
 
 
-def norm_lon(lon: Column) -> Column:
+def norm_lon(lon: Column, bounds=None) -> Column:
+    """x normalization Column twin: world frame wraps (LongitudeDefinition
+    .java:52-67); custom ``bounds`` clamp — BasicDimensionDefinition, the
+    reference's custom-CRS index math (see cells.norm_lon)."""
+    if bounds is not None:
+        x = (lon - F.lit(float(bounds[0]))) / F.lit(float(bounds[2] - bounds[0]))
+        return F.least(F.greatest(x, F.lit(0.0)), F.lit(1.0))
     x = (lon + F.lit(180.0)) / F.lit(360.0)
     return x - F.floor(x)  # antimeridian wrap (LongitudeDefinition.java:52-67)
 
 
-def norm_lat(lat: Column) -> Column:
+def norm_lat(lat: Column, bounds=None) -> Column:
+    if bounds is not None:
+        x = (lat - F.lit(float(bounds[1]))) / F.lit(float(bounds[3] - bounds[1]))
+        return F.least(F.greatest(x, F.lit(0.0)), F.lit(1.0))
     x = (lat + F.lit(90.0)) / F.lit(180.0)
     return F.least(F.greatest(x, F.lit(0.0)), F.lit(1.0))  # clamp
 
 
-def norm_lon_upper(lon: Column) -> Column:
+def norm_lon_upper(lon: Column, bounds=None) -> Column:
     """Upper-bound lon normalization: +180 maps to 1.0, not wrapped to 0
-    (twin of cells.norm_lon_upper)."""
+    (twin of cells.norm_lon_upper); clamped custom bounds have no seam."""
+    if bounds is not None:
+        return norm_lon(lon, bounds)
     return F.when(lon == 180.0, F.lit(1.0)).otherwise(norm_lon(lon))
 
 
@@ -62,7 +73,7 @@ def grid_coord(norm: Column, tier: int) -> Column:
     return F.least(F.greatest(g, F.lit(0)), F.lit(r - 1))
 
 
-def cell_expr(lon: Column, lat: Column, tier: int = MAX_TIER) -> Column:
+def cell_expr(lon: Column, lat: Column, tier: int = MAX_TIER, bounds=None) -> Column:
     """Point → Z-order cell id at ``tier`` — pure Column arithmetic.
 
     NOTE: as a single expression this duplicates its input subtree 32×
@@ -72,13 +83,18 @@ def cell_expr(lon: Column, lat: Column, tier: int = MAX_TIER) -> Column:
     :func:`add_cell_column`, which materializes each step as a named
     column (linear-size codegen).
     """
-    return interleave(grid_coord(norm_lon(lon), tier), grid_coord(norm_lat(lat), tier))
+    return interleave(
+        grid_coord(norm_lon(lon, bounds), tier), grid_coord(norm_lat(lat, bounds), tier)
+    )
 
 
 _SPREAD_STEPS = [(16, _M16), (8, _M8), (4, _M4), (2, _M2), (1, _M1)]
 
 
-def add_cell_column(df, lon_col: str = "lon", lat_col: str = "lat", tier: int = MAX_TIER, out: str = "_cell31"):
+def add_cell_column(
+    df, lon_col: str = "lon", lat_col: str = "lat", tier: int = MAX_TIER,
+    out: str = "_cell31", bounds=None,
+):
     """Stepwise Morton cell computation via named intermediate columns.
 
     Each spread step references the PREVIOUS step's attribute instead of
@@ -92,8 +108,8 @@ def add_cell_column(df, lon_col: str = "lon", lat_col: str = "lat", tier: int = 
     # temp names carry the output name so the helper is re-entrant and can
     # never clobber a caller's column that happens to be called _gx etc.
     gx, gy = f"_{out}_gx", f"_{out}_gy"
-    df = df.withColumn(gx, grid_coord(norm_lon(F.col(lon_col)), tier))
-    df = df.withColumn(gy, grid_coord(norm_lat(F.col(lat_col)), tier))
+    df = df.withColumn(gx, grid_coord(norm_lon(F.col(lon_col), bounds), tier))
+    df = df.withColumn(gy, grid_coord(norm_lat(F.col(lat_col), bounds), tier))
     temps = [gx, gy]
     finals = []
     for prefix, src in ((f"_{out}_px", gx), (f"_{out}_py", gy)):
