@@ -29,6 +29,18 @@ Supported grammar (case-insensitive keywords):
     literal     := number | 'string' | TRUE | FALSE
     datetime    := ISO-8601 instant (2020-01-05T06:30:00[.ffffff][Z])
 
+Arithmetic expressions and the GeoTools property functions are accepted on
+BOTH sides of comparisons and as BETWEEN bounds (CQLQueryFilter accepts
+arbitrary GeoTools ECQL expressions; this covers the arithmetic/function
+family, still compiling to ONE Catalyst Column):
+
+    aexpr  := aterm (('+'|'-') aterm)*
+    aterm  := afact (('*'|'/') afact)*
+    afact  := number | 'string' | property | '-' afact | '(' aexpr ')'
+            | func '(' aexpr (',' aexpr)* ')'
+    func   := abs | ceil | floor | min | max | strToLowerCase
+            | strToUpperCase | strLength | strTrim | strConcat
+
 Temporal predicates follow OGC filter semantics (GeoTools ECQL,
 modules/library/cql): BEFORE/AFTER are strict, DURING is the open
 interval (start, end), TEQUALS is instant equality.  Zone handling: on
@@ -64,16 +76,33 @@ _GEOM_OPS = {
     "EQUALS": "st_equals_wkt",
 }
 
+# GeoTools property functions (modules/library/main filter functions) the
+# parser accepts inside arithmetic expressions — each maps to one Catalyst
+# function, so the whole filter stays a single pushdown-eligible Column
+_CQL_FUNCS = {
+    "ABS": lambda a: F.abs(a[0]),
+    "CEIL": lambda a: F.ceil(a[0]).cast("double"),
+    "FLOOR": lambda a: F.floor(a[0]).cast("double"),
+    "MIN": lambda a: F.least(*a),
+    "MAX": lambda a: F.greatest(*a),
+    "STRTOLOWERCASE": lambda a: F.lower(a[0]),
+    "STRTOUPPERCASE": lambda a: F.upper(a[0]),
+    "STRLENGTH": lambda a: F.length(a[0]).cast("double"),
+    "STRTRIM": lambda a: F.trim(a[0]),
+    "STRCONCAT": lambda a: F.concat(*a),
+}
+
 _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<str>'(?:[^']|'')*')
       | (?P<dt>\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?Z?)
-      | (?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+      | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
       | (?P<op><=|>=|<>|!=|=|<|>)
       | (?P<lp>\()
       | (?P<rp>\))
       | (?P<comma>,)
       | (?P<slash>/)
+      | (?P<arith>[+*-])
       | (?P<word>[A-Za-z_][A-Za-z0-9_.]*)
     )""",
     re.VERBOSE,
@@ -94,7 +123,7 @@ def _tokenize(s: str) -> list[tuple[str, str]]:
                 break
             raise CQLError(f"unexpected input at: {rest[:40]!r}")
         pos = m.end()
-        for kind in ("str", "dt", "num", "op", "lp", "rp", "comma", "slash", "word"):
+        for kind in ("str", "dt", "num", "op", "lp", "rp", "comma", "slash", "arith", "word"):
             v = m.group(kind)
             if v is not None:
                 out.append((kind, v))
@@ -170,9 +199,13 @@ class _Parser:
         if self.peek("str") is not None:
             raw = self.take("str")
             return raw[1:-1].replace("''", "'")
-        if self.peek("num") is not None:
+        if self.peek("num") is not None or self.peek("arith") in ("-", "+"):
+            neg = False
+            while self.peek("arith") in ("-", "+"):
+                neg ^= self.take("arith") == "-"
             raw = self.take("num")
-            return float(raw) if any(c in raw for c in ".eE") else int(raw)
+            v = float(raw) if any(c in raw for c in ".eE") else int(raw)
+            return -v if neg else v
         if self.at_word("TRUE"):
             self.take("word")
             return True
@@ -182,7 +215,11 @@ class _Parser:
         raise CQLError(f"expected literal near {self.toks[self.i:][:1]!r}")
 
     def number(self) -> float:
-        return float(self.take("num"))
+        neg = False
+        while self.peek("arith") in ("-", "+"):
+            neg ^= self.take("arith") == "-"
+        v = float(self.take("num"))
+        return -v if neg else v
 
     # -- geometry plumbing --------------------------------------------------
     def geom_column(self, prop: str) -> Column:
@@ -201,8 +238,108 @@ class _Parser:
             return True  # any property position inside a spatial op
         return prop == g
 
+    # -- arithmetic expressions ----------------------------------------------
+    def arith_expr(self) -> Column:
+        c = self.arith_term()
+        while self.peek("arith") in ("+", "-"):
+            if self.take("arith") == "+":
+                c = c + self.arith_term()
+            else:
+                c = c - self.arith_term()
+        return c
+
+    def arith_term(self) -> Column:
+        c = self.arith_factor()
+        while self.peek("arith") == "*" or self.peek("slash"):
+            if self.peek("slash"):
+                self.take("slash")
+                c = c / self.arith_factor()
+            else:
+                self.take("arith")
+                c = c * self.arith_factor()
+        return c
+
+    def arith_factor(self) -> Column:
+        if self.peek("arith") in ("-", "+"):
+            if self.take("arith") == "-":
+                return -self.arith_factor()
+            return self.arith_factor()
+        if self.peek("lp"):
+            self.take("lp")
+            c = self.arith_expr()
+            self.take("rp")
+            return c
+        if self.peek("num") is not None:
+            raw = self.take("num")
+            v = float(raw) if any(ch in raw for ch in ".eE") else int(raw)
+            return F.lit(v)
+        if self.peek("str") is not None:
+            raw = self.take("str")
+            return F.lit(raw[1:-1].replace("''", "'"))
+        w = self.take("word")
+        return self.word_factor(w)
+
+    def word_factor(self, w: str) -> Column:
+        """A property reference or a function call, given its leading word."""
+        if self.peek("lp") is not None and w.upper() in _CQL_FUNCS:
+            self.take("lp")
+            args = [self.arith_expr()]
+            while self.peek("comma"):
+                self.take("comma")
+                args.append(self.arith_expr())
+            self.take("rp")
+            return _CQL_FUNCS[w.upper()](args)
+        return F.col(w)
+
+    def arith_continue(self, c: Column) -> Column:
+        """Continue term/expr parsing when the LHS's first factor is already
+        parsed (property-led predicates)."""
+        while self.peek("arith") == "*" or self.peek("slash"):
+            if self.peek("slash"):
+                self.take("slash")
+                c = c / self.arith_factor()
+            else:
+                self.take("arith")
+                c = c * self.arith_factor()
+        while self.peek("arith") in ("+", "-"):
+            if self.take("arith") == "+":
+                c = c + self.arith_term()
+            else:
+                c = c - self.arith_term()
+        return c
+
+    def compare(self, lhs: Column) -> Column:
+        neg = False
+        if self.at_word("NOT"):
+            self.take("word")
+            neg = True
+        if self.at_word("BETWEEN"):
+            self.take("word")
+            lo = self.arith_expr()
+            self.take("word", "AND")
+            hi = self.arith_expr()
+            c = lhs.between(lo, hi)
+            return ~c if neg else c
+        if neg:
+            raise CQLError("NOT on an expression must precede BETWEEN")
+        op = self.take("op")
+        rhs = self.arith_expr()
+        if op == "=":
+            return lhs == rhs
+        if op in ("<>", "!="):
+            return lhs != rhs
+        if op == "<":
+            return lhs < rhs
+        if op == "<=":
+            return lhs <= rhs
+        if op == ">":
+            return lhs > rhs
+        return lhs >= rhs
+
     # -- predicates ---------------------------------------------------------
     def predicate(self) -> Column:
+        if self.peek("num") is not None or self.peek("arith") is not None:
+            return self.compare(self.arith_expr())
         w = self.take("word")
         up = w.upper()
         if up == "BBOX":
@@ -211,6 +348,8 @@ class _Parser:
             return self.geom_pred(up)
         if up == "DWITHIN":
             return self.dwithin_pred()
+        if self.peek("lp") is not None and up in _CQL_FUNCS:
+            return self.compare(self.arith_continue(self.word_factor(w)))
         return self.attr_pred(w)
 
     def bbox_pred(self) -> Column:
@@ -311,8 +450,12 @@ class _Parser:
             elif self.peek("comma"):
                 self.take("comma")
                 parts.append(", ")
-            elif self.peek("num") is not None:
-                n = self.take("num")
+            elif self.peek("num") is not None or self.peek("arith") in ("-", "+"):
+                sign = ""
+                while self.peek("arith") in ("-", "+"):
+                    if self.take("arith") == "-":
+                        sign = "" if sign == "-" else "-"
+                n = sign + self.take("num")
                 if parts[-1] not in ("(", ", ", " ") and not parts[-1].endswith(" "):
                     parts.append(" ")
                 parts.append(n)
@@ -329,10 +472,10 @@ class _Parser:
             neg = True
         if self.at_word("BETWEEN"):
             self.take("word")
-            lo = self.literal()
+            lo = self.arith_expr()
             self.take("word", "AND")
-            hi = self.literal()
-            c = col.between(F.lit(lo), F.lit(hi))
+            hi = self.arith_expr()
+            c = col.between(lo, hi)
             return ~c if neg else c
         if self.at_word("IN"):
             self.take("word")
@@ -369,19 +512,8 @@ class _Parser:
             return self.temporal_pred(col, prop)
         if neg:
             raise CQLError("NOT must precede BETWEEN/IN/LIKE")
-        op = self.take("op")
-        lit = self.literal()
-        if op == "=":
-            return col == F.lit(lit)
-        if op in ("<>", "!="):
-            return col != F.lit(lit)
-        if op == "<":
-            return col < F.lit(lit)
-        if op == "<=":
-            return col <= F.lit(lit)
-        if op == ">":
-            return col > F.lit(lit)
-        return col >= F.lit(lit)
+        # property-led arithmetic ("value * 2 + 1 > ..."), then comparison
+        return self.compare(self.arith_continue(col))
 
     def temporal_pred(self, col: Column, prop: str | None = None) -> Column:
         """OGC temporal predicates (GeoTools ECQL): BEFORE/AFTER strict,

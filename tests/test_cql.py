@@ -272,3 +272,55 @@ def test_temporal_z_honored_for_ltz_columns(spark):
         assert cql.cql_filter(df, "nt BEFORE 2024-01-05T12:00:00Z").count() == 2
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+# ---------------------------------------------------------------------------
+# r4 grammar growth: arithmetic expressions + GeoTools property functions
+# ---------------------------------------------------------------------------
+
+def test_arithmetic_comparison(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "click"), (2, 40.0, "view"), (3, 100.0, " purchase ")],
+        ["id", "value", "event_type"],
+    )
+    got = {r.id for r in cql.cql_filter(df, "value * 2 + 5 > 60", geometry="g").collect()}
+    assert got == {2, 3}
+    got = {r.id for r in cql.cql_filter(df, "100 - value <= 60", geometry="g").collect()}
+    assert got == {2, 3}
+    got = {r.id for r in cql.cql_filter(df, "value / 10 = 4", geometry="g").collect()}
+    assert got == {2}
+
+
+def test_arithmetic_between_and_functions(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "click"), (2, 40.0, "view"), (3, 100.0, " purchase ")],
+        ["id", "value", "event_type"],
+    )
+    got = {r.id for r in cql.cql_filter(df, "floor(value / 10) BETWEEN 3 AND 9", geometry="g").collect()}
+    assert got == {2}
+    got = {r.id for r in cql.cql_filter(df, "abs(value - 50) < 15", geometry="g").collect()}
+    assert got == {2}
+    got = {r.id for r in cql.cql_filter(df, "strLength(strTrim(event_type)) > 5", geometry="g").collect()}
+    assert got == {3}
+    got = {r.id for r in cql.cql_filter(df, "strToLowerCase(strTrim(event_type)) = 'purchase'", geometry="g").collect()}
+    assert got == {3}
+    got = {r.id for r in cql.cql_filter(df, "min(value, 50) = 50 AND max(value, 99) > 99", geometry="g").collect()}
+    assert got == {3}
+
+
+def test_arithmetic_negative_literals_still_parse(spark):
+    df = spark.createDataFrame([(1, -10.0), (2, 40.0)], ["id", "value"])
+    got = {r.id for r in cql.cql_filter(df, "value > -20 AND value < -5", geometry="g").collect()}
+    assert got == {1}
+    got = {r.id for r in cql.cql_filter(df, "value BETWEEN -15 AND -5", geometry="g").collect()}
+    assert got == {1}
+    # unary minus on expressions
+    got = {r.id for r in cql.cql_filter(df, "-value = 10", geometry="g").collect()}
+    assert got == {1}
+
+
+def test_arith_filter_is_one_catalyst_column(spark):
+    df = spark.createDataFrame([(1, 10.0)], ["id", "value"])
+    out = cql.cql_filter(df, "floor(value / 10) + 1 > 0 AND abs(value) < 1e9", geometry="g")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "pythonUDF" not in plan and "PythonUDF" not in plan
