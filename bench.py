@@ -35,6 +35,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 HEADLINE = [
     "pip_join_tiered",
     "dwithin_join",
+    "line_dwithin_mem",
     "line_dwithin_join",
     "line_intersects_join",
     "line_crosses_join",
@@ -49,7 +50,13 @@ HEADLINE = [
     "kde_l6",
     "range_query",
     "hier_range_query",
-    "st_range_query",
+    # st_range split per leg (r4): the consolidated driver query grew a
+    # CQL leg in r3 and an arithmetic-ECQL leg in r4 — per-leg rows keep
+    # round-over-round comparisons same-work
+    "st_range_bin",
+    "st_range_subbin",
+    "st_range_cql",
+    "st_range_arith",
     "st_join",
     "subsample_cells",
     "zonal_stats",
@@ -62,8 +69,10 @@ PIPELINE = [
     "simhash64",
     "dedup_simhash_pairs",
     "ann_cosine_topk",
+    "ann_lsh_single",
     "ann_lsh_bucketed",
     "ann_pq",
+    "kmeans_hulls",
     "text_quality",
     "doc_fingerprint",
     "image_tile_counts",
@@ -499,6 +508,43 @@ def bench_images(cpus: int, n: int = 200_000, n_dups: int = 200, nq: int = 16) -
 
 def main() -> None:
     scaling = "--scaling" in sys.argv
+    if "--scaling-reps" in sys.argv:
+        # stabilized two-parallelism-level evidence (VERDICT r3 ask #8):
+        # >= 7 repetitions of the N <-> 4N protocol in ONE artifact, with
+        # median AND min efficiency; reps alternate N/4N back-to-back so a
+        # transient host-load swing hits both legs of the same rep rather
+        # than biasing one side of a single measurement
+        idx = sys.argv.index("--scaling-reps")
+        reps = int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 else 7
+        n_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
+        rows = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "8000000"))
+        recs = []
+        for i in range(reps):
+            sec_n = scaling_once(n_cpus, rows)
+            sec_4n = scaling_once(n_cpus * 4, rows)
+            recs.append({
+                "rep": i,
+                "sec_n": round(sec_n, 3),
+                "sec_4n": round(sec_4n, 3),
+                "rows_per_sec_n": round(rows * 3 / sec_n, 1),
+                "rows_per_sec_4n": round(rows * 3 / sec_4n, 1),
+                "efficiency": round(sec_n / (4.0 * sec_4n), 4),
+            })
+            print(json.dumps(recs[-1]), file=sys.stderr, flush=True)
+        effs = sorted(r["efficiency"] for r in recs)
+        med = effs[len(effs) // 2] if len(effs) % 2 else (
+            (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
+        )
+        print(json.dumps({
+            "protocol": f"local[{n_cpus}] vs local[{n_cpus * 4}], "
+                        f"{rows} rows x 3 passes (spatial_join+kde+tile_counts), "
+                        "fresh session + warmup per leg",
+            "reps": recs,
+            "efficiency_median": round(med, 4),
+            "efficiency_min": round(effs[0], 4),
+            "efficiency_max": round(effs[-1], 4),
+        }))
+        return
     if "--skew" in sys.argv:
         print(json.dumps({"skew": bench_skew(CPUS)}))
         return

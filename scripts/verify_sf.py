@@ -104,8 +104,21 @@ def main() -> None:
             results[name] = {"match": False, "err": str(e)[:300]}
             print(f"{name} ERR {str(e)[:200]}", file=sys.stderr, flush=True)
     bad = [k for k, v in results.items() if not v.get("match")]
-    print(json.dumps({"sf_dir": sf_dir, "checked": len(results), "bad": bad,
-                      "results": results}))
+    # self-describing evidence (ADVICE r3): keep the all_match flag and the
+    # provenance note so the artifact records what produced it
+    print(json.dumps({
+        "sf_dir": sf_dir,
+        "checked": len(results),
+        "all_match": not bad,
+        "bad": bad,
+        "note": (
+            "distributed (count, sum of 60-bit row fingerprints) compared "
+            "Spark-vs-DuckDB per oracle query; sf tables are the driver-"
+            "generated parquet under sf_dir (deterministic generator, see "
+            "TESTDATA.md) or scripts/gen_sf.py output for sf>=1"
+        ),
+        "results": results,
+    }))
 
 
 if __name__ == "__main__":
