@@ -583,11 +583,10 @@ def tiered_extent_join(
     j = j.filter(refine)
     j = j.withColumn("_rd", F.pow(F.lit(2.0), F.col("_kt").cast("double")))
     j = j.withColumn("_rm", F.col("_rd").cast("long") - 1)
-    j = j.filter(
-        _ref_point_cell_pred(
-            F.greatest(F.col(x0), F.col("_px0")),
-            F.greatest(F.col(y0), F.col("_py0")),
-        )
+    j = _ref_point_filter(
+        j,
+        F.greatest(F.col(x0), F.col("_px0")),
+        F.greatest(F.col(y0), F.col("_py0")),
     )
     return j.select(extent_id, polygon_id)
 
@@ -685,19 +684,34 @@ def _extent_multitier_keys(
     )
 
 
-def _ref_point_cell_pred(px: Column, py: Column) -> Column:
-    """PBSM reference-point dedup predicate (Patel & DeWitt, SIGMOD'96
-    §4.3): TRUE iff the cell at tier ``_kt`` containing the bbox
+def _ref_point_filter(j: DataFrame, px: Column, py: Column) -> DataFrame:
+    """PBSM reference-point dedup filter (Patel & DeWitt, SIGMOD'96 §4.3):
+    keep a joined row iff the cell at tier ``_kt`` containing the bbox
     intersection's lower-left corner (px, py) is THIS join cell ``_cell``.
     Each truly-intersecting pair passes in exactly one (tier, cell), so
     the join emits it exactly once — no pair-level dropDuplicates shuffle.
 
     Uses the SAME normalization as the cover generation (norm_lon_upper so
-    px == +180 lands in the last column, matching the cover's clamp)."""
+    px == +180 lands in the last column, matching the cover's clamp).
+
+    Codegen-size note (r4 perf fix): the original predicate interleaved
+    (gxp, gyp) and compared against ``_cell``; the inline Morton spread
+    duplicates its operand subtree 32x, and with the normalization inside
+    it the joined stage's generated Java exceeded the JVM's 64KB method
+    limit — Spark silently ran the hottest stage of the BIG x BIG extent
+    join in interpreted (non-codegen) mode.  Inverting the equality —
+    ``gxp == compact_x(_cell) AND gyp == compact_y(_cell)`` — puts the
+    duplication on the ``_cell`` ATTRIBUTE (tiny per copy) and references
+    each large normalization expression exactly once, so the whole filter
+    stays inside whole-stage codegen even when the optimizer folds it into
+    the join condition."""
     rd, rm = F.col("_rd"), F.col("_rm")
     gxp = F.least(F.greatest(F.floor(sqlcells.norm_lon_upper(px) * rd), F.lit(0)), rm).cast("long")
     gyp = F.least(F.greatest(F.floor(sqlcells.norm_lat(py) * rd), F.lit(0)), rm).cast("long")
-    return sqlcells.interleave(gxp, gyp) == F.col("_cell")
+    return j.filter(
+        (gxp == sqlcells.compact_x(F.col("_cell")))
+        & (gyp == sqlcells.compact_y(F.col("_cell")))
+    )
 
 
 def _extent_keys(ex_cells: DataFrame, partner_tiers: list[int]) -> DataFrame:
@@ -773,11 +787,10 @@ def tiered_extent_join_shuffle(
     j = j.filter(refine)
     j = j.withColumn("_rd", F.pow(F.lit(2.0), F.col("_kt").cast("double")))
     j = j.withColumn("_rm", F.col("_rd").cast("long") - 1)
-    j = j.filter(
-        _ref_point_cell_pred(
-            F.greatest(F.col("_lx0"), F.col("_rx0")),
-            F.greatest(F.col("_ly0"), F.col("_ry0")),
-        )
+    j = _ref_point_filter(
+        j,
+        F.greatest(F.col("_lx0"), F.col("_rx0")),
+        F.greatest(F.col("_ly0"), F.col("_ry0")),
     )
     return j.select(left_id, right_id)
 
@@ -1195,11 +1208,10 @@ def geometry_join_shuffle(
     # WITHOUT any dropDuplicates shuffle unless a split occurred
     j = j.withColumn("_rd", F.pow(F.lit(2.0), F.col("_kt").cast("double")))
     j = j.withColumn("_rm", F.col("_rd").cast("long") - 1)
-    j = j.filter(
-        _ref_point_cell_pred(
-            F.greatest(F.col("_lx0"), F.col("_rx0")),
-            F.greatest(F.col("_ly0"), F.col("_ry0")),
-        )
+    j = _ref_point_filter(
+        j,
+        F.greatest(F.col("_lx0"), F.col("_rx0")),
+        F.greatest(F.col("_ly0"), F.col("_ry0")),
     )
     if not carry_wkt:
         # narrow path: candidate id pairs (already unique unless split),

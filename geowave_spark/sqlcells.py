@@ -40,6 +40,33 @@ def interleave(x: Column, y: Column) -> Column:
     return part1by1(x).bitwiseOR(F.shiftleft(part1by1(y), 1))
 
 
+def compact1by1(col: Column) -> Column:
+    """Inverse of :func:`part1by1` — gather the even bits (JVM-side).
+
+    NOTE on codegen size: the expression doubles its operand per step, so
+    pass an ATTRIBUTE (e.g. ``F.col("_cell")``), never a large expression;
+    inverting an equality against a large interleave operand this way is
+    how the extent joins keep their reference-point predicate inside the
+    JVM's 64KB generated-method limit (see _ref_point_filter)."""
+    x = col.bitwiseAND(F.lit(_M1))
+    x = (x.bitwiseOR(F.shiftrightunsigned(x, 1))).bitwiseAND(F.lit(_M2))
+    x = (x.bitwiseOR(F.shiftrightunsigned(x, 2))).bitwiseAND(F.lit(_M4))
+    x = (x.bitwiseOR(F.shiftrightunsigned(x, 4))).bitwiseAND(F.lit(_M8))
+    x = (x.bitwiseOR(F.shiftrightunsigned(x, 8))).bitwiseAND(F.lit(_M16))
+    x = (x.bitwiseOR(F.shiftrightunsigned(x, 16))).bitwiseAND(F.lit(0xFFFFFFFF))
+    return x
+
+
+def compact_x(cell: Column) -> Column:
+    """Morton cell → x grid coordinate (even bits)."""
+    return compact1by1(cell)
+
+
+def compact_y(cell: Column) -> Column:
+    """Morton cell → y grid coordinate (odd bits)."""
+    return compact1by1(F.shiftrightunsigned(cell, 1))
+
+
 def norm_lon(lon: Column, bounds=None) -> Column:
     """x normalization Column twin: world frame wraps (LongitudeDefinition
     .java:52-67); custom ``bounds`` clamp — BasicDimensionDefinition, the
@@ -110,9 +137,20 @@ def add_cell_column(
     gx, gy = f"_{out}_gx", f"_{out}_gy"
     df = df.withColumn(gx, grid_coord(norm_lon(F.col(lon_col), bounds), tier))
     df = df.withColumn(gy, grid_coord(norm_lat(F.col(lat_col), bounds), tier))
-    temps = [gx, gy]
+    return interleave_columns(df, gx, gy, out).drop(gx, gy)
+
+
+def interleave_columns(df, gx_col: str, gy_col: str, out: str):
+    """Stepwise Morton interleave of two EXISTING grid-coordinate columns
+    into ``out`` (same linear-codegen trick as add_cell_column; the inline
+    :func:`interleave` expression duplicates each operand subtree 32x,
+    which blows the JVM 64KB method limit when the operands are themselves
+    large expressions — e.g. the extent joins' reference-point cell)."""
+    from pyspark.sql import functions as F
+
+    temps = []
     finals = []
-    for prefix, src in ((f"_{out}_px", gx), (f"_{out}_py", gy)):
+    for prefix, src in ((f"_{out}_px", gx_col), (f"_{out}_py", gy_col)):
         cur = f"{prefix}0"
         df = df.withColumn(cur, F.col(src).bitwiseAND(F.lit(0xFFFFFFFF)))
         temps.append(cur)
