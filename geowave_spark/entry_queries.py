@@ -2333,9 +2333,13 @@ def _oracle_kmeans_hulls(k: int = 8, n_iter: int = 4) -> str:
             f"COALESCE(CAST(floor(CAST(s.sy AS DOUBLE) / s.n) AS BIGINT), i.cy) AS cy "
             f"FROM c{i - 1} i LEFT JOIN s{i} s ON s.c = i.c)"
         )
-    ctes.append(assign("af", f"c{n_iter}"))
+    ctes.append(assign("af0", f"c{n_iter}"))
+    # af feeds ncnt + dpts, dpts feeds the 8 extreme-point CTEs + surv —
+    # materialize both so the unrolled Lloyd pipeline runs ONCE, not once
+    # per downstream reference (DuckDB inlines non-materialized CTEs)
+    ctes.append("af AS MATERIALIZED (SELECT * FROM af0)")
     ctes.append("ncnt AS (SELECT c, count(*) AS n FROM af GROUP BY c)")
-    ctes.append("dpts AS (SELECT DISTINCT c, xm, ym FROM af)")
+    ctes.append("dpts AS MATERIALIZED (SELECT DISTINCT c, xm, ym FROM af)")
     # octagon extreme points, CCW direction order starting east
     metrics = ["xm", "xm + ym", "ym", "ym - xm", "-xm", "-(xm + ym)", "-ym", "xm - ym"]
     for i, m in enumerate(metrics):
@@ -2351,27 +2355,59 @@ def _oracle_kmeans_hulls(k: int = 8, n_iter: int = 4) -> str:
         f"((ex{(i + 1) % 8} - ex{i}) * (d.ym - ey{i}) - (ey{(i + 1) % 8} - ey{i}) * (d.xm - ex{i})) > 0"
         for i in range(8)
     )
+    # MATERIALIZED: the recursive hull member references surv every
+    # iteration — without the hint DuckDB inlines the CTE and re-runs the
+    # whole unrolled Lloyd pipeline per step (measured 84 s at sf0.001,
+    # unbounded at sf1); materialized, the walk touches a tiny cached table
     ctes.append(
-        "surv AS (SELECT d.c, d.xm, d.ym FROM dpts d JOIN ext x ON x.c = d.c "
+        "surv AS MATERIALIZED (SELECT d.c, d.xm, d.ym FROM dpts d JOIN ext x ON x.c = d.c "
         f"WHERE NOT ({strict_inside}))"
     )
-    orient = "(q.xm - h.x) * (r.ym - h.y) - (q.ym - h.y) * (r.xm - h.x)"
-    beyond = (
-        "(r.xm - h.x) * (q.xm - h.x) + (r.ym - h.y) * (q.ym - h.y) > "
-        "(q.xm - h.x) * (q.xm - h.x) + (q.ym - h.y) * (q.ym - h.y)"
+    # gift-wrapping step as an O(n log n) per-cluster argmin over an EXACT
+    # angular key (not the O(n^2)-per-step NOT-EXISTS formulation, which is
+    # intractable at 10^6 points): relative to the incoming direction
+    # (h.dx, h.dy), a candidate vector v has frame coordinates aa = d·v,
+    # bb = d×v; CCW angle ascends with (class, aa/bb DESC), where class
+    # 0 = collinear forward, 1 = left half, 2 = collinear backward,
+    # 3 = right half.  aa/bb is keyed EXACTLY as a two-level scaled
+    # HUGEINT quotient (sign-normalized so the divisor is positive):
+    # |aa|,|bb| < 2^59, two distinct true slopes differ by at least
+    # 1/(bb1*bb2) > 2^-118, and the (k1, k2) pair carries the quotient at
+    # 2^-120 precision with monotone truncation error <= 2 — so distinct
+    # true angles always get distinct, correctly ordered keys, and
+    # proportional vectors (equal angles) get identical keys; distance
+    # DESC then breaks collinear ties (farthest = strict corner), matching
+    # the engine's monotone-chain corner convention.
+    aa0 = "(h.dx * (q.xm - h.x) + h.dy * (q.ym - h.y))"
+    bb0 = "(h.dx * (q.ym - h.y) - h.dy * (q.xm - h.x))"
+    cls = (
+        f"(CASE WHEN {bb0} = 0 AND {aa0} > 0 THEN 0 WHEN {bb0} > 0 THEN 1 "
+        f"WHEN {bb0} = 0 THEN 2 ELSE 3 END)"
     )
+    # sign-normalize: divide (-aa)/(-bb) when bb < 0 — same slope, bpos > 0
+    apos = f"CAST(CASE WHEN {bb0} < 0 THEN -{aa0} ELSE {aa0} END AS HUGEINT)"
+    bpos = f"CAST(abs({bb0}) AS HUGEINT)"
+    s60 = "CAST(1152921504606846976 AS HUGEINT)"  # 2^60
+    k1 = f"(CASE WHEN {bb0} = 0 THEN CAST(0 AS HUGEINT) ELSE ({apos} * {s60}) // {bpos} END)"
+    k2 = (
+        f"(CASE WHEN {bb0} = 0 THEN CAST(0 AS HUGEINT) ELSE "
+        f"((({apos} * {s60}) % {bpos}) * {s60}) // {bpos} END)"
+    )
+    dist2 = "((q.xm - h.x) * (q.xm - h.x) + (q.ym - h.y) * (q.ym - h.y))"
     ctes.append(
         "hull AS ("
-        "SELECT c, CAST(0 AS BIGINT) AS seq, xm AS x, ym AS y, xm AS sx, ym AS sy FROM ("
+        "SELECT c, CAST(0 AS BIGINT) AS seq, xm AS x, ym AS y, xm AS sx, ym AS sy, "
+        "CAST(0 AS BIGINT) AS dx, CAST(-1 AS BIGINT) AS dy FROM ("
         "SELECT c, xm, ym, row_number() OVER (PARTITION BY c ORDER BY xm, ym) AS rn FROM surv"
         ") WHERE rn = 1 "
         "UNION ALL "
-        "SELECT h.c, h.seq + 1, q.xm, q.ym, h.sx, h.sy "
+        "SELECT c, seq, x, y, sx, sy, dx, dy FROM ("
+        "SELECT h.c, h.seq + 1 AS seq, q.xm AS x, q.ym AS y, h.sx, h.sy, "
+        "q.xm - h.x AS dx, q.ym - h.y AS dy, "
+        f"row_number() OVER (PARTITION BY h.c ORDER BY {cls}, {k1} DESC, {k2} DESC, {dist2} DESC) AS rn "
         "FROM hull h JOIN surv q ON q.c = h.c AND NOT (q.xm = h.x AND q.ym = h.y) "
-        "WHERE NOT (q.xm = h.sx AND q.ym = h.sy) AND h.seq < 100000 "
-        "AND NOT EXISTS (SELECT 1 FROM surv r WHERE r.c = h.c "
-        "AND NOT (r.xm = h.x AND r.ym = h.y) AND NOT (r.xm = q.xm AND r.ym = q.ym) "
-        f"AND ({orient} < 0 OR ({orient} = 0 AND {beyond}))))"
+        "WHERE h.seq < 100000"
+        ") WHERE rn = 1 AND NOT (x = sx AND y = sy))"
     )
     return (
         "WITH RECURSIVE " + ", ".join(ctes) + " "

@@ -621,10 +621,15 @@ def covers_pair(ga, gb) -> bool:
     + hole witnesses — exact-double, SQL-replicable); pairs in DEGENERATE
     CONTACT (a vertex of one geometry exactly on a segment of the other —
     the only configurations where float witnesses can land on boundaries)
-    route to the exact rational fallback (:func:`exactgeom.covers`), which
-    is certified for piecewise-linear inputs.  Box ga stays on the exact
-    interval-algebra fast path.  A 0/1-dim ga covering gb is inherently a
-    degenerate-contact question and always runs exact.
+    are decided by the exact rational fallback (:func:`exactgeom.covers`),
+    which is certified for piecewise-linear inputs.  Routing is LAZY on
+    the conclusive side: a float REJECTION carries its own witness (a
+    sampled point outside the closed ga, or a proper boundary crossing) so
+    it returns immediately; only an all-witnesses-pass True runs the
+    degenerate-contact audit — every documented escape was a false ACCEPT,
+    so join candidates (mostly rejected) never pay the audit.  Box ga
+    stays on the exact interval-algebra fast path.  A 0/1-dim ga covering
+    gb is inherently a degenerate-contact question and always runs exact.
     """
     if isinstance(gb, Point):
         return bool(np.any(ga.contains(np.array([gb.x]), np.array([gb.y]))))
@@ -643,9 +648,6 @@ def covers_pair(ga, gb) -> bool:
         return False
     if isinstance(ga, Polygon) and ga.is_box():
         return True  # bbox containment is exact for a closed box
-    from . import exactgeom
-    if exactgeom.degenerate_contact(ga, gb):
-        return exactgeom.covers(ga, gb)
     vb = gb.vertices()
     if not bool(np.all(ga.contains(vb[:, 0], vb[:, 1]))):
         return False
@@ -667,8 +669,8 @@ def covers_pair(ga, gb) -> bool:
     # hole-edge midpoints strictly interior to gb (the midpoints close the
     # inscribed-diamond case where every hole vertex sits exactly on gb's
     # boundary; configurations where every sampled hole point lies
-    # precisely on gb's boundary are degenerate contacts and were routed
-    # to the exact rational fallback above, so they never reach this code)
+    # precisely on gb's boundary are degenerate contacts — they fall
+    # through to the accept-side audit below and are decided exactly)
     if _has_area(gb):
         Sg = gb.segments()
         for hole in _hole_rings(ga):
@@ -697,6 +699,12 @@ def covers_pair(ga, gb) -> bool:
                 ).any(axis=1)
                 if not bool(on_boundary.all()):
                     return False
+    # accept-side audit: every float witness passed — in degenerate
+    # contact that is exactly where sampling could miss an escape, so the
+    # exact rational kernel gets the final word
+    from . import exactgeom
+    if exactgeom.degenerate_contact(ga, gb):
+        return exactgeom.covers(ga, gb)
     return True
 
 
@@ -936,6 +944,26 @@ def _line_vertex_interior_contact(ga, gb) -> bool:
 
 
 def interiors_intersect_pair(ga, gb) -> bool:
+    """interior(ga) ∩ interior(gb) ≠ ∅ (DE-9IM cell [0,0]) with the same
+    two-tier design as covers_pair, lazy on the conclusive side: a float
+    ACCEPT carries its own witness (a sample strictly inside, a proper
+    crossing, or a nested cover) and returns immediately; a REJECT of an
+    area pair in degenerate contact is where sampling could miss interior
+    contact, so it is re-decided by the exact rational kernel."""
+    got = _interiors_intersect_float(ga, gb)
+    if got or max(_dim(ga), _dim(gb)) != 2:
+        return got
+    ax0, ay0, ax1, ay1 = ga.bbox
+    bx0, by0, bx1, by1 = gb.bbox
+    if ax0 > bx1 or bx0 > ax1 or ay0 > by1 or by0 > ay1:
+        return False
+    from . import exactgeom
+    if exactgeom.degenerate_contact(ga, gb):
+        return exactgeom.interiors_intersect(ga, gb)
+    return False
+
+
+def _interiors_intersect_float(ga, gb) -> bool:
     """interior(ga) ∩ interior(gb) ≠ ∅ — the discriminator between
     `touches` and the interior-sharing predicates (DE-9IM cell [0,0]).
 
@@ -952,13 +980,6 @@ def interiors_intersect_pair(ga, gb) -> bool:
     bx0, by0, bx1, by1 = gb.bbox
     if ax0 > bx1 or bx0 > ax1 or ay0 > by1 or by0 > ay1:
         return False
-    # degenerate-contact pairs involving an area go to the exact rational
-    # kernel (the line×line path below is already exact via blocked
-    # orientation tests and stays here)
-    if max(_dim(ga), _dim(gb)) == 2:
-        from . import exactgeom
-        if exactgeom.degenerate_contact(ga, gb):
-            return exactgeom.interiors_intersect(ga, gb)
     if _dim(ga) > _dim(gb):
         ga, gb = gb, ga
     da, db = _dim(ga), _dim(gb)
