@@ -163,6 +163,12 @@ def kmeans_lloyd(
         micro(F.col(lon_col)).alias("xm"),
         micro(F.col(lat_col)).alias("ym"),
     )
+    # n_iter+1 passes read this narrow (id, xm, ym) projection — materialize
+    # it once so each pass is a cached-columnar scan instead of re-running
+    # the upstream source (the driver tables derive lon/lat via md5 hashing,
+    # which would otherwise be recomputed 5x); blocks are ContextCleaner-
+    # reclaimed, same trade as the dedup shingle frames
+    pts = pts.localCheckpoint()
     init = (
         pts.withColumn(
             "hk", h60(F.concat(F.lit("km:"), F.col("_id").cast("string")))
