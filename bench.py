@@ -395,6 +395,17 @@ def bench_ann(cpus: int, n: int = 1_000_000, k: int = 10, nq: int = 32) -> dict:
         out["lsh_multiprobe"] = {
             "sec": sec, "recall_at_k": recall(got), "n_planes": 8, "n_probe": 3,
         }
+        # the REGISTERED driver configuration (oracle-mirrored probes)
+        from geowave_spark.entry_queries import ANN_LSH_PLANES, ANN_LSH_PROBE
+
+        sec, got = run(
+            "lsh_registered",
+            sim.lsh_ann_topk(vecs, queries, k=k, n_planes=ANN_LSH_PLANES, n_probe=ANN_LSH_PROBE),
+        )
+        out["lsh_registered_default"] = {
+            "sec": sec, "recall_at_k": recall(got),
+            "n_planes": ANN_LSH_PLANES, "n_probe": ANN_LSH_PROBE,
+        }
         sec, got = run(
             "ivf", sim.ivf_ann_topk(vecs, queries, k=k, n_lists=64, n_probe=8)
         )

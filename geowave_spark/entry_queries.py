@@ -1004,15 +1004,27 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "cos_mu", F.col("rank").cast("long").alias("rank"))
 
 
+# registered LSH ANN configuration — shared by the query, its oracle, and
+# bench_ann's "registered default" row.  8 planes + 3 probes measures
+# recall@10 = 0.58 at 10^6 vectors (evidence/bench_ann_r4.json) vs 0.25
+# single-probe; 12 planes prune harder but drop multi-probe recall to 0.39
+ANN_LSH_PLANES = 8
+ANN_LSH_PROBE = 3
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe LSH ANN (n_probe=2): each query also probes the buckets
-    reached by flipping its two smallest-|margin| hyperplane bits — the
-    registered default since single-probe recall (0.25 @ 10⁶ vectors) is
-    not an ANN anyone should ship while multi-probe reaches ~0.6 at the
-    same stored layout.  The probe derivation is deterministic Column
-    math, mirrored bit-for-bit in the DuckDB oracle."""
+    """Multi-probe LSH ANN (8 hyperplanes, n_probe=3): each query also
+    probes the buckets reached by flipping its three smallest-|margin|
+    hyperplane bits — the registered default since single-probe recall
+    (0.25 @ 10⁶ vectors) is not an ANN anyone should ship while this
+    configuration reaches 0.58 on the same stored layout.  The probe
+    derivation is deterministic Column math, mirrored bit-for-bit in the
+    DuckDB oracle."""
     em = _embs(spark, sf_dir)
-    out = similarity.lsh_ann_topk(em, em.filter(F.col("vec_id") < 32), k=10, n_probe=2)
+    out = similarity.lsh_ann_topk(
+        em, em.filter(F.col("vec_id") < 32), k=10,
+        n_planes=ANN_LSH_PLANES, n_probe=ANN_LSH_PROBE,
+    )
     return out.select("query_id", "vec_id", "cos_mu", F.col("rank").cast("long").alias("rank"))
 
 
@@ -2235,7 +2247,8 @@ def _sql_bucket(e: str, n_planes: int = 12) -> str:
 
 
 def _oracle_ann_lsh(
-    k: int = 10, nq: int = 32, n_probe: int = 2, n_planes: int = 12
+    k: int = 10, nq: int = 32, n_probe: int = ANN_LSH_PROBE,
+    n_planes: int = ANN_LSH_PLANES,
 ) -> str:
     """Multi-probe twin of similarity.lsh_ann_topk: the margin sort and
     bit flips replicate the engine's Column math exactly (struct (m, i)
@@ -2261,7 +2274,7 @@ def _oracle_ann_lsh(
     ) + "]"
     return (
         "WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), "
-        f"v AS (SELECT vec_id, e, {_sql_bucket('e')} AS bucket FROM v0), "
+        f"v AS (SELECT vec_id, e, {_sql_bucket('e', n_planes)} AS bucket FROM v0), "
         f"q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM v WHERE vec_id < {nq}), "
         f"qm AS (SELECT query_id, qe, bucket, {margins} AS mg FROM q), "
         f"qp AS (SELECT query_id, qe, unnest(list_distinct({probe_list})) AS bucket FROM qm), "
