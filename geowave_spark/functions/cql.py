@@ -132,11 +132,12 @@ def _tokenize(s: str) -> list[tuple[str, str]]:
 
 
 class _Parser:
-    def __init__(self, tokens: list[tuple[str, str]], geometry, schema=None):
+    def __init__(self, tokens: list[tuple[str, str]], geometry, schema=None, id_col=None):
         self.toks = tokens
         self.i = 0
         self.geometry = geometry
         self.schema = schema  # optional StructType for type-aware literals
+        self.id_col = id_col  # feature-id column for bare ID filters
 
     # -- token helpers ------------------------------------------------------
     def peek(self, kind=None, value=None):
@@ -342,6 +343,15 @@ class _Parser:
             return self.compare(self.arith_expr())
         w = self.take("word")
         up = w.upper()
+        if up == "IN" and self.peek("lp") is not None:
+            # bare ID filter (GeoTools ECQL: ``IN ('states.1', 'states.5')``
+            # selects by feature id) — resolves against the caller's id_col
+            return self.id_filter()
+        if up == "NOT" and self.at_word("IN"):
+            self.take("word")
+            if self.peek("lp") is not None:
+                return ~self.id_filter()
+            raise CQLError("expected ( after NOT IN")
         if up == "BBOX":
             return self.bbox_pred()
         if up in _GEOM_OPS:
@@ -351,6 +361,20 @@ class _Parser:
         if self.peek("lp") is not None and up in _CQL_FUNCS:
             return self.compare(self.arith_continue(self.word_factor(w)))
         return self.attr_pred(w)
+
+    def id_filter(self) -> Column:
+        if self.id_col is None:
+            raise CQLError(
+                "bare ID filter (IN (...)) needs an id_col — pass one to "
+                "cql_filter/cql_to_column"
+            )
+        self.take("lp")
+        vals = [self.literal()]
+        while self.peek("comma"):
+            self.take("comma")
+            vals.append(self.literal())
+        self.take("rp")
+        return F.col(self.id_col).isin(*vals)
 
     def bbox_pred(self) -> Column:
         self.take("lp")
@@ -554,19 +578,20 @@ class _Parser:
         return col == dt_lit(t)  # TEQUALS
 
 
-def cql_to_column(expr: str, geometry="wkt", schema=None) -> Column:
+def cql_to_column(expr: str, geometry="wkt", schema=None, id_col=None) -> Column:
     """Parse an (E)CQL filter string into one Catalyst ``Column``.
 
     ``geometry``: the WKT column name spatial predicates refer to, or a
     ``(lon_col, lat_col)`` tuple for point features.  ``schema``: optional
     StructType enabling type-aware temporal literals (Z honored as an
-    absolute instant for TIMESTAMP-LTZ columns).
+    absolute instant for TIMESTAMP-LTZ columns).  ``id_col``: the column a
+    bare GeoTools ID filter (``IN ('a', 'b')``) selects on.
     """
-    return _Parser(_tokenize(expr), geometry, schema).parse()
+    return _Parser(_tokenize(expr), geometry, schema, id_col).parse()
 
 
-def cql_filter(df: DataFrame, expr: str, geometry="wkt") -> DataFrame:
+def cql_filter(df: DataFrame, expr: str, geometry="wkt", id_col=None) -> DataFrame:
     """``df.filter`` with a CQL string (CQLQuery.createOptimalQuery analog:
     attribute predicates stay JVM/pushdown-eligible; spatial predicates
     evaluate through the exact geometry kernel)."""
-    return df.filter(cql_to_column(expr, geometry, df.schema))
+    return df.filter(cql_to_column(expr, geometry, df.schema, id_col))

@@ -324,3 +324,18 @@ def test_arith_filter_is_one_catalyst_column(spark):
     out = cql.cql_filter(df, "floor(value / 10) + 1 > 0 AND abs(value) < 1e9", geometry="g")
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "pythonUDF" not in plan and "PythonUDF" not in plan
+
+
+def test_bare_id_filter(spark):
+    df = spark.createDataFrame(
+        [("states.1", 1.0), ("states.5", 2.0), ("states.9", 3.0)], ["fid", "v"]
+    )
+    got = {r.fid for r in cql.cql_filter(df, "IN ('states.1', 'states.9')", geometry="g", id_col="fid").collect()}
+    assert got == {"states.1", "states.9"}
+    got = {r.fid for r in cql.cql_filter(df, "NOT IN ('states.1')", geometry="g", id_col="fid").collect()}
+    assert got == {"states.5", "states.9"}
+    # combinable with attribute predicates
+    got = {r.fid for r in cql.cql_filter(df, "IN ('states.1', 'states.5') AND v > 1.5", geometry="g", id_col="fid").collect()}
+    assert got == {"states.5"}
+    with pytest.raises(cql.CQLError):
+        cql.cql_to_column("IN ('a')", geometry="g")  # no id_col configured
