@@ -104,3 +104,54 @@ def test_read_geolife(spark, tmp_path):
     assert rows[0]["ts"].second == 4
     assert rows[0]["trajectory_id"] == "000/20081023025304"
     assert "EvalPython" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_read_twitter(spark, tmp_path):
+    import gzip
+    import json as _json
+
+    def tweet(tid, lon=None, lat=None, **over):
+        t = {
+            "id_str": str(tid),
+            "created_at": "Wed Aug 27 13:08:45 +0000 2008",
+            "text": f"tweet {tid}",
+            "lang": "en",
+            "retweet_count": 3,
+            "in_reply_to_user_id_str": None,
+            "in_reply_to_status_id_str": None,
+            "coordinates": (
+                {"coordinates": [lon, lat], "type": "Point"}
+                if lon is not None
+                else None
+            ),
+            "user": {"id_str": f"u{tid}", "name": f"user {tid}"},
+        }
+        t.update(over)
+        return _json.dumps(t)
+
+    p = tmp_path / "tweets.json.gz"
+    lines = [
+        tweet(1, -77.03, 38.9),
+        tweet(2, 151.2, -33.8, lang=None, retweet_count=None),
+        tweet(3),  # not geotagged -> skipped (TwitterIngestPlugin only ingests geo)
+        "{not json at all",  # malformed -> skipped
+        tweet(4, 2.35, 48.85, in_reply_to_user_id_str="u1",
+              in_reply_to_status_id_str="1"),
+    ]
+    with gzip.open(p, "wt") as f:
+        f.write("\n".join(lines))
+
+    df = ing.read_twitter(spark, str(p)).orderBy("tweet_id")
+    rows = df.collect()
+    assert [r["tweet_id"] for r in rows] == ["1", "2", "4"]
+    r1, r2, r4 = rows
+    assert (r1["lon"], r1["lat"]) == (-77.03, 38.9)
+    assert r1["user_id"] == "u1" and r1["user_name"] == "user 1"
+    assert r1["retweet_count"] == 3 and r1["lang"] == "en"
+    assert str(r1["dtg"]).startswith("2008-08-27")
+    assert r1["wkt"] == "POINT (-77.03 38.9)"
+    # nullable attrs survive as NULL / default-0 (reference inits retweetCount=0)
+    assert r2["lang"] is None and r2["retweet_count"] == 0
+    assert r4["in_reply_to_user_id"] == "u1" and r4["in_reply_to_status_id"] == "1"
+    # pure-JVM parse: no Python eval anywhere in the plan
+    assert "EvalPython" not in df._jdf.queryExecution().executedPlan().toString()
