@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import cells, sqlcells
+from .functions import crs
 from .geom import box_wkt
 from .operators import dedup, kde, knn, similarity, spatial_join, stats, textstats, tiling
 
@@ -115,17 +116,20 @@ def sql_grid(axis: str, col: str, tier: int, bounds=None) -> str:
 
 
 def sql_cell_select(
-    tier: int, out: str, lon: str = "lon", lat: str = "lat", bounds=None
+    tier: int, out: str, lon: str = "lon", lat: str = "lat", bounds=None, tag: str = ""
 ) -> tuple[str, str]:
-    """(inner grid-coord select fragment, outer interleave fragment)."""
-    gx, gy = f"_gx{tier}c" if bounds is not None else f"_gx{tier}", (
-        f"_gy{tier}c" if bounds is not None else f"_gy{tier}"
+    """(inner grid-coord select fragment, outer interleave fragment).
+
+    ``tag`` disambiguates intermediate names when one query carries two
+    custom-bounds legs at the same tier."""
+    gx, gy = f"_gx{tier}c{tag}" if bounds is not None else f"_gx{tier}", (
+        f"_gy{tier}c{tag}" if bounds is not None else f"_gy{tier}"
     )
     inner = (
         f"{sql_grid('lon', lon, tier, bounds)} AS {gx}, "
         f"{sql_grid('lat', lat, tier, bounds)} AS {gy}"
     )
-    pre = f"{tier}c" if bounds is not None else str(tier)
+    pre = f"{tier}c{tag}" if bounds is not None else str(tier)
     xs = sql_morton_steps(f"_x{pre}_", gx)
     ys = sql_morton_steps(f"_y{pre}_", gy)
     outer = ", ".join(xs + ys) + f", ((_x{pre}_5) | ((_y{pre}_5) << 1)) AS {out}"
@@ -813,10 +817,14 @@ PROJ_BOUNDS = (0.0, 0.0, 1_800_000.0, 900_000.0)  # metres-like custom frame
 
 
 def q_cell_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order cell ids at two tiers, plus a PROJECTED-frame cell: the same
-    engine index math normalized over custom per-dimension bounds
+    """Z-order cell ids at two tiers, plus two PROJECTED-frame legs: the
+    same engine index math normalized over custom per-dimension bounds
     (SpatialDimensionalityTypeProvider.java:107-124 custom-CRS analog) —
-    oracle-checked against the identical DuckDB normalization."""
+    a linear metres-like frame AND a true EPSG:3857 reprojection (custom-CRS
+    step 2, functions/crs.py: x = a*radians(lon), y = a*ln(tan(pi/4+phi/2))
+    — GeometryUtils' GeoTools transform re-expressed as Column algebra) with
+    the projected coordinates themselves emitted in integer millimetres.
+    All legs oracle-checked against the identical DuckDB math."""
     ev = _events(spark, sf_dir)
     ev = sqlcells.add_cell_column(ev, tier=10, out="cell10")
     ev = sqlcells.add_cell_column(ev, tier=4, out="cell4")
@@ -826,7 +834,20 @@ def q_cell_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = sqlcells.add_cell_column(
         ev, "px", "py", tier=10, out="cell10_proj", bounds=PROJ_BOUNDS
     )
-    return ev.select("event_id", "cell10", "cell4", "cell10_proj")
+    mx, my = crs.web_mercator_cols(F.col("lon"), F.col("lat"))
+    ev = ev.withColumn("mx", mx).withColumn("my", my)
+    ev = sqlcells.add_cell_column(
+        ev, "mx", "my", tier=10, out="cell10_merc", bounds=crs.WEB_MERCATOR_BOUNDS
+    )
+    ev = ev.withColumn(
+        "x3857_mm", F.floor(F.col("mx") * F.lit(1000.0) + F.lit(0.5)).cast("long")
+    ).withColumn(
+        "y3857_mm", F.floor(F.col("my") * F.lit(1000.0) + F.lit(0.5)).cast("long")
+    )
+    return ev.select(
+        "event_id", "cell10", "cell4", "cell10_proj", "cell10_merc",
+        "x3857_mm", "y3857_mm",
+    )
 
 
 def q_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1880,17 +1901,35 @@ def _oracle_hotspot() -> str:
 
 
 def _oracle_cell_ids() -> str:
+    import math as _math
+
     in10, out10 = sql_cell_select(10, "cell10")
     in4, out4 = sql_cell_select(4, "cell4")
     inp, outp = sql_cell_select(10, "cell10_proj", lon="px", lat="py", bounds=PROJ_BOUNDS)
+    inm, outm = sql_cell_select(
+        10, "cell10_merc", lon="mx", lat="my", bounds=crs.WEB_MERCATOR_BOUNDS, tag="m"
+    )
+    # textual twin of functions/crs._merc_forward: same literals (repr of
+    # the exact doubles), same operation order -> bit-stable across engines
+    a_rad = crs.WGS84_A * _math.pi / 180.0
+    mx_sql = f"(lon * CAST({a_rad!r} AS DOUBLE))"
+    my_sql = (
+        f"(ln(tan(((lat * CAST({_math.pi / 180.0!r} AS DOUBLE)) * CAST(0.5 AS DOUBLE)) "
+        f"+ CAST({_math.pi / 4.0!r} AS DOUBLE))) * CAST({crs.WGS84_A!r} AS DOUBLE))"
+    )
+    mm = (
+        "CAST(floor({c} * CAST(1000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    )
     return (
         f"WITH {EV_CTE}, "
         "evp AS (SELECT event_id, lon, lat, "
         "(lon + CAST(180.0 AS DOUBLE)) * CAST(5000.0 AS DOUBLE) AS px, "
-        "(lat + CAST(90.0 AS DOUBLE)) * CAST(5000.0 AS DOUBLE) AS py FROM ev), "
-        f"g AS (SELECT event_id, {in10}, {in4}, {inp} FROM evp) "
-        f"SELECT event_id, cell10, cell4, cell10_proj "
-        f"FROM (SELECT event_id, {out10}, {out4}, {outp} FROM g)"
+        "(lat + CAST(90.0 AS DOUBLE)) * CAST(5000.0 AS DOUBLE) AS py, "
+        f"{mx_sql} AS mx, {my_sql} AS my FROM ev), "
+        f"g AS (SELECT event_id, mx, my, {in10}, {in4}, {inp}, {inm} FROM evp) "
+        f"SELECT event_id, cell10, cell4, cell10_proj, cell10_merc, "
+        f"{mm.format(c='mx')} AS x3857_mm, {mm.format(c='my')} AS y3857_mm "
+        f"FROM (SELECT event_id, mx, my, {out10}, {out4}, {outp}, {outm} FROM g)"
     )
 
 

@@ -45,14 +45,16 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
 
 
 def with_cell_column(
-    df: DataFrame, lon_col: str = "lon", lat_col: str = "lat", phash_col: str | None = "phash"
+    df: DataFrame, lon_col: str = "lon", lat_col: str = "lat",
+    phash_col: str | None = "phash", bounds=None,
 ) -> DataFrame:
-    """Add the finest-tier cell column (JVM-only bit math)."""
+    """Add the finest-tier cell column (JVM-only bit math).  ``bounds``:
+    custom per-dimension frame for projected CRSs (clamped, no wrap)."""
     if lon_col not in df.columns and phash_col:
         df = df.withColumn(lon_col, sqlcells.lon_from_phash(F.col(phash_col))).withColumn(
             lat_col, sqlcells.lat_from_phash(F.col(phash_col))
         )
-    return sqlcells.add_cell_column(df, lon_col, lat_col, cells.MAX_TIER, "cell")
+    return sqlcells.add_cell_column(df, lon_col, lat_col, cells.MAX_TIER, "cell", bounds=bounds)
 
 
 def write_indexed(
@@ -62,10 +64,11 @@ def write_indexed(
     lon_col: str = "lon",
     lat_col: str = "lat",
     phash_col: str | None = "phash",
+    bounds=None,
 ) -> None:
     """Write a cell-indexed copy: range-partitioned by cell across files,
     sorted by cell within files → min-max pruning on any cell range."""
-    out = with_cell_column(df, lon_col, lat_col, phash_col)
+    out = with_cell_column(df, lon_col, lat_col, phash_col, bounds=bounds)
     (
         out.repartitionByRange(n_files, F.col("cell"))
         .sortWithinPartitions("cell")
@@ -75,7 +78,8 @@ def write_indexed(
 
 
 def cell_range_predicate(
-    bbox: tuple[float, float, float, float], max_cells: int = 64, col: str = "cell"
+    bbox: tuple[float, float, float, float], max_cells: int = 64, col: str = "cell",
+    bounds=None,
 ):
     """bbox → sargable predicate on the stored finest-tier cell column.
 
@@ -87,8 +91,8 @@ def cell_range_predicate(
     # closed=True: a stored point exactly on the bbox's upper edge floors
     # into the NEXT cell when that edge lies on a cell line — the open
     # (insert-rule) cover would prune it before the <=-inclusive refine
-    tier = cells.tier_for_bbox(bbox, max_dup=max_cells, closed=True)
-    cover = cells.cells_for_bbox_at_tier(bbox, tier, closed=True)
+    tier = cells.tier_for_bbox(bbox, max_dup=max_cells, closed=True, bounds=bounds)
+    cover = cells.cells_for_bbox_at_tier(bbox, tier, closed=True, bounds=bounds)
     shift = 2 * (cells.MAX_TIER - tier)
     # merge consecutive cells into ranges (getQueryRanges emits RANGES):
     # Z-order covers contain long runs, so this typically collapses a
@@ -346,11 +350,14 @@ def range_lookup_indexed(
     lon_col: str = "lon",
     lat_col: str = "lat",
     loose: bool = False,
+    bounds=None,
 ) -> DataFrame:
     """Range query against an indexed table: cell ranges reach the parquet
     scan as PushedFilters (row-group pruning via min-max on the sorted cell
     column), then exact bbox refine."""
-    return range_filter_frame(spark.read.parquet(path), bbox, lon_col, lat_col, loose)
+    return range_filter_frame(
+        spark.read.parquet(path), bbox, lon_col, lat_col, loose, bounds=bounds
+    )
 
 
 def range_filter_frame(
@@ -359,16 +366,71 @@ def range_filter_frame(
     lon_col: str = "lon",
     lat_col: str = "lat",
     loose: bool = False,
+    bounds=None,
 ) -> DataFrame:
     """The shared filter+refine body over an ALREADY-LOADED cell-indexed
     frame — one implementation for the parquet and Iceberg read paths
     (IndexedStore.range_lookup), so range-decomposition fixes apply to
-    both."""
-    pred, _ = cell_range_predicate(bbox)
+    both.  With custom ``bounds`` (projected CRS) the refine is a plain
+    closed interval — no antimeridian wrap exists in a projected frame."""
+    pred, _ = cell_range_predicate(bbox, bounds=bounds)
     out = df.filter(pred)
     if not loose:
-        out = out.filter(sqlcells.bbox_refine_pred(F.col(lon_col), F.col(lat_col), bbox))
+        if bounds is not None:
+            x0, y0, x1, y1 = (float(v) for v in bbox)
+            out = out.filter(
+                F.col(lon_col).between(x0, x1) & F.col(lat_col).between(y0, y1)
+            )
+        else:
+            out = out.filter(
+                sqlcells.bbox_refine_pred(F.col(lon_col), F.col(lat_col), bbox)
+            )
     return out
+
+
+def write_indexed_crs(
+    df: DataFrame,
+    path: str,
+    code: str,
+    n_files: int = 32,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> None:
+    """Cell-indexed layout in a projected CRS (custom-CRS analog of
+    SpatialDimensionalityTypeProvider.java:107-124): reproject lon/lat to
+    the code's frame (functions/crs.py Column transforms — one codegen
+    stage), store projected ``x``/``y`` alongside, and key the layout on
+    cells normalized over the CRS's index bounds."""
+    from ..functions import crs
+
+    b = crs.crs_index_bounds(code)
+    if b is None:
+        write_indexed(df, path, n_files, lon_col, lat_col, phash_col=None)
+        return
+    x, y = crs.forward_cols(code, F.col(lon_col), F.col(lat_col))
+    out = df.withColumn("x", x).withColumn("y", y)
+    write_indexed(out, path, n_files, "x", "y", phash_col=None, bounds=b)
+
+
+def range_lookup_crs(
+    spark: SparkSession,
+    path: str,
+    bbox_projected: tuple[float, float, float, float],
+    code: str,
+    loose: bool = False,
+) -> DataFrame:
+    """Range query in the PROJECTED frame of a `write_indexed_crs` store
+    (the reference queries with geometry already in the index CRS).  Cell
+    ranges still reach the scan as PushedFilters; the refine is the exact
+    closed projected interval."""
+    from ..functions import crs
+
+    b = crs.crs_index_bounds(code)
+    if b is None:
+        return range_lookup_indexed(spark, path, bbox_projected, loose=loose)
+    return range_lookup_indexed(
+        spark, path, bbox_projected, lon_col="x", lat_col="y", loose=loose, bounds=b
+    )
 
 
 # ---------------------------------------------------------------------------
