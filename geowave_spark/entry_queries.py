@@ -1057,23 +1057,29 @@ def q_ann_lsh_single(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (KMeans inverted lists) ANN — centroids not SQL-derivable →
-    rows-only driver check; recall vs brute force pinned in pytest."""
+    """IVF ANN with deterministic data-sampled centroids (the embeddings
+    of the 16 smallest vec_ids — `similarity.sampled_centroids`), so every
+    assignment, probe and ranked result is SQL-derivable and oracle-checked
+    (the kmeans_hulls determinism recipe applied to ANN; the Lloyd-trained
+    IVF stays the quality default, recall-pinned in pytest)."""
     from .operators import similarity as sim
 
     em = _embs(spark, sf_dir)
-    out = sim.ivf_ann_topk(em, em.filter(F.col("vec_id") < 16), k=10)
+    cents = sim.sampled_centroids(em, n_lists=16)
+    out = sim.ivf_ann_topk(em, em.filter(F.col("vec_id") < 16), k=10, centroids=cents)
     return out.select("query_id", "vec_id", "cos_mu", F.col("rank").cast("long").alias("rank"))
 
 
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (JVM ADC scan over m-byte codes + exact
-    rerank) — trained codebooks not SQL-derivable → rows-only driver
-    check; recall vs brute force pinned in pytest."""
+    rerank) with deterministic sampled codebooks
+    (`similarity.pq_sample_codebooks`) — codes, ADC tables and reranks are
+    recomputed by the DuckDB oracle from the table itself.  Lloyd-trained
+    codebooks stay the quality default, recall-pinned in pytest."""
     from .operators import similarity as sim
 
     em = _embs(spark, sf_dir)
-    books = sim.pq_train(em, m=8, k=16)
+    books = sim.pq_sample_codebooks(em, m=8, k=16)
     out = sim.pq_ann_topk(em, em.filter(F.col("vec_id") < 8), books, k=10, rerank=60)
     return out.select("query_id", "vec_id", "cos_mu", F.col("rank").cast("long").alias("rank"))
 
@@ -2324,6 +2330,103 @@ def _oracle_ann_lsh(
     )
 
 
+def _sql_d2(a: str, b: str) -> str:
+    """Sequential-fold squared L2 — the bitwise DuckDB twin of the
+    engine's F.aggregate(zip_with(...)) fold and of numpy's sequential
+    .sum over <128 elements (verified bit-exact on 16k pairs)."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+    )
+
+
+def _oracle_ann_ivf_pq(m: int = 8, sub: int = 8, n_codes: int = 16) -> str:
+    """Three-leg twin of q_ann_ivf_pq over the deterministic sampled
+    artifacts: IVF (16 head-id centroids, probe 2), PQ (16 head-id
+    codebooks per subspace, ADC + rerank 60) and the stored IVF+PQ
+    composition (8 lists, probe 4).  Every distance is the same
+    sequential fold, so doubles — and therefore ranks — match bitwise."""
+    d2 = _sql_d2
+
+    def sl(e: str, j: int) -> str:
+        return f"{e}[{j * sub + 1}:{j * sub + sub}]"
+
+    def sl_expr(e: str) -> str:  # variable-j slice (codes CTE)
+        return f"{e}[(s.j * {sub} + 1):(s.j * {sub} + {sub})]"
+
+    adc_terms = " + ".join(
+        d2(sl("q.qe", j), sl(f"b{j}.e", j)) for j in range(m)
+    )
+    cb_joins = " ".join(f"JOIN cb b{j} ON b{j}.code = x.c{j}" for j in range(m))
+    codes_pivot = ", ".join(
+        f"MAX(CASE WHEN j = {j} THEN code END) AS c{j}" for j in range(m)
+    )
+    return (
+        "WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), "
+        # --- IVF leg: 16 sampled centroids, probe 2 ---
+        "c16 AS MATERIALIZED (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16), "
+        "asg AS MATERIALIZED (SELECT vec_id, e, cid AS list_id FROM ("
+        "SELECT v.vec_id, v.e, c16.cid, row_number() OVER (PARTITION BY v.vec_id "
+        f"ORDER BY {d2('v.e', 'c16.ce')} ASC, c16.cid ASC) AS rn "
+        "FROM v CROSS JOIN c16) WHERE rn = 1), "
+        "qi AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 16), "
+        "pri AS (SELECT query_id, qe, cid AS list_id FROM ("
+        "SELECT q.query_id, q.qe, c16.cid, row_number() OVER (PARTITION BY q.query_id "
+        f"ORDER BY {d2('q.qe', 'c16.ce')} ASC, c16.cid ASC) AS rn "
+        "FROM qi q CROSS JOIN c16) WHERE rn <= 2), "
+        "ivf_cand AS (SELECT p.query_id, a.vec_id, "
+        f"{sql_mu(_sql_cos('p.qe', 'a.e'))} AS cos_mu "
+        "FROM asg a JOIN pri p ON a.list_id = p.list_id), "
+        "ivf AS (SELECT 'ivf' AS method, query_id, vec_id, cos_mu, CAST(rank AS BIGINT) AS rank "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_mu DESC, vec_id ASC) AS rank "
+        "FROM ivf_cand) WHERE rank <= 10), "
+        # --- shared PQ machinery: 16 sampled codebook rows, m subspaces ---
+        f"cb AS MATERIALIZED (SELECT vec_id AS code, e FROM v WHERE vec_id < {n_codes}), "
+        "codes AS MATERIALIZED (SELECT vec_id, j, code FROM ("
+        "SELECT v.vec_id, s.j, cb.code, row_number() OVER (PARTITION BY v.vec_id, s.j "
+        f"ORDER BY {d2(sl_expr('v.e'), sl_expr('cb.e'))} ASC, cb.code ASC) AS rn "
+        f"FROM v CROSS JOIN range({m}) s(j) CROSS JOIN cb) WHERE rn = 1), "
+        f"codes8 AS MATERIALIZED (SELECT vec_id, {codes_pivot} FROM codes GROUP BY vec_id), "
+        "qp AS MATERIALIZED (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 8), "
+        # --- PQ leg: full-table ADC scan + rerank 60 ---
+        f"pq_adc AS (SELECT q.query_id, x.vec_id, {adc_terms} AS adc "
+        f"FROM qp q CROSS JOIN codes8 x {cb_joins}), "
+        "pq_short AS (SELECT query_id, vec_id FROM (SELECT *, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS rn FROM pq_adc) WHERE rn <= 60), "
+        "pq_rer AS (SELECT s.query_id, s.vec_id, "
+        f"{sql_mu(_sql_cos('q.qe', 'v.e'))} AS cos_mu "
+        "FROM pq_short s JOIN v ON v.vec_id = s.vec_id JOIN qp q ON q.query_id = s.query_id), "
+        "pq AS (SELECT 'pq' AS method, query_id, vec_id, cos_mu, CAST(rank AS BIGINT) AS rank "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_mu DESC, vec_id ASC) AS rank "
+        "FROM pq_rer) WHERE rank <= 10), "
+        # --- stored IVF+PQ leg: 8 lists, probe 4, in-list ADC + rerank 60 ---
+        "c8 AS MATERIALIZED (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8), "
+        "asg8 AS MATERIALIZED (SELECT vec_id, cid AS list_id FROM ("
+        "SELECT v.vec_id, c8.cid, row_number() OVER (PARTITION BY v.vec_id "
+        f"ORDER BY {d2('v.e', 'c8.ce')} ASC, c8.cid ASC) AS rn "
+        "FROM v CROSS JOIN c8) WHERE rn = 1), "
+        "pr8 AS (SELECT query_id, qe, cid AS list_id FROM ("
+        "SELECT q.query_id, q.qe, c8.cid, row_number() OVER (PARTITION BY q.query_id "
+        f"ORDER BY {d2('q.qe', 'c8.ce')} ASC, c8.cid ASC) AS rn "
+        "FROM qp q CROSS JOIN c8) WHERE rn <= 4), "
+        "st_cand AS (SELECT p.query_id, a.vec_id FROM asg8 a JOIN pr8 p ON a.list_id = p.list_id), "
+        f"st_adc AS (SELECT t.query_id, t.vec_id, {adc_terms} AS adc "
+        f"FROM st_cand t JOIN codes8 x ON x.vec_id = t.vec_id "
+        f"JOIN qp q ON q.query_id = t.query_id {cb_joins}), "
+        "st_short AS (SELECT query_id, vec_id FROM (SELECT *, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS rn FROM st_adc) WHERE rn <= 60), "
+        "st_rer AS (SELECT s.query_id, s.vec_id, "
+        f"{sql_mu(_sql_cos('q.qe', 'v.e'))} AS cos_mu "
+        "FROM st_short s JOIN v ON v.vec_id = s.vec_id JOIN qp q ON q.query_id = s.query_id), "
+        "st AS (SELECT 'ivfpq_stored' AS method, query_id, vec_id, cos_mu, CAST(rank AS BIGINT) AS rank "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_mu DESC, vec_id ASC) AS rank "
+        "FROM st_rer) WHERE rank <= 10) "
+        "SELECT method, query_id, vec_id, cos_mu, rank FROM ivf "
+        "UNION ALL SELECT method, query_id, vec_id, cos_mu, rank FROM pq "
+        "UNION ALL SELECT method, query_id, vec_id, cos_mu, rank FROM st"
+    )
+
+
 def _oracle_embed_neardup(threshold_mu: int = 950_000) -> str:
     return (
         "WITH vb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), "
@@ -2596,17 +2699,29 @@ def _ensure_ann_store(spark: SparkSession, sf_dir: str) -> str:
 
     base = sf_dir.rstrip("/")
     tag = f"{base.rsplit('/', 1)[-1]}_{_hashlib.md5(base.encode()).hexdigest()[:8]}"
-    path = f"{_IMG_CACHE_ROOT}/annstore_v1_{tag}.parquet"
+    # v2: deterministic sampled centers/codebooks -> the stored layout is
+    # SQL-derivable and the whole ann_ivf_pq query oracle-checked
+    path = f"{_IMG_CACHE_ROOT}/annstore_v2_{tag}.parquet"
     if not _os.path.exists(_os.path.join(path, _vstore.META_FILE)):
-        _vstore.write_vectors_ivf(_embs(spark, sf_dir), path, n_lists=8, pq_m=8, pq_k=16)
+        from .operators import similarity as sim
+
+        em = _embs(spark, sf_dir)
+        _vstore.write_vectors_ivf(
+            em, path, n_lists=8, pq_m=8, pq_k=16,
+            centers=sim.sampled_centroids(em, n_lists=8),
+            codebooks=sim.pq_sample_codebooks(em, m=8, k=16),
+        )
     return path
 
 
 def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF and PQ ANN top-k (both centroid-trained → rows-only), tagged,
-    plus the STORED composition of the two: IVF lists as the hive
-    partition key, PQ codes as the in-list scan payload, exact rerank —
-    the partition-pruned 100 TB layout (sources/vectors.py)."""
+    """IVF and PQ ANN top-k, tagged, plus the STORED composition of the
+    two: IVF lists as the hive partition key, PQ codes as the in-list scan
+    payload, exact rerank — the partition-pruned 100 TB layout
+    (sources/vectors.py).  All three legs run on deterministic SAMPLED
+    artifacts (head-id centroids / codebooks) so the DuckDB oracle derives
+    assignments, probes, ADC tables and reranks from the table itself —
+    bit-exact via the shared sequential-fold distance (_sql_d2)."""
     from .sources import vectors as _vstore
 
     i = q_ann_ivf(spark, sf_dir).withColumn("method", F.lit("ivf"))
@@ -2860,7 +2975,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_tile_counts": q_image_tile_counts,
     "kmeans_hulls": q_kmeans_hulls,
     # rows-only tail (no SQL oracle possible: approximate sketches by
-    # design, stored-index scan, engine codec bytes)
+    # design, engine codec bytes)
     "sketch_stats": q_sketch_stats,
     "ann_ivf_pq": q_ann_ivf_pq,
     "image_codec": q_image_codec,
@@ -2946,6 +3061,7 @@ def build_oracles() -> dict[str, str]:
         "text_stats": _oracle_text_stats(),
         "ann_cosine_topk": _oracle_ann_topk(),
         "ann_lsh_bucketed": _oracle_ann_lsh(),
+        "ann_ivf_pq": _oracle_ann_ivf_pq(),
         "dedup_embedding_cosine": _oracle_embed_neardup(),
         "agg_pricing_summary": _oracle_pricing(),
         "window_topk_orders": _oracle_window_topk(),

@@ -178,6 +178,72 @@ def lsh_ann_topk(
     )
 
 
+def sampled_centroids(
+    vectors: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic data-sampled centroids: the embeddings of the
+    ``n_lists`` smallest ids.  Random-sample centroid init without Lloyd
+    refinement is the classic cheap IVF recipe; making the "sample" the
+    id-ordered head makes the centroid set — and therefore every IVF
+    assignment, probe and result — derivable by the SQL oracle (the same
+    move that oracle-ized kmeans_hulls).  The Lloyd-trained variant stays
+    the quality default (`ivf_ann_topk` with ``centroids=None``)."""
+    rows = (
+        vectors.select(F.col(id_col).alias("_i"), _as_double(F.col(vec_col)).alias("_v"))
+        .orderBy("_i")
+        .limit(n_lists)
+        .collect()
+    )
+    if len(rows) < n_lists:
+        raise ValueError(f"sampled_centroids: need >= {n_lists} vectors")
+    return [list(map(float, r["_v"])) for r in rows]
+
+
+def _centers_literal(centers: list[list[float]]) -> Column:
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("list_id"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+            )
+            for i, c in enumerate(centers)
+        ]
+    )
+
+
+def _d2_fold(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 — bitwise-mirrored by the oracle's
+    list_reduce(list_transform(list_zip(...)))."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_lists(
+    v: DataFrame, centers: list[list[float]], vec_expr: str = "_v"
+) -> DataFrame:
+    """Nearest-centroid list assignment as ONE shuffle-free projection:
+    array_min over (d2, list_id) structs — argmin with the deterministic
+    list_id tie-break, no explode, no window exchange (the right shape for
+    a 100 TB assignment pass)."""
+    ca = _centers_literal(centers)
+    best = F.array_min(
+        F.transform(
+            ca,
+            lambda c: F.struct(
+                _d2_fold(F.col(vec_expr), c["c"]).alias("d2"),
+                c["list_id"].alias("list_id"),
+            ),
+        )
+    )
+    return v.withColumn("list_id", best["list_id"])
+
+
 def ivf_ann_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -188,33 +254,34 @@ def ivf_ann_topk(
     query_id: str = "query_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF approximate top-k: KMeans inverted lists + multi-probe.
+    """IVF approximate top-k: inverted lists + multi-probe.
 
     The scale path: vectors are bucketed by nearest centroid (the inverted
     list — at cluster scale this is the table's partition key); each query
     probes its n_probe nearest lists and ranks candidates by exact cosine.
-    Deterministic (fixed KMeans seed); recall vs brute force is pinned in
-    tests rather than an oracle (the centroids are not SQL-derivable).
+
+    ``centroids=None`` (default): KMeans-trained lists, deterministic for
+    a fixed seed; recall vs brute force pinned in tests.  With explicit
+    ``centroids`` (e.g. `sampled_centroids`) the whole operator is
+    SQL-derivable and oracle-checked by the driver.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
-    feats = v.withColumn("_fv", array_to_vector(F.col("_v")))
-    model = KMeans(k=n_lists, seed=seed, featuresCol="_fv").fit(feats)
-    assigned = model.transform(feats).select(id_col, "_v", F.col("prediction").alias("list_id"))
+    if centroids is not None:
+        centers = [list(map(float, c)) for c in centroids]
+        assigned = assign_lists(v, centers).select(id_col, "_v", "list_id")
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    centers = [c.tolist() for c in model.clusterCenters()]
-    centers_arr = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("list_id"),
-                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
-            )
-            for i, c in enumerate(centers)
-        ]
-    )
+        feats = v.withColumn("_fv", array_to_vector(F.col("_v")))
+        model = KMeans(k=n_lists, seed=seed, featuresCol="_fv").fit(feats)
+        assigned = model.transform(feats).select(
+            id_col, "_v", F.col("prediction").alias("list_id")
+        )
+        centers = [c.tolist() for c in model.clusterCenters()]
+    centers_arr = _centers_literal(centers)
     q = queries.select(F.col(id_col).alias(query_id), _as_double(F.col(vec_col)).alias("_qv"))
     qc = (
         q.withColumn("_c", F.explode(centers_arr))
@@ -332,6 +399,36 @@ def pq_train(
                     C[c] = pts.mean(axis=0)
         books[j] = C
     return books
+
+
+def pq_sample_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic PQ codebooks without Lloyd refinement: codebook j =
+    the j-th sub-vectors of the ``k`` smallest-id embeddings (the PQ twin
+    of `sampled_centroids`).  Fully SQL-derivable — the driver oracle
+    recomputes codes, ADC tables and reranks from the table itself.  The
+    Lloyd-trained `pq_train` stays the quality default."""
+    import numpy as np
+
+    rows = (
+        vectors.select(F.col(id_col).alias("_i"), _as_double(F.col(vec_col)).alias("_v"))
+        .orderBy("_i")
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"pq_sample_codebooks: need >= {k} vectors")
+    X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    return np.stack([X[:, j * sub:(j + 1) * sub] for j in range(m)])
 
 
 def pq_encode(

@@ -48,6 +48,8 @@ def write_vectors_ivf(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centers=None,
+    codebooks=None,
 ) -> dict:
     """Write the IVF+PQ layout: one pass trains, encodes and partitions.
 
@@ -55,10 +57,13 @@ def write_vectors_ivf(
     centroids, PQ codebooks, and the layout parameters.  The embedding
     column is kept in the table (rerank needs it) but the probe path
     never scans it until the survivor join.
+
+    ``centers``/``codebooks``: optional pre-derived artifacts (e.g.
+    `sampled_centroids` / `pq_sample_codebooks`) — the assignment then
+    runs as one shuffle-free projection (no MLlib fit pass) and the whole
+    stored layout becomes SQL-oracle-derivable.
     """
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     v = vectors.select(
         F.col(id_col).alias("vec_id"),
@@ -70,12 +75,32 @@ def write_vectors_ivf(
         # meta sidecar) would break every later stored_ann_topk load
         raise ValueError("write_vectors_ivf: input vector frame is empty")
     dim = len(head["embedding"])
-    feats = v.withColumn("_fv", array_to_vector(F.col("embedding")))
-    model = KMeans(k=n_lists, seed=seed, featuresCol="_fv").fit(feats)
-    assigned = model.transform(feats).select(
-        "vec_id", "embedding", F.col("prediction").alias("list_id")
-    )
-    books = sim.pq_train(v, m=pq_m, k=pq_k, id_col="vec_id", vec_col="embedding", seed=seed)
+    if centers is not None:
+        centers = [list(map(float, c)) for c in centers]
+        if len(centers) != n_lists:
+            raise ValueError("write_vectors_ivf: len(centers) != n_lists")
+        assigned = sim.assign_lists(
+            v.withColumnRenamed("embedding", "_v"), centers
+        ).select("vec_id", F.col("_v").alias("embedding"), "list_id")
+        model_centers = centers
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = v.withColumn("_fv", array_to_vector(F.col("embedding")))
+        model = KMeans(k=n_lists, seed=seed, featuresCol="_fv").fit(feats)
+        assigned = model.transform(feats).select(
+            "vec_id", "embedding", F.col("prediction").alias("list_id")
+        )
+        model_centers = [c.tolist() for c in model.clusterCenters()]
+    if codebooks is None:
+        books = sim.pq_train(
+            v, m=pq_m, k=pq_k, id_col="vec_id", vec_col="embedding", seed=seed
+        )
+    else:
+        books = np.asarray(codebooks, dtype=np.float64)
+        if books.shape[0] != pq_m or books.shape[1] != pq_k:
+            raise ValueError("write_vectors_ivf: codebooks shape != (pq_m, pq_k, d/m)")
     codes = sim.pq_encode(v, books, id_col="vec_id", vec_col="embedding")
     out = assigned.join(codes, "vec_id")
     (
@@ -90,7 +115,7 @@ def write_vectors_ivf(
         "pq_k": pq_k,
         "seed": seed,
         "dim": dim,
-        "centers": [c.tolist() for c in model.clusterCenters()],
+        "centers": model_centers,
         "codebooks": np.asarray(books).tolist(),
     }
     _write_sidecar(vectors.sparkSession, os.path.join(path, META_FILE), json.dumps(meta))
