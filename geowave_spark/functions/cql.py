@@ -18,12 +18,18 @@ Supported grammar (case-insensitive keywords):
                  | prop [NOT] BETWEEN literal AND literal
                  | prop BEFORE datetime | prop AFTER datetime
                  | prop DURING datetime '/' datetime | prop TEQUALS datetime
+                 | prop BEFORE OR DURING period | prop DURING OR AFTER period
                  | prop [NOT] IN '(' literal (',' literal)* ')'
-                 | prop [NOT] LIKE 'pattern'        (% / _ wildcards)
+                 | prop [NOT] (LIKE | ILIKE) 'pattern'   (% / _ wildcards)
                  | prop IS [NOT] NULL
+                 | prop EXISTS | prop DOES-NOT-EXIST      (static schema test)
+                 | INCLUDE | EXCLUDE
                  | BBOX '(' prop ',' n ',' n ',' n ',' n ')'
                  | <geomop> '(' prop ',' wkt-literal ')'
                  | DWITHIN '(' prop ',' wkt-literal ',' n [',' units] ')'
+                 | BEYOND  '(' prop ',' wkt-literal ',' n [',' units] ')'
+                 | RELATE  '(' prop ',' wkt-literal ',' 'DE-9IM' ')'
+                   (canonical single-predicate patterns only)
     geomop      := INTERSECTS | DISJOINT | WITHIN | CONTAINS | TOUCHES
                  | CROSSES | OVERLAPS | EQUALS
     literal     := number | 'string' | TRUE | FALSE
@@ -161,6 +167,14 @@ class _Parser:
     def at_word(self, *words: str) -> bool:
         v = self.peek("word")
         return v is not None and v.upper() in words
+
+    def peek2_word(self) -> str | None:
+        """The word token AFTER the current one (compound-temporal
+        lookahead), or None."""
+        j = self.i + 1
+        if j < len(self.toks) and self.toks[j][0] == "word":
+            return self.toks[j][1].upper()
+        return None
 
     # -- grammar ------------------------------------------------------------
     def parse(self) -> Column:
@@ -352,12 +366,20 @@ class _Parser:
             if self.peek("lp") is not None:
                 return ~self.id_filter()
             raise CQLError("expected ( after NOT IN")
+        if up == "INCLUDE":  # GeoTools Filter.INCLUDE: match everything
+            return F.lit(True)
+        if up == "EXCLUDE":  # Filter.EXCLUDE: match nothing
+            return F.lit(False)
         if up == "BBOX":
             return self.bbox_pred()
         if up in _GEOM_OPS:
             return self.geom_pred(up)
         if up == "DWITHIN":
-            return self.dwithin_pred()
+            return self.dwithin_pred(beyond=False)
+        if up == "BEYOND":
+            return self.dwithin_pred(beyond=True)
+        if up == "RELATE":
+            return self.relate_pred()
         if self.peek("lp") is not None and up in _CQL_FUNCS:
             return self.compare(self.arith_continue(self.word_factor(w)))
         return self.attr_pred(w)
@@ -429,7 +451,9 @@ class _Parser:
         fn = getattr(geo_udfs, _GEOM_OPS[op])
         return fn(self.geom_column(prop), F.lit(wkt))
 
-    def dwithin_pred(self) -> Column:
+    def dwithin_pred(self, beyond: bool = False) -> Column:
+        """DWITHIN (distance <= d) and its ECQL complement BEYOND
+        (distance > d) — same argument shape."""
         from . import geo_udfs
 
         self.take("lp")
@@ -446,7 +470,42 @@ class _Parser:
             if units in ("meters", "m"):
                 dist = dist / 111_320.0  # equatorial degrees (planar engine)
         self.take("rp")
-        return geo_udfs.st_distance_wkt(self.geom_column(prop), F.lit(wkt)) <= F.lit(dist)
+        d = geo_udfs.st_distance_wkt(self.geom_column(prop), F.lit(wkt))
+        return (d > F.lit(dist)) if beyond else (d <= F.lit(dist))
+
+    # canonical DE-9IM patterns that ARE single named predicates (JTS
+    # RelateOp docs); arbitrary patterns would need a full matrix kernel
+    _RELATE_PATTERNS = {
+        "T*F**F***": "st_within_wkt",
+        "T*****FF*": "st_contains_wkt",
+        "T*F**FFF*": "st_equals_wkt",
+        "FF*FF****": "st_disjoint_wkt",
+    }
+
+    def relate_pred(self) -> Column:
+        """RELATE(prop, wkt, 'DE-9IM'): the canonical single-predicate
+        patterns map to the kernel's named ops; other patterns raise with
+        guidance (CQLQueryFilter accepts any pattern via JTS relate — a
+        general matrix evaluator is out of scope; every reference IT uses
+        a named predicate)."""
+        from . import geo_udfs
+
+        self.take("lp")
+        prop = self.take("word")
+        self.take("comma")
+        wkt = self.wkt_literal()
+        self.take("comma")
+        pat = self.take("str")[1:-1].upper()
+        self.take("rp")
+        fn = self._RELATE_PATTERNS.get(pat)
+        if fn is None:
+            raise CQLError(
+                f"RELATE pattern {pat!r} is not one of the canonical "
+                "single-predicate patterns "
+                f"({', '.join(sorted(self._RELATE_PATTERNS))}) — use the "
+                "named spatial predicate instead"
+            )
+        return getattr(geo_udfs, fn)(self.geom_column(prop), F.lit(wkt))
 
     def wkt_literal(self) -> str:
         """WKT inside CQL is unquoted: TYPE ( ... ) — consume tokens
@@ -511,13 +570,26 @@ class _Parser:
             self.take("rp")
             c = col.isin(*vals)
             return ~c if neg else c
-        if self.at_word("LIKE"):
-            self.take("word")
+        if self.at_word("LIKE", "ILIKE"):
+            case_ins = self.take("word").upper() == "ILIKE"
             pat = self.literal()
             if not isinstance(pat, str):
                 raise CQLError("LIKE pattern must be a string")
-            c = col.like(pat)
+            c = col.ilike(pat) if case_ins else col.like(pat)
             return ~c if neg else c
+        if self.at_word("EXISTS") and not neg:
+            # GeoTools PropertyExistsFunction: a STATIC schema test
+            self.take("word")
+            return F.lit(self._prop_exists(prop))
+        if self.at_word("DOES") and not neg:
+            self.take("word")
+            if self.take("arith") != "-":
+                raise CQLError("expected DOES-NOT-EXIST")
+            self.take("word", "NOT")
+            if self.take("arith") != "-":
+                raise CQLError("expected DOES-NOT-EXIST")
+            self.take("word", "EXIST")
+            return F.lit(not self._prop_exists(prop))
         if self.at_word("IS"):
             if neg:
                 # ECQL spells negated null tests "x IS NOT NULL"; silently
@@ -535,9 +607,17 @@ class _Parser:
                 raise CQLError("NOT is not supported on temporal predicates")
             return self.temporal_pred(col, prop)
         if neg:
-            raise CQLError("NOT must precede BETWEEN/IN/LIKE")
+            raise CQLError("NOT must precede BETWEEN/IN/LIKE/ILIKE")
         # property-led arithmetic ("value * 2 + 1 > ..."), then comparison
         return self.compare(self.arith_continue(col))
+
+    def _prop_exists(self, prop: str) -> bool:
+        if self.schema is None:
+            raise CQLError(
+                "EXISTS / DOES-NOT-EXIST needs a schema — use cql_filter, "
+                "or pass schema= to cql_to_column"
+            )
+        return prop in self.schema.fieldNames()
 
     def temporal_pred(self, col: Column, prop: str | None = None) -> Column:
         """OGC temporal predicates (GeoTools ECQL): BEFORE/AFTER strict,
@@ -565,11 +645,28 @@ class _Parser:
             return F.lit(s.rstrip("Z").replace("T", " "))
 
         op = self.take("word").upper()
-        if op == "DURING":
+
+        def period():
             start = self.take("dt")
             self.take("slash")
             end = self.take("dt")
-            return (col > dt_lit(start)) & (col < dt_lit(end))
+            return dt_lit(start), dt_lit(end)
+
+        # compound forms (GeoTools ECQL): the OR here binds to the temporal
+        # op, not the boolean grammar — exactly two spellings exist
+        if op == "BEFORE" and self.at_word("OR") and self.peek2_word() == "DURING":
+            self.take("word")
+            self.take("word")
+            s, e = period()
+            return (col < s) | ((col > s) & (col < e))
+        if op == "DURING" and self.peek("dt") is None and self.at_word("OR"):
+            self.take("word")
+            self.take("word", "AFTER")
+            s, e = period()
+            return ((col > s) & (col < e)) | (col > e)
+        if op == "DURING":
+            s, e = period()
+            return (col > s) & (col < e)
         t = self.take("dt")
         if op == "BEFORE":
             return col < dt_lit(t)

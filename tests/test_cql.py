@@ -339,3 +339,61 @@ def test_bare_id_filter(spark):
     assert got == {"states.5"}
     with pytest.raises(cql.CQLError):
         cql.cql_to_column("IN ('a')", geometry="g")  # no id_col configured
+
+
+def test_include_exclude_ilike_exists(spark):
+    df = spark.createDataFrame(
+        [(1, "Madrid"), (2, "MADRID"), (3, "Paris"), (4, None)], ["id", "city"]
+    )
+    f = lambda e: {r.id for r in cql.cql_filter(df, e, geometry="g").collect()}
+    assert f("INCLUDE") == {1, 2, 3, 4}
+    assert f("EXCLUDE") == set()
+    assert f("INCLUDE AND id > 2") == {3, 4}
+    # ILIKE: case-insensitive; LIKE stays case-sensitive
+    assert f("city LIKE 'Mad%'") == {1}
+    assert f("city ILIKE 'mad%'") == {1, 2}
+    assert f("city NOT ILIKE 'mad%'") == {3}  # NULL never matches NOT ILIKE
+    # EXISTS / DOES-NOT-EXIST are static schema tests
+    assert f("city EXISTS") == {1, 2, 3, 4}
+    assert f("phone EXISTS") == set()
+    assert f("phone DOES-NOT-EXIST") == {1, 2, 3, 4}
+    assert f("city DOES-NOT-EXIST") == set()
+    with pytest.raises(cql.CQLError, match="schema"):
+        cql.cql_to_column("city EXISTS", geometry="g")
+
+
+def test_beyond_and_relate(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 3.0, 0.0), (3, 10.0, 0.0)], ["id", "lon", "lat"]
+    )
+    f = lambda e: {
+        r.id for r in cql.cql_filter(df, e, geometry=("lon", "lat")).collect()
+    }
+    assert f("DWITHIN(geom, POINT (0 0), 4, degrees)") == {1, 2}
+    assert f("BEYOND(geom, POINT (0 0), 4, degrees)") == {3}
+    # BEYOND is the exact complement
+    assert f("DWITHIN(geom, POINT (0 0), 3, degrees) OR BEYOND(geom, POINT (0 0), 3, degrees)") == {1, 2, 3}
+    # RELATE with canonical patterns maps to the named kernel predicates
+    assert f("RELATE(geom, POLYGON ((-1 -1, 4 -1, 4 1, -1 1, -1 -1)), 'T*F**F***')") == {1, 2}
+    assert f("RELATE(geom, POLYGON ((-1 -1, 4 -1, 4 1, -1 1, -1 -1)), 'FF*FF****')") == {3}
+    with pytest.raises(cql.CQLError, match="pattern"):
+        cql.cql_to_column("RELATE(geom, POINT (0 0), '012TF*012')", geometry="wkt")
+
+
+def test_compound_temporal(spark):
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1)),
+        (2, dt.datetime(2024, 3, 15)),
+        (3, dt.datetime(2024, 6, 1)),
+        (4, dt.datetime(2024, 9, 1)),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp_ntz")
+    f = lambda e: {r.id for r in cql.cql_filter(df, e, geometry="g").collect()}
+    p = "2024-03-01T00:00:00/2024-06-01T00:00:00"
+    assert f(f"ts DURING {p}") == {2}
+    assert f(f"ts BEFORE OR DURING {p}") == {1, 2}
+    assert f(f"ts DURING OR AFTER {p}") == {2, 4}
+    # plain BEFORE with a following boolean OR still parses
+    assert f("ts BEFORE 2024-02-01T00:00:00 OR id = 4") == {1, 4}
