@@ -442,6 +442,67 @@ def bench_ann(cpus: int, n: int = 1_000_000, k: int = 10, nq: int = 32) -> dict:
         spark.stop()
 
 
+def bench_crs(cpus: int, n: int = 10_000_000) -> dict:
+    """CRS reprojection throughput (custom-CRS step 2): forward+inverse
+    EPSG:3857 and UTM over 10^7 generated points, plus a projected-frame
+    indexed-store range lookup.  Reprojection is pure Column codegen —
+    this measures the claim that a 100 TB reproject pass costs one scan."""
+    from pyspark.sql import functions as F
+
+    from geowave_spark.functions import crs
+    from geowave_spark.session import get_spark
+    from geowave_spark.sources import indexed
+
+    spark = get_spark(f"bench-crs-{cpus}", cpus=cpus, shuffle_partitions=max(32, cpus))
+    try:
+        pts = (
+            spark.range(n)
+            .select(
+                F.col("id"),
+                (F.pmod(F.hash(F.col("id")), 340000) / 1000.0 - 170.0).alias("lon"),
+                (F.pmod(F.hash(F.col("id") + 7), 160000) / 1000.0 - 80.0).alias("lat"),
+            )
+            .localCheckpoint()
+        )
+        out: dict = {"n": n}
+        mx, my = crs.web_mercator_cols(F.col("lon"), F.col("lat"))
+        lon2, lat2 = crs.web_mercator_inverse_cols(F.col("x"), F.col("y"))
+        t0 = time.monotonic()
+        agg = (
+            pts.select("id", mx.alias("x"), my.alias("y"))
+            .select(lon2.alias("lon"), lat2.alias("lat"))
+            .agg(F.sum("lon"), F.sum("lat"))
+            .collect()
+        )
+        sec = round(time.monotonic() - t0, 3)
+        out["mercator_roundtrip"] = {"sec": sec, "rows_per_sec": round(n / sec, 1)}
+        ux, uy = crs.utm_cols(F.col("lon"), F.col("lat"), zone=31)
+        t0 = time.monotonic()
+        pts.select(ux.alias("x"), uy.alias("y")).agg(F.sum("x"), F.sum("y")).collect()
+        sec = round(time.monotonic() - t0, 3)
+        out["utm_forward"] = {"sec": sec, "rows_per_sec": round(n / sec, 1)}
+        # projected store: write once at n/10, then a pruned range lookup
+        store_n = n // 10
+        path = f"/tmp/geowave_fixture_cache/crs_store_n{store_n}.parquet"
+        sub = pts.filter(F.col("id") < store_n)
+        t0 = time.monotonic()
+        indexed.write_indexed_crs(sub, path, "EPSG:3857", n_files=32)
+        wsec = round(time.monotonic() - t0, 3)
+        qx0, qy0 = crs.web_mercator_np([-10.0], [35.0])
+        qx1, qy1 = crs.web_mercator_np([30.0], [60.0])
+        bbox = (float(qx0[0]), float(qy0[0]), float(qx1[0]), float(qy1[0]))
+        t0 = time.monotonic()
+        cnt = indexed.range_lookup_crs(spark, path, bbox, "EPSG:3857").count()
+        qsec = round(time.monotonic() - t0, 3)
+        out["projected_store"] = {
+            "rows": store_n, "write_sec": wsec, "lookup_sec": qsec,
+            "lookup_rows": cnt,
+        }
+        return out
+    finally:
+        spark.stop()
+
+
 def bench_images(cpus: int, n: int = 200_000, n_dups: int = 200, nq: int = 16) -> dict:
     """Image-payload pipeline at scale: decode-bound passes over n images.
 
@@ -564,6 +625,9 @@ def main() -> None:
         return
     if "--images" in sys.argv:
         print(json.dumps({"images": bench_images(CPUS)}))
+        return
+    if "--crs" in sys.argv:
+        print(json.dumps({"crs": bench_crs(CPUS)}))
         return
     times, total, n_rows = bench_once(CPUS)
     headline_sec = sum(times[n] for n in HEADLINE)

@@ -839,14 +839,17 @@ def q_cell_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = sqlcells.add_cell_column(
         ev, "mx", "my", tier=10, out="cell10_merc", bounds=crs.WEB_MERCATOR_BOUNDS
     )
+    # whole metres, not mm: a 1-ulp libm divergence on my (~1e-9 m at
+    # |y|~2e7) flips an mm rounding once per ~1e6 diverging rows — metre
+    # quanta push that to ~1e-9/row (exact doubles are pinned in pytest)
     ev = ev.withColumn(
-        "x3857_mm", F.floor(F.col("mx") * F.lit(1000.0) + F.lit(0.5)).cast("long")
+        "x3857_m", F.floor(F.col("mx") + F.lit(0.5)).cast("long")
     ).withColumn(
-        "y3857_mm", F.floor(F.col("my") * F.lit(1000.0) + F.lit(0.5)).cast("long")
+        "y3857_m", F.floor(F.col("my") + F.lit(0.5)).cast("long")
     )
     return ev.select(
         "event_id", "cell10", "cell4", "cell10_proj", "cell10_merc",
-        "x3857_mm", "y3857_mm",
+        "x3857_m", "y3857_m",
     )
 
 
@@ -1916,16 +1919,18 @@ def _oracle_cell_ids() -> str:
         10, "cell10_merc", lon="mx", lat="my", bounds=crs.WEB_MERCATOR_BOUNDS, tag="m"
     )
     # textual twin of functions/crs._merc_forward: same literals (repr of
-    # the exact doubles), same operation order -> bit-stable across engines
-    a_rad = crs.WGS84_A * _math.pi / 180.0
+    # the exact doubles), same operation order -> bit-stable across engines.
+    # The grouping below MUST stay A * (pi/180) — the engine's literal —
+    # not (A*pi)/180: they differ by 1 ulp, and the generator's dyadic lon
+    # grid lands EXACTLY on tier-10 cell boundaries, where that ulp decides
+    # the cell (5 flipped rows per 1M at sf1 before this was matched)
+    a_rad = crs.WGS84_A * (_math.pi / 180.0)
     mx_sql = f"(lon * CAST({a_rad!r} AS DOUBLE))"
     my_sql = (
         f"(ln(tan(((lat * CAST({_math.pi / 180.0!r} AS DOUBLE)) * CAST(0.5 AS DOUBLE)) "
         f"+ CAST({_math.pi / 4.0!r} AS DOUBLE))) * CAST({crs.WGS84_A!r} AS DOUBLE))"
     )
-    mm = (
-        "CAST(floor({c} * CAST(1000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
-    )
+    mtr = "CAST(floor({c} + CAST(0.5 AS DOUBLE)) AS BIGINT)"
     return (
         f"WITH {EV_CTE}, "
         "evp AS (SELECT event_id, lon, lat, "
@@ -1934,7 +1939,7 @@ def _oracle_cell_ids() -> str:
         f"{mx_sql} AS mx, {my_sql} AS my FROM ev), "
         f"g AS (SELECT event_id, mx, my, {in10}, {in4}, {inp}, {inm} FROM evp) "
         f"SELECT event_id, cell10, cell4, cell10_proj, cell10_merc, "
-        f"{mm.format(c='mx')} AS x3857_mm, {mm.format(c='my')} AS y3857_mm "
+        f"{mtr.format(c='mx')} AS x3857_m, {mtr.format(c='my')} AS y3857_m "
         f"FROM (SELECT event_id, mx, my, {out10}, {out4}, {outp}, {outm} FROM g)"
     )
 
