@@ -890,9 +890,13 @@ def q_id_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL/CMS sketch statistics (approximate by design → rows-only)."""
+    """Deterministic CMS + HLL sketch state over user_id
+    (FeatureCountMinSketchStatistics / FeatureHyperLogLogStatistics) —
+    h60-hashed counters/registers, so the full sketch structure is
+    oracle-exact; the float HLL estimate is a driver function of the
+    integer ``est`` row (stats.hll_estimate, accuracy-pinned in tests)."""
     ev = _load(spark, sf_dir, "events")
-    return stats.approx_stats(ev, "user_id")
+    return stats.sketch_stats(ev, "user_id")
 
 
 def q_kde_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2039,6 +2043,44 @@ def _oracle_histogram() -> str:
     )
 
 
+def _oracle_sketch_stats() -> str:
+    """DuckDB twin of stats.sketch_stats over events.user_id: the CMS
+    counters / HLL registers are exact integer functions of the shared
+    h60 hash, so the whole sketch state compares value-exact."""
+    w, d, p, cap, probes_k = stats.CMS_W, stats.CMS_D, stats.HLL_P, stats._HLL_CAP, 20
+    bits = 60 - p
+    mask = (1 << bits) - 1
+    m = 1 << p
+    ids = ", ".join(str(i) for i in range(d))
+    cms_h = sql_h60("'cms' || CAST(i AS VARCHAR) || ':' || v")
+    return (
+        "WITH byv AS (SELECT CAST(user_id AS VARCHAR) AS v, CAST(user_id AS BIGINT) AS k, "
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+        f"rb AS (SELECT k, v, n, i, {cms_h} % {w} AS bucket "
+        f"FROM byv CROSS JOIN (SELECT unnest([{ids}]) AS i) s), "
+        "counters AS (SELECT i, bucket, CAST(SUM(n) AS BIGINT) AS cnt FROM rb GROUP BY i, bucket), "
+        f"probes AS (SELECT k FROM byv ORDER BY n DESC, k ASC LIMIT {probes_k}), "
+        "cmsleg AS (SELECT 'cms' AS tag, rb.k AS k1, CAST(MIN(c.cnt) AS BIGINT) AS k2, "
+        "CAST(MAX(rb.n) AS BIGINT) AS v FROM rb JOIN probes p ON rb.k = p.k "
+        "JOIN counters c ON c.i = rb.i AND c.bucket = rb.bucket GROUP BY rb.k), "
+        f"hh AS (SELECT {sql_h60('CAST(user_id AS VARCHAR)')} AS h, "
+        "CAST(user_id AS VARCHAR) AS v FROM events), "
+        f"rr AS (SELECT h >> {bits} AS register, "
+        f"CAST({bits + 1} - length(regexp_replace(bin(h & {mask}), '^0+', '')) AS BIGINT) AS rank, v "
+        "FROM hh), "
+        "regs AS (SELECT register, MAX(rank) AS max_rank, "
+        "CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct FROM rr GROUP BY register), "
+        "hllleg AS (SELECT 'hll' AS tag, register AS k1, max_rank AS k2, n_distinct AS v FROM regs), "
+        "ind AS (SELECT CAST(COUNT(*) AS BIGINT) AS occupied, "
+        f"CAST(SUM(CAST(1 AS BIGINT) << CAST({cap} - LEAST(max_rank, {cap}) AS INT)) AS BIGINT) AS occ_ind "
+        "FROM regs), "
+        "estleg AS (SELECT 'est' AS tag, CAST(0 AS BIGINT) AS k1, "
+        f"CAST(occ_ind + ({m} - occupied) * (CAST(1 AS BIGINT) << {cap}) AS BIGINT) AS k2, "
+        "occupied AS v FROM ind) "
+        "SELECT * FROM cmsleg UNION ALL SELECT * FROM hllleg UNION ALL SELECT * FROM estleg"
+    )
+
+
 def _oracle_dedup_exact() -> str:
     return (
         f"SELECT {sql_h60('text')} AS text_hash, min(doc_id) AS keep_id, "
@@ -2979,10 +3021,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dbscan": q_dbscan,
     "image_tile_counts": q_image_tile_counts,
     "kmeans_hulls": q_kmeans_hulls,
-    # rows-only tail (no SQL oracle possible: approximate sketches by
-    # design, engine codec bytes)
     "sketch_stats": q_sketch_stats,
     "ann_ivf_pq": q_ann_ivf_pq,
+    # rows-only tail (no SQL oracle possible: engine codec bytes)
     "image_codec": q_image_codec,
 }
 
@@ -3055,6 +3096,7 @@ def build_oracles() -> dict[str, str]:
         "id_lookup": _oracle_id_lookup(),
         "stats_summary": _oracle_stats_summary(),
         "histogram_value": _oracle_histogram(),
+        "sketch_stats": _oracle_sketch_stats(),
         "dedup_exact": _oracle_dedup_exact(),
         "dedup_ngram_jaccard": _oracle_jaccard(),
         "decontaminate_ngrams": _oracle_decontaminate(),

@@ -212,6 +212,190 @@ def approx_stats(df: DataFrame, col: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Deterministic sketches (oracle-expressible)
+#
+# The reference maintains per-adapter Count-Min and HyperLogLog statistics
+# (FeatureCountMinSketchStatistics / FeatureHyperLogLogStatistics,
+# extensions/adapters/vector/.../stats/ — backed by stream-lib sketches).
+# Those are hash-seeded and JVM-library-specific, so a DuckDB oracle can
+# never match them bit-for-bit.  These twins use the repo's shared h60
+# hash (md5-derived) for BOTH the CMS row hashes and the HLL register
+# split, which makes every counter, register, and rank an exact integer
+# function of the input that DuckDB recomputes identically — the sketch
+# STRUCTURE is oracle-checked, and the float estimate is a pure driver
+# function of the integer indicator (tested against exact distinct).
+# ---------------------------------------------------------------------------
+
+CMS_W = 1024  # counters per CMS row
+CMS_D = 4  # independent CMS hash rows
+HLL_P = 10  # 2^10 = 1024 HLL registers
+_HLL_CAP = 44  # rank cap for the integer indicator (sum fits int64)
+
+
+def _value_counts(df: DataFrame, col: str) -> DataFrame:
+    """(_v string, _k long, _n long) exact per-value counts — the sketch
+    builders run on this (much smaller) table; counting per value first
+    then summing per bucket is algebraically identical to per-row updates
+    and avoids hashing every duplicate row."""
+    s = F.col(col).cast("string")
+    return df.groupBy(
+        s.alias("_v"), F.col(col).cast("long").alias("_k")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+
+
+def cms_counters(byv: DataFrame, w: int = CMS_W, d: int = CMS_D) -> DataFrame:
+    """Count-Min counter table (row, bucket, cnt): bucket_i(v) =
+    h60('cms<i>:' || v) mod w.  One explode (d rows per DISTINCT value)
+    + one groupBy — scales as O(distinct · d), not O(rows)."""
+    from .dedup import h60
+
+    rb = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("row"),
+                (h60(F.concat(F.lit(f"cms{i}:"), F.col("_v"))) % w).alias("bucket"),
+            )
+            for i in range(d)
+        ]
+    )
+    return (
+        byv.select(F.explode(rb).alias("_rb"), "_n")
+        .groupBy(F.col("_rb.row").alias("row"), F.col("_rb.bucket").alias("bucket"))
+        .agg(F.sum("_n").cast("long").alias("cnt"))
+    )
+
+
+def cms_probe_estimates(
+    df: DataFrame, col: str, probes_k: int = 20, w: int = CMS_W, d: int = CMS_D
+) -> DataFrame:
+    """CMS point queries for the ``probes_k`` most frequent values
+    (ties broken by value): (k1=value, k2=cms_estimate, v=true_count).
+    estimate = min over rows of counter[bucket_i(value)] — the classic
+    one-sided CMS bound (estimate >= truth always).  The probe side is
+    probes_k·d rows → broadcast; counters are w·d rows."""
+    from .dedup import h60
+
+    byv = _value_counts(df, col)
+    counters = cms_counters(byv, w, d)
+    probes = byv.orderBy(F.desc("_n"), F.asc("_k")).limit(probes_k)
+    rb = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("row"),
+                (h60(F.concat(F.lit(f"cms{i}:"), F.col("_v"))) % w).alias("bucket"),
+            )
+            for i in range(d)
+        ]
+    )
+    pb = probes.select("_k", "_n", F.explode(rb).alias("_rb")).select(
+        "_k", "_n", F.col("_rb.row").alias("row"), F.col("_rb.bucket").alias("bucket")
+    )
+    return (
+        counters.join(F.broadcast(pb), ["row", "bucket"])
+        .groupBy("_k")
+        .agg(F.min("cnt").alias("cms_est"), F.max("_n").alias("true_n"))
+        .select(F.col("_k").alias("k1"), F.col("cms_est").alias("k2"), F.col("true_n").alias("v"))
+    )
+
+
+def _hll_rank(rem: Column, bits: int) -> Column:
+    """Position of the first 1-bit from the MSB of a ``bits``-wide value,
+    i.e. (bits - bit_length(rem)) + 1; rem == 0 → bits + 1.  bit_length is
+    computed via bin()-string math (no floats — log2 would round at
+    boundaries); DuckDB evaluates the identical expression."""
+    bl = F.length(F.regexp_replace(F.bin(rem), "^0+", ""))
+    return (F.lit(bits + 1) - bl).cast("long")
+
+
+def hll_registers(df: DataFrame, col: str, p: int = HLL_P) -> DataFrame:
+    """HLL register table (register, max_rank, n_distinct): the top p bits
+    of h60(value) pick the register, the remaining 60-p bits give the
+    rank.  n_distinct (exact distinct values per register) is emitted for
+    the oracle check; the estimator only needs max_rank.  One groupBy."""
+    from .dedup import h60
+
+    bits = 60 - p
+    h = h60(F.col(col).cast("string"))
+    return (
+        df.select(
+            F.shiftright(h, bits).alias("register"),
+            _hll_rank(h.bitwiseAND(F.lit((1 << bits) - 1)), bits).alias("rank"),
+            F.col(col).cast("string").alias("_v"),
+        )
+        .groupBy("register")
+        .agg(
+            F.max("rank").alias("max_rank"),
+            F.countDistinct("_v").cast("long").alias("n_distinct"),
+        )
+    )
+
+
+def hll_indicator(registers: DataFrame, p: int = HLL_P, cap: int = _HLL_CAP) -> DataFrame:
+    """One row (occupied, indicator): indicator = sum over ALL 2^p
+    registers of 2^(cap - min(rank, cap)), rank = 0 for empty registers —
+    the HLL harmonic sum scaled by 2^cap so it is an exact int64 (max
+    2^p · 2^cap = 2^54).  The float estimate is a driver-side function of
+    this integer (``hll_estimate``)."""
+    m = 1 << p
+    term = F.expr(
+        f"shiftleft(cast(1 as bigint), cast({cap} - least(max_rank, {cap}) as int))"
+    )
+    return registers.agg(
+        F.count(F.lit(1)).cast("long").alias("occupied"),
+        F.sum(term).cast("long").alias("_occ_ind"),
+    ).select(
+        "occupied",
+        (
+            F.col("_occ_ind")
+            + (F.lit(m).cast("long") - F.col("occupied")) * F.lit(1 << cap).cast("long")
+        ).alias("indicator"),
+    )
+
+
+def hll_estimate(indicator: int, occupied: int, p: int = HLL_P, cap: int = _HLL_CAP) -> float:
+    """Standard HLL estimator from the integer indicator, with the
+    linear-counting small-range correction (Flajolet et al. 2007)."""
+    import math
+
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m * float(1 << cap) / float(indicator)
+    zeros = m - occupied
+    if est <= 2.5 * m and zeros > 0:
+        return m * math.log(m / float(zeros))
+    return est
+
+
+def sketch_stats(df: DataFrame, col: str, probes_k: int = 20) -> DataFrame:
+    """Consolidated deterministic-sketch query (tag, k1, k2, v):
+
+    * ``cms``: (value, cms_estimate, true_count) for the top-``probes_k``
+      most frequent values,
+    * ``hll``: (register, max_rank, n_distinct) per occupied register,
+    * ``est``: (0, indicator, occupied) — the integer HLL state.
+
+    Every column is an exact integer function of the input (shared h60
+    hash), so the whole sketch state is DuckDB-oracle-checkable."""
+    cms = cms_probe_estimates(df, col, probes_k).select(
+        F.lit("cms").alias("tag"), "k1", "k2", "v"
+    )
+    regs = hll_registers(df, col).localCheckpoint()  # feeds 2 legs, compute once
+    hll = regs.select(
+        F.lit("hll").alias("tag"),
+        F.col("register").alias("k1"),
+        F.col("max_rank").alias("k2"),
+        F.col("n_distinct").alias("v"),
+    )
+    est = hll_indicator(regs).select(
+        F.lit("est").alias("tag"),
+        F.lit(0).cast("long").alias("k1"),
+        F.col("indicator").alias("k2"),
+        F.col("occupied").alias("v"),
+    )
+    return cms.unionByName(hll).unionByName(est)
+
+
 def hotspot_cells(
     points: DataFrame,
     tier: int = 6,
