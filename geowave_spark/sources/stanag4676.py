@@ -310,6 +310,130 @@ def _parse_message(path: str, content: bytes) -> tuple[list, list]:
     return points, motions
 
 
+MISSION_SUMMARY_SCHEMA = T.StructType(
+    [
+        T.StructField("source_file", T.StringType()),
+        T.StructField("mission", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("num_frames", T.IntegerType()),
+        T.StructField("start_ts_us", T.LongType()),
+        T.StructField("end_ts_us", T.LongType()),
+        T.StructField("classification", T.StringType()),
+        T.StructField("object_classes", T.StringType()),
+        T.StructField("wkt", T.StringType()),
+    ]
+)
+
+MISSION_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("source_file", T.StringType()),
+        T.StructField("mission", T.StringType()),
+        T.StructField("frame_number", T.IntegerType()),
+        T.StructField("frame_ts_us", T.LongType()),
+        T.StructField("wkt", T.StringType()),
+    ]
+)
+
+
+def _area_wkt(el) -> str | None:
+    """CoverageArea → POLYGON WKT (NATO4676Decoder.readCoverageArea:733 —
+    areaBoundaryPoints children; ring closed if the source left it open,
+    as Area.getPolygon does)."""
+    pts = []
+    for ch in el:
+        if _local(ch.tag) == "areaBoundaryPoints":
+            lat, lon = _float(ch, "latitude"), _float(ch, "longitude")
+            if lat is not None and lon is not None:
+                pts.append((lon, lat))
+    if len(pts) < 3:
+        return None
+    if pts[0] != pts[-1]:
+        pts.append(pts[0])
+    ring = ", ".join(f"{x!r} {y!r}" for x, y in pts)
+    return f"POLYGON (({ring}))"
+
+
+def _parse_mission(path: str, content: bytes) -> tuple[list, list]:
+    """One MissionSummaryMessage file → (mission_summary rows,
+    mission_frame rows) — the reference's other two feature families
+    (IngestMessageHandler.java:308-349)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(content)
+    if _local(root.tag) != "MissionSummaryMessage":
+        return [], []
+    mission = _text(root, "missionID")
+    name = _text(root, "Name")
+    classification = _classification(root, "Security")
+    start = _ts_us(_text(root, "StartTime"))
+    end = _ts_us(_text(root, "EndTime"))
+    obj_classes = []
+    frames = []
+    wkt = None
+    for ch in root:
+        k = _local(ch.tag)
+        if k == "CoverageArea":
+            wkt = _area_wkt(ch)
+        elif k == "ActiveObjectClassifications":
+            obj_classes += [
+                c.text for c in ch if _local(c.tag) == "classification" and c.text
+            ]
+        elif k == "FrameInformation":
+            fwkt = None
+            for fc in ch:
+                if _local(fc.tag) == "frameCoverageArea":
+                    fwkt = _area_wkt(fc)
+            frames.append(
+                {
+                    "source_file": path,
+                    "mission": mission,
+                    "frame_number": int(_text(ch, "frameNumber") or -1),
+                    "frame_ts_us": _ts_us(_text(ch, "frameTimestamp")),
+                    "wkt": fwkt,
+                }
+            )
+    summary = [
+        {
+            "source_file": path,
+            "mission": mission,
+            "name": name,
+            "num_frames": len(frames),
+            "start_ts_us": start,
+            "end_ts_us": end,
+            "classification": classification,
+            "object_classes": ",".join(obj_classes),
+            "wkt": wkt,
+        }
+    ]
+    return summary, frames
+
+
+def read_stanag4676_missions(spark: SparkSession, path: str) -> DataFrame:
+    """mission_summary features (createMissionSummaryDataType analog)."""
+
+    def parse(batches):
+        for pdf in batches:
+            rows: list = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(_parse_mission(p, bytes(content))[0])
+            yield pd.DataFrame(rows, columns=[f.name for f in MISSION_SUMMARY_SCHEMA])
+
+    return _scan(spark, path).mapInPandas(parse, MISSION_SUMMARY_SCHEMA)
+
+
+def read_stanag4676_frames(spark: SparkSession, path: str) -> DataFrame:
+    """mission_frame features (createMissionFrameDataType analog)."""
+
+    def parse(batches):
+        for pdf in batches:
+            rows: list = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(_parse_mission(p, bytes(content))[1])
+            yield pd.DataFrame(rows, columns=[f.name for f in MISSION_FRAME_SCHEMA])
+
+    return _scan(spark, path).mapInPandas(parse, MISSION_FRAME_SCHEMA)
+
+
 def _scan(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.format("binaryFile").load(path).select("path", "content")
 

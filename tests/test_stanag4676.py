@@ -196,3 +196,63 @@ def test_track_points_feed_spatial_join(spark, msg_dir):
     out = SJ.tiered_spatial_join(pts, polys, point_id="track_item_uuid")
     got = {r["track_item_uuid"] for r in out.collect()}
     assert got == {"p-1", "p-2"}
+
+
+MISSION_XML = f"""<?xml version="1.0" encoding="UTF-8"?>
+<MissionSummaryMessage {NS}>
+  <missionID>m-1</missionID>
+  <Name>OP DEMO</Name>
+  <Security><securityClassification>NATO_UNCLASSIFIED</securityClassification></Security>
+  <StartTime>2024-03-01T09:00:00Z</StartTime>
+  <EndTime>2024-03-01T12:00:00Z</EndTime>
+  <CoverageArea>
+    <areaBoundaryPoints><latitude>9.0</latitude><longitude>19.0</longitude></areaBoundaryPoints>
+    <areaBoundaryPoints><latitude>9.0</latitude><longitude>21.0</longitude></areaBoundaryPoints>
+    <areaBoundaryPoints><latitude>11.0</latitude><longitude>21.0</longitude></areaBoundaryPoints>
+    <areaBoundaryPoints><latitude>11.0</latitude><longitude>19.0</longitude></areaBoundaryPoints>
+  </CoverageArea>
+  <ActiveObjectClassifications>
+    <classification>VEHICLE</classification>
+    <classification>DISMOUNT</classification>
+  </ActiveObjectClassifications>
+  <FrameInformation>
+    <frameNumber>1</frameNumber>
+    <frameTimestamp>2024-03-01T09:00:01Z</frameTimestamp>
+    <frameCoverageArea>
+      <areaBoundaryPoints><latitude>9.5</latitude><longitude>19.5</longitude></areaBoundaryPoints>
+      <areaBoundaryPoints><latitude>9.5</latitude><longitude>20.5</longitude></areaBoundaryPoints>
+      <areaBoundaryPoints><latitude>10.5</latitude><longitude>20.5</longitude></areaBoundaryPoints>
+    </frameCoverageArea>
+  </FrameInformation>
+</MissionSummaryMessage>
+"""
+
+
+@pytest.fixture(scope="module")
+def mission_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stanag_mission")
+    (d / "mission1.xml").write_text(MISSION_XML)
+    return str(d)
+
+
+def test_mission_summary(spark, mission_dir):
+    rows = S.read_stanag4676_missions(spark, mission_dir).collect()
+    assert len(rows) == 1
+    m = rows[0]
+    assert m["mission"] == "m-1" and m["name"] == "OP DEMO"
+    assert m["classification"] == "NATO_UNCLASSIFIED"
+    assert m["num_frames"] == 1
+    assert (m["end_ts_us"] - m["start_ts_us"]) == 3 * 3600 * 1_000_000
+    assert m["object_classes"] == "VEHICLE,DISMOUNT"
+    # open ring closed
+    assert m["wkt"] == (
+        "POLYGON ((19.0 9.0, 21.0 9.0, 21.0 11.0, 19.0 11.0, 19.0 9.0))"
+    )
+
+
+def test_mission_frames(spark, mission_dir):
+    rows = S.read_stanag4676_frames(spark, mission_dir).collect()
+    assert len(rows) == 1
+    fr = rows[0]
+    assert fr["frame_number"] == 1 and fr["mission"] == "m-1"
+    assert fr["wkt"].startswith("POLYGON ((19.5 9.5, 20.5 9.5, 20.5 10.5, 19.5 9.5")
