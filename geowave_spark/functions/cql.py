@@ -138,12 +138,21 @@ def _tokenize(s: str) -> list[tuple[str, str]]:
 
 
 class _Parser:
-    def __init__(self, tokens: list[tuple[str, str]], geometry, schema=None, id_col=None):
+    def __init__(
+        self, tokens: list[tuple[str, str]], geometry, schema=None, id_col=None,
+        time_col=None,
+    ):
         self.toks = tokens
         self.i = 0
         self.geometry = geometry
         self.schema = schema  # optional StructType for type-aware literals
         self.id_col = id_col  # feature-id column for bare ID filters
+        self.time_col = time_col  # column whose temporal preds constrain the index
+        # constraint of the most recently parsed sub-expression:
+        # (bbox | None, (t0_us, t1_us) | None) — None = unconstrained (TOP).
+        # The ExtractGeometryFilterVisitor / ExtractTimeBoundsVisitor analog,
+        # computed inline during the single recursive-descent pass.
+        self._con = (None, None)
 
     # -- token helpers ------------------------------------------------------
     def peek(self, kind=None, value=None):
@@ -185,22 +194,33 @@ class _Parser:
 
     def expr(self) -> Column:
         c = self.and_expr()
+        con = self._con
         while self.at_word("OR"):
             self.take("word")
             c = c | self.and_expr()
+            con = _con_or(con, self._con)
+        self._con = con
         return c
 
     def and_expr(self) -> Column:
         c = self.not_expr()
+        con = self._con
         while self.at_word("AND"):
             self.take("word")
             c = c & self.not_expr()
+            con = _con_and(con, self._con)
+        self._con = con
         return c
 
     def not_expr(self) -> Column:
         if self.at_word("NOT"):
             self.take("word")
-            return ~self.not_expr()
+            c = ~self.not_expr()
+            # NOT inverts row membership but never tightens a range — the
+            # complement of a bbox is unbounded (ExtractGeometryFilterVisitor
+            # returns infinity for negations)
+            self._con = (None, None)
+            return c
         if self.peek("lp"):
             # could be a parenthesized expr — predicates never start with (
             self.take("lp")
@@ -353,6 +373,9 @@ class _Parser:
 
     # -- predicates ---------------------------------------------------------
     def predicate(self) -> Column:
+        # default: a predicate constrains neither space nor time; the
+        # spatial/temporal branches overwrite this before returning
+        self._con = (None, None)
         if self.peek("num") is not None or self.peek("arith") is not None:
             return self.compare(self.arith_expr())
         w = self.take("word")
@@ -426,6 +449,7 @@ class _Parser:
                 lon_ok = (F.col(lon) >= x0) | (F.col(lon) <= x1 - 360.0)
             else:
                 lon_ok = (F.col(lon) >= x0) & (F.col(lon) <= x1)
+                self._con = ((x0, y0, x1, y1), None)
             return lon_ok & lat_ok
         from . import geo_udfs
 
@@ -438,6 +462,8 @@ class _Parser:
         wkt = (
             f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))"
         )
+        if x1 <= 180.0:  # straddle boxes stay unconstrained (index-safe)
+            self._con = ((x0, y0, x1, y1), None)
         return geo_udfs.st_intersects_wkt(self.geom_column(prop), F.lit(wkt))
 
     def geom_pred(self, op: str) -> Column:
@@ -448,6 +474,8 @@ class _Parser:
         self.take("comma")
         wkt = self.wkt_literal()
         self.take("rp")
+        if op != "DISJOINT":  # a DISJOINT match can lie anywhere
+            self._con = (_wkt_envelope(wkt), None)
         fn = getattr(geo_udfs, _GEOM_OPS[op])
         return fn(self.geom_column(prop), F.lit(wkt))
 
@@ -470,6 +498,13 @@ class _Parser:
             if units in ("meters", "m"):
                 dist = dist / 111_320.0  # equatorial degrees (planar engine)
         self.take("rp")
+        if not beyond:  # BEYOND matches can lie anywhere
+            env = _wkt_envelope(wkt)
+            if env is not None:
+                self._con = (
+                    (env[0] - dist, env[1] - dist, env[2] + dist, env[3] + dist),
+                    None,
+                )
         d = geo_udfs.st_distance_wkt(self.geom_column(prop), F.lit(wkt))
         return (d > F.lit(dist)) if beyond else (d <= F.lit(dist))
 
@@ -505,6 +540,8 @@ class _Parser:
                 f"({', '.join(sorted(self._RELATE_PATTERNS))}) — use the "
                 "named spatial predicate instead"
             )
+        if fn != "st_disjoint_wkt":
+            self._con = (_wkt_envelope(wkt), None)
         return getattr(geo_udfs, fn)(self.geom_column(prop), F.lit(wkt))
 
     def wkt_literal(self) -> str:
@@ -645,12 +682,22 @@ class _Parser:
             return F.lit(s.rstrip("Z").replace("T", " "))
 
         op = self.take("word").upper()
+        raws: list[str] = []
 
         def period():
             start = self.take("dt")
             self.take("slash")
             end = self.take("dt")
+            raws[:] = [start, end]
             return dt_lit(start), dt_lit(end)
+
+        def set_trange(lo, hi):
+            # index time constraint (ExtractTimeBoundsVisitor analog) —
+            # only the caller-designated time column prunes the index
+            if prop is not None and prop == self.time_col:
+                self._con = (self._con[0], (lo, hi))
+
+        _INF = float("inf")
 
         # compound forms (GeoTools ECQL): the OR here binds to the temporal
         # op, not the boolean grammar — exactly two spellings exist
@@ -658,21 +705,125 @@ class _Parser:
             self.take("word")
             self.take("word")
             s, e = period()
+            set_trange(-_INF, _dt_us(raws[1]))
             return (col < s) | ((col > s) & (col < e))
         if op == "DURING" and self.peek("dt") is None and self.at_word("OR"):
             self.take("word")
             self.take("word", "AFTER")
             s, e = period()
+            set_trange(_dt_us(raws[0]), _INF)
             return ((col > s) & (col < e)) | (col > e)
         if op == "DURING":
             s, e = period()
+            set_trange(_dt_us(raws[0]), _dt_us(raws[1]))
             return (col > s) & (col < e)
         t = self.take("dt")
         if op == "BEFORE":
+            set_trange(-_INF, _dt_us(t))
             return col < dt_lit(t)
         if op == "AFTER":
+            set_trange(_dt_us(t), _INF)
             return col > dt_lit(t)
+        set_trange(_dt_us(t), _dt_us(t))
         return col == dt_lit(t)  # TEQUALS
+
+
+def _box_and(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return (max(a[0], b[0]), max(a[1], b[1]), min(a[2], b[2]), min(a[3], b[3]))
+
+
+def _box_or(a, b):
+    if a is None or b is None:
+        return None
+    return (min(a[0], b[0]), min(a[1], b[1]), max(a[2], b[2]), max(a[3], b[3]))
+
+
+def _rng_and(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return (max(a[0], b[0]), min(a[1], b[1]))
+
+
+def _rng_or(a, b):
+    if a is None or b is None:
+        return None
+    return (min(a[0], b[0]), max(a[1], b[1]))
+
+
+def _con_and(a, b):
+    return (_box_and(a[0], b[0]), _rng_and(a[1], b[1]))
+
+
+def _con_or(a, b):
+    return (_box_or(a[0], b[0]), _rng_or(a[1], b[1]))
+
+
+def _wkt_envelope(wkt: str):
+    """Envelope of a WKT literal (driver-side, parse once per query)."""
+    from .. import geom as _geom
+
+    try:
+        return tuple(float(v) for v in _geom.geometry_from_wkt(wkt).bbox)
+    except Exception:
+        return None
+
+
+def _dt_us(s: str) -> int:
+    """ISO-8601 instant → epoch micros (UTC wall-time convention, same as
+    the NTZ comparison literals)."""
+    import datetime as _dt_mod
+
+    d = _dt_mod.datetime.fromisoformat(s.rstrip("Z")).replace(
+        tzinfo=_dt_mod.timezone.utc
+    )
+    return int(d.timestamp() * 1_000_000)
+
+
+class CQLConstraints:
+    """Index constraints extracted from a CQL filter — the
+    ExtractGeometryFilterVisitor / time-bounds analog (the reference plans
+    these into index query ranges in OptimalCQLQuery.java).
+
+    ``bbox``: (x0, y0, x1, y1) or None (unconstrained).  ``trange``:
+    (t0_us, t1_us) epoch-micros, either end possibly ±inf, or None.  An
+    inverted interval (AND of disjoint constraints) means provably empty.
+    """
+
+    __slots__ = ("bbox", "trange")
+
+    def __init__(self, bbox, trange):
+        self.bbox = bbox
+        self.trange = trange
+
+    def is_empty(self) -> bool:
+        if self.bbox is not None and (
+            self.bbox[0] > self.bbox[2] or self.bbox[1] > self.bbox[3]
+        ):
+            return True
+        return self.trange is not None and self.trange[0] > self.trange[1]
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"CQLConstraints(bbox={self.bbox}, trange={self.trange})"
+
+
+def extract_constraints(
+    expr: str, geometry="wkt", schema=None, id_col=None, time_col=None
+) -> CQLConstraints:
+    """Parse ``expr`` and return the spatial/temporal index constraints it
+    implies: AND intersects, OR unions (hull), NOT and non-spatial
+    predicates are unconstrained.  Only sound PRUNING bounds — the full
+    filter must still run as the exact refine (cql_filter does both;
+    sources.indexed.cql_query_indexed wires the bbox into the cell-indexed
+    scan)."""
+    p = _Parser(_tokenize(expr), geometry, schema, id_col, time_col)
+    p.parse()
+    return CQLConstraints(*p._con)
 
 
 def cql_to_column(expr: str, geometry="wkt", schema=None, id_col=None) -> Column:

@@ -388,6 +388,82 @@ def range_filter_frame(
     return out
 
 
+def cql_query_indexed(
+    spark: SparkSession,
+    path: str,
+    expr: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    id_col: str | None = None,
+    bounds=None,
+) -> DataFrame:
+    """CQL query against the cell-indexed layout — the OptimalCQLQuery
+    analog (core/geotime/.../cql/OptimalCQLQuery.java: extract the filter's
+    geometry via ExtractGeometryFilterVisitor, plan it into index ranges,
+    run the full CQL as the fine filter).
+
+    The bbox implied by the filter (AND-intersected, OR-unioned,
+    NOT/attribute predicates unconstrained) becomes sargable cell ranges →
+    PushedFilters row-group pruning, exactly like range_lookup_indexed;
+    the complete CQL expression then refines exactly.  A filter with no
+    spatial constraint degrades gracefully to a full scan + filter, and a
+    provably-empty constraint (AND of disjoint boxes) short-circuits."""
+    from ..functions import cql as _cql
+
+    df = spark.read.parquet(path)
+    con = _cql.extract_constraints(
+        expr, geometry=(lon_col, lat_col), schema=df.schema, id_col=id_col
+    )
+    refine = _cql.cql_to_column(expr, (lon_col, lat_col), df.schema, id_col)
+    if con.is_empty():
+        return df.filter(F.lit(False))
+    if con.bbox is not None:
+        pred, _ = cell_range_predicate(con.bbox, bounds=bounds)
+        df = df.filter(pred)
+    return df.filter(refine)
+
+
+def cql_query_indexed_st(
+    spark: SparkSession,
+    path: str,
+    expr: str,
+    time_col: str,
+    unit: str = "year",
+    bias: str = "balanced",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    budget: int = 384,
+) -> DataFrame:
+    """CQL query against the spatio-temporal (write_indexed_st) layout:
+    both the bbox AND the time window implied by the filter prune the
+    (_bin, _stkey) index (sub-bin key ranges) before the exact CQL refine.
+    Falls back to the spatial-only or full-scan shape when either
+    constraint is absent or half-open."""
+    from ..functions import cql as _cql
+
+    df = spark.read.parquet(path)
+    con = _cql.extract_constraints(
+        expr, geometry=(lon_col, lat_col), schema=df.schema, time_col=time_col
+    )
+    refine = _cql.cql_to_column(expr, (lon_col, lat_col), df.schema)
+    if con.is_empty():
+        return df.filter(F.lit(False))
+    inf = float("inf")
+    if (
+        con.bbox is not None
+        and con.trange is not None
+        and -inf < con.trange[0]
+        and con.trange[1] < inf
+    ):
+        cand = st_subbin_range_lookup(
+            spark, path, con.bbox, int(con.trange[0]), int(con.trange[1]),
+            unit=unit, bias=bias, ts_col=time_col, lon_col=lon_col,
+            lat_col=lat_col, loose=True, budget=budget,
+        )
+        return cand.filter(refine)
+    return df.filter(refine)
+
+
 def write_indexed_crs(
     df: DataFrame,
     path: str,
