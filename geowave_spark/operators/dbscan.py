@@ -34,6 +34,7 @@ def neighbor_pairs(
     id_col: str = "event_id",
     lon_col: str = "lon",
     lat_col: str = "lat",
+    bounds=None,
 ) -> DataFrame:
     """(id_a, id_b) within eps (both directions, self included)."""
     q = points.select(
@@ -42,7 +43,7 @@ def neighbor_pairs(
     nb = distance_candidates(
         points, q, point_id=id_col, query_id="query_id",
         q_lon=lon_col, q_lat=lat_col,  # q derives from the same table
-        p_lon=lon_col, p_lat=lat_col, broadcast_queries=False,
+        p_lon=lon_col, p_lat=lat_col, broadcast_queries=False, bounds=bounds,
     )
     return nb.select(F.col("query_id").alias("id_a"), F.col(id_col).alias("id_b"))
 
@@ -55,12 +56,14 @@ def dbscan(
     lon_col: str = "lon",
     lat_col: str = "lat",
     max_iter: int = 50,
+    bounds=None,
 ) -> DataFrame:
-    """(id, cluster, is_core) — cluster NULL for noise."""
+    """(id, cluster, is_core) — cluster NULL for noise.  ``bounds`` runs
+    the neighbor ring in a projected frame (custom-CRS index math)."""
     # localCheckpoint (not persist): each frame feeds several plan branches
     # and the loop below; blocks are ContextCleaner-reclaimed on GC instead
     # of pinning executor storage for the session lifetime
-    pairs = neighbor_pairs(points, eps, id_col, lon_col, lat_col).localCheckpoint()
+    pairs = neighbor_pairs(points, eps, id_col, lon_col, lat_col, bounds=bounds).localCheckpoint()
     counts = pairs.groupBy("id_a").agg(F.count(F.lit(1)).alias("n_nb"))
     core = (
         counts.filter(F.col("n_nb") >= min_pts)

@@ -32,8 +32,10 @@ def _tier_offsets_expr() -> Column:
     return F.array(*[F.lit(int(o)) for o in cells.TIER_OFFSETS[: cells.MAX_TIER + 1]])
 
 
-def _tier_expr(maxd: Column) -> Column:
-    """Coarsest tier whose cell side (180/2^t) >= max_distance.
+def _tier_expr(maxd: Column, bounds=None) -> Column:
+    """Coarsest tier whose cell side >= max_distance (world: 180/2^t; a
+    custom ``bounds`` frame uses its smaller axis span, so the 3x3 ring
+    still provably covers the radius in a projected CRS).
 
     Degenerate radii are legal and must not poison the driver-side tier
     collect: max_distance <= 0 (eps=0 DBSCAN means exact-duplicate
@@ -41,7 +43,12 @@ def _tier_expr(maxd: Column) -> Column:
     drops every pair) both pin to MAX_TIER instead of producing a NULL
     tier (NULL would make TIER_OFFSETS[None] / sorted([None, 5]) throw
     an unrelated-looking TypeError on the driver)."""
-    t = F.floor(F.log2(F.lit(180.0) / maxd)).cast("int")
+    span = 180.0
+    if bounds is not None:
+        span = min(
+            float(bounds[2]) - float(bounds[0]), float(bounds[3]) - float(bounds[1])
+        )
+    t = F.floor(F.log2(F.lit(span) / maxd)).cast("int")
     bounded = F.least(F.greatest(t, F.lit(0)), F.lit(cells.MAX_TIER))
     return F.when(
         maxd.isNull() | (maxd <= 0), F.lit(cells.MAX_TIER)
@@ -60,30 +67,43 @@ def distance_candidates(
     p_lat: str = "lat",
     broadcast_queries: bool = True,
     extra_query_cols: list[str] | None = None,
+    bounds=None,
 ) -> DataFrame:
     """All (query_id, point_id, dist) pairs with dist <= max_distance —
     the unranked within-distance join (cell-ring candidates + exact
-    refine).  knn_join adds the top-k window; DBSCAN uses this directly."""
+    refine).  knn_join adds the top-k window; DBSCAN uses this directly.
+
+    ``bounds``: custom per-dimension index bounds (x0, y0, x1, y1) for a
+    projected CRS (SpatialDimensionalityTypeProvider.java:107-124) — the
+    ring clamps instead of wrapping (no antimeridian in a projected
+    frame) and distances stay planar in the CRS's own units."""
     extra = extra_query_cols or []
-    q = queries.withColumn("_tier", _tier_expr(F.col(maxd_col)))
+    q = queries.withColumn("_tier", _tier_expr(F.col(maxd_col), bounds))
     # per-row grid resolution r = 2^tier (exact in double up to 2^31)
     q = q.withColumn("_r", F.pow(F.lit(2.0), F.col("_tier").cast("double")).cast("long"))
     qx = F.least(
-        F.greatest(F.floor(sqlcells.norm_lon(F.col(q_lon)) * F.col("_r").cast("double")), F.lit(0)),
+        F.greatest(F.floor(sqlcells.norm_lon(F.col(q_lon), bounds) * F.col("_r").cast("double")), F.lit(0)),
         F.col("_r") - 1,
     ).cast("long")
     qy = F.least(
-        F.greatest(F.floor(sqlcells.norm_lat(F.col(q_lat)) * F.col("_r").cast("double")), F.lit(0)),
+        F.greatest(F.floor(sqlcells.norm_lat(F.col(q_lat), bounds) * F.col("_r").cast("double")), F.lit(0)),
         F.col("_r") - 1,
     ).cast("long")
     q = q.withColumn("_qx", qx).withColumn("_qy", qy)
-    # 3x3 ring: lon wraps (pmod), lat clamps (filter)
+    # 3x3 ring: lon wraps (pmod) in the world frame, clamps under custom
+    # bounds (no antimeridian in a projected frame); lat always clamps
+    nx = (
+        F.pmod(F.col("_qx") + F.col("_dx"), F.col("_r"))
+        if bounds is None
+        else F.col("_qx") + F.col("_dx")
+    )
     q = (
         q.withColumn("_dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
         .withColumn("_dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-        .withColumn("_nx", F.pmod(F.col("_qx") + F.col("_dx"), F.col("_r")))
+        .withColumn("_nx", nx)
         .withColumn("_ny", F.col("_qy") + F.col("_dy"))
         .filter((F.col("_ny") >= 0) & (F.col("_ny") < F.col("_r")))
+        .filter((F.col("_nx") >= 0) & (F.col("_nx") < F.col("_r")))
         .withColumn(
             "key",
             F.element_at(_tier_offsets_expr(), F.col("_tier") + 1)
@@ -107,7 +127,7 @@ def distance_candidates(
             .select(query_id, point_id, "dist", *extra)
         )
 
-    pts = add_point_cols(points, p_lon, p_lat)
+    pts = add_point_cols(points, p_lon, p_lat, bounds=bounds)
     pts = pts.withColumn(
         "key",
         F.explode(
@@ -154,12 +174,14 @@ def knn_join(
     p_lon: str = "lon",
     p_lat: str = "lat",
     broadcast_queries: bool = True,
+    bounds=None,
 ) -> DataFrame:
     """Return (query_id, image_id, dist, rank) — top-k by planar distance
-    within max_distance, ties broken by point id (deterministic)."""
+    within max_distance, ties broken by point id (deterministic).
+    ``bounds`` runs the ring and distances in a projected frame."""
     cand = distance_candidates(
         points, queries, point_id, query_id, maxd_col, q_lon, q_lat, p_lon, p_lat,
-        broadcast_queries, extra_query_cols=[k_col],
+        broadcast_queries, extra_query_cols=[k_col], bounds=bounds,
     )
     w = Window.partitionBy(query_id).orderBy(F.col("dist").asc(), F.col(point_id).asc())
     return (
