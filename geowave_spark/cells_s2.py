@@ -1,0 +1,375 @@
+"""S2-style spherical cell ids — cube-face quadtree + per-face Hilbert curve.
+
+The north rule asks for "H3/S2 cell IDs at adaptive resolutions"; the
+engine's default join/index family is the equirectangular tiered Z/Hilbert
+grid (cells.py / sqlcells.py — the reference's TieredSFCIndexStrategy
+semantics).  This module adds a true SPHERICAL cell family with the S2
+construction (public: s2geometry.io docs, s2coords.h):
+
+* project the unit sphere onto the 6 faces of a cube;
+* quadratic s/t reparametrization per face (equalizes cell areas to ~2.1x
+  min/max instead of the raw gnomonic ~5.2x);
+* quantize to a 2^level x 2^level grid per face;
+* order cells by Hilbert distance within the face (the same public xy2d
+  as hilbert.py) -> cell id = face * 4^level + d.
+
+Cell ids here are *S2-style*, not byte-compatible with Google S2 (we skip
+its per-face Hilbert orientation twiddling and its 64-bit sentinel-bit
+layout) — what is preserved is the semantics the north rule names: a
+spherical hierarchy with the quadtree prefix property (parent id = child
+id >> 2 per level, valid because a quadtree block is one contiguous
+Hilbert run), adaptive resolution by level choice, and locality-preserving
+range decomposition for scans.
+
+Engine/oracle determinism (the Mercator lesson, entry_queries.py
+_oracle_cell_ids): every DISCRETE decision that two engines could disagree
+on at 1 ulp is made with exact IEEE arithmetic —
+
+* equatorial face = floor((lon+45)/90) mod 4: +, /, floor are correctly
+  rounded in every engine, and the fixture lon grid (1e-4 deg decimals)
+  lands exactly on the +-45/135 face boundaries, where trig-based argmax
+  face selection (|x| vs |y| vs |z|) WOULD flip between JVM Math and libm
+  (measured: ~0.2% of rows differ by 1 ulp in cos/sin between Spark and
+  DuckDB);
+* polar promotion = (tan(lat)/cos(dlam) > 1): a single float comparison
+  whose boundary set (tan phi = cos dlam) is irrational — the decimal
+  fixture grid never lands on it, and a 1-ulp trig divergence flips it
+  only within ~2 ulp of the boundary (~1e-12 probability per row);
+* st quantization floor(s * 2^level): same measure-zero argument; the
+  Hilbert stage below is pure integer arithmetic (no risk).
+
+The Column twin and the DuckDB oracle twin are generated from ONE
+expression list (`stage_exprs`) in dialect-neutral SQL (lateral column
+aliases, CAST literals, `&`/`%` on bigints — verified identical in both
+engines), so they cannot drift apart textually.  The xor in Hilbert's
+d-accumulation is replaced by the arithmetic identity
+3*rx XOR ry == 3*rx + ry - 2*rx*ry   (rx, ry in {0,1}).
+
+Reference parity notes: the reference's SFC abstraction is
+core/index/.../sfc/SpaceFillingCurve.java (getId / getQueryRanges); its
+Hilbert default is HilbertSFC.java.  This module implements the same
+surface for the spherical family: `cell_expr`/`cell_np` (getId),
+`query_ranges` (getQueryRanges via per-face quadtree decomposition),
+`cell_at_level` (reprojectToTier analog via the Hilbert prefix property).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from . import hilbert
+
+RAD = math.pi / 180.0  # one literal, repr-shared by every twin
+DEFAULT_LEVEL = 12
+
+# equatorial slot (floor((lon+45)/90) mod 4) -> S2 face number
+_EQ_FACE = {0: 0, 1: 1, 2: 3, 3: 4}
+FACE_NORTH = 2
+FACE_SOUTH = 5
+
+
+def _f(x: float) -> str:
+    return f"CAST({float(x)!r} AS DOUBLE)"
+
+
+# Hilbert as a 4-state machine over the ORIGINAL (i, j) bits, MSB first —
+# exactly hilbert.xy2d's curve (validated exhaustively in tests): packed
+# entry = digit*4 + next_state at index = state*4 + bx*2 + by.  This shape
+# exists because the naive unrolled xy2d (x/y rotated per stage) references
+# each prior alias 2-3x, and BOTH engines inline lateral aliases — the
+# expression tree grows 3^level (the analyzer hangs at level 12).  The
+# state chain references its predecessor exactly ONCE (linear tree), and
+# the digit sum extracts each c_k with a single DIV.
+_HILBERT_LUT = (1, 4, 14, 8, 0, 15, 5, 9, 10, 6, 12, 3, 11, 13, 7, 2)
+
+
+def stage_exprs(
+    lon: str = "lon",
+    lat: str = "lat",
+    level: int = DEFAULT_LEVEL,
+    out: str = "s2_cell",
+    face_out: str | None = "s2_face",
+    tag: str = "",
+    dialect: str = "spark",
+) -> list[str]:
+    """Chained-alias SELECT fragments computing the cell id.
+
+    Consumable by BOTH Spark (`df.selectExpr("*", *exprs)`,
+    dialect="spark") and DuckDB (same list joined into one SELECT,
+    dialect="duckdb") — lateral column aliases are supported by both.  The
+    FLOAT stages (face, u/v, st, i/j) emit byte-identical text in both
+    dialects (the cross-engine bit-determinism contract); only the
+    integer-exact Hilbert stage differs (element_at vs list_extract, DIV
+    vs //), where a divergence is impossible.  `tag` disambiguates
+    intermediates when one query carries two S2 legs.
+    """
+    p = f"_s2{tag}_"
+    n = 1 << level
+    e: list[str] = []
+    # --- face (exact arithmetic; see module docstring) ---------------------
+    e.append(
+        f"((CAST(floor((({lon}) + {_f(45.0)}) / {_f(90.0)}) AS BIGINT) % 4) + 4) % 4 AS {p}fe"
+    )
+    e.append(
+        f"CASE WHEN (({lon}) - {_f(90.0)} * {p}fe) < {_f(-45.0)} "
+        f"THEN (({lon}) - {_f(90.0)} * {p}fe) + {_f(360.0)} "
+        f"ELSE (({lon}) - {_f(90.0)} * {p}fe) END AS {p}dlam"
+    )
+    e.append(f"tan(({lat}) * {_f(RAD)}) AS {p}tphi")
+    e.append(f"cos({p}dlam * {_f(RAD)}) AS {p}cdl")
+    e.append(f"({p}tphi / {p}cdl) AS {p}veq")  # z / dominant horizontal comp
+    e.append(f"tan({p}dlam * {_f(RAD)}) AS {p}ueq")
+    # polar u/v need full-longitude trig (only polar rows read them)
+    e.append(f"cos(({lon}) * {_f(RAD)}) AS {p}cl")
+    e.append(f"sin(({lon}) * {_f(RAD)}) AS {p}sl")
+    e.append(
+        f"CASE WHEN {p}veq > {_f(1.0)} THEN {FACE_NORTH} "
+        f"WHEN {p}veq < {_f(-1.0)} THEN {FACE_SOUTH} "
+        f"WHEN {p}fe = 0 THEN 0 WHEN {p}fe = 1 THEN 1 "
+        f"WHEN {p}fe = 2 THEN 3 ELSE 4 END AS {p}face"
+    )
+    # --- per-face (u, v) — the s2coords.h table re-expressed in (dlam, phi):
+    #   face 0/1: u =  tan(dlam),        v = tanphi/cos(dlam)
+    #   face 3/4: u = -tanphi/cos(dlam), v = tan(dlam)
+    #   face 2:   u = -cos(lon)/tanphi,  v = -sin(lon)/tanphi
+    #   face 5:   u = -sin(lon)/tanphi,  v = -cos(lon)/tanphi
+    e.append(
+        f"CASE WHEN {p}face = 2 THEN (CAST(0 AS DOUBLE) - {p}cl) / {p}tphi "
+        f"WHEN {p}face = 5 THEN (CAST(0 AS DOUBLE) - {p}sl) / {p}tphi "
+        f"WHEN {p}face <= 1 THEN {p}ueq "
+        f"ELSE (CAST(0 AS DOUBLE) - {p}veq) END AS {p}u"
+    )
+    e.append(
+        f"CASE WHEN {p}face = 2 THEN (CAST(0 AS DOUBLE) - {p}sl) / {p}tphi "
+        f"WHEN {p}face = 5 THEN (CAST(0 AS DOUBLE) - {p}cl) / {p}tphi "
+        f"WHEN {p}face <= 1 THEN {p}veq "
+        f"ELSE {p}ueq END AS {p}v"
+    )
+    # --- quadratic st + quantization (S2's [u]->[0,1] area-equalizer) ------
+    for ax, src in (("s", f"{p}u"), ("t", f"{p}v")):
+        st = (
+            f"CASE WHEN {src} >= {_f(0.0)} "
+            f"THEN {_f(0.5)} * sqrt({_f(1.0)} + {_f(3.0)} * {src}) "
+            f"ELSE {_f(1.0)} - {_f(0.5)} * sqrt({_f(1.0)} - {_f(3.0)} * {src}) END"
+        )
+        e.append(
+            f"least(greatest(CAST(floor(({st}) * {_f(float(n))}) AS BIGINT), "
+            f"CAST(0 AS BIGINT)), CAST({n - 1} AS BIGINT)) AS {p}{ax}i"
+        )
+    # --- Hilbert: 4-state machine over the original (i, j) bits ------------
+    lut = ", ".join(str(v) for v in _HILBERT_LUT)
+    if dialect == "spark":
+        look = f"element_at(array({lut}), {{idx}} + 1)"
+        div4 = "({c} DIV 4)"
+    elif dialect == "duckdb":
+        look = f"list_extract([{lut}], {{idx}} + 1)"
+        div4 = "(({c}) // 4)"
+    else:  # pragma: no cover
+        raise ValueError(f"unknown dialect {dialect!r}")
+    prev = None
+    for k in range(level - 1, -1, -1):
+        m = 1 << k
+        bx = f"CASE WHEN ({p}si & {m}) > 0 THEN 2 ELSE 0 END"
+        by = f"CASE WHEN ({p}ti & {m}) > 0 THEN 1 ELSE 0 END"
+        st = f"({prev} % 4) * 4 + " if prev else ""
+        e.append(f"{look.format(idx=f'{st}{bx} + {by}')} AS {p}c{k}")
+        prev = f"{p}c{k}"
+    digits = " + ".join(
+        f"CAST({4 ** k} AS BIGINT) * {div4.format(c=f'{p}c{k}')}"
+        for k in range(level - 1, -1, -1)
+    )
+    e.append(f"CAST({p}face AS BIGINT) * {4 ** level} + ({digits}) AS {out}")
+    if face_out:
+        e.append(f"CAST({p}face AS BIGINT) AS {face_out}")
+    return e
+
+
+def intermediate_names(
+    level: int = DEFAULT_LEVEL, tag: str = ""
+) -> list[str]:
+    """Names of every `_s2{tag}_*` intermediate emitted by stage_exprs (for
+    dropping on the Spark side / omitting from the oracle's outer select)."""
+    p = f"_s2{tag}_"
+    names = [
+        f"{p}fe", f"{p}dlam", f"{p}tphi", f"{p}cdl", f"{p}veq", f"{p}ueq",
+        f"{p}cl", f"{p}sl", f"{p}face", f"{p}u", f"{p}v", f"{p}si", f"{p}ti",
+    ]
+    names += [f"_s2{tag}_c{k}" for k in range(level - 1, -1, -1)]
+    return names
+
+
+def add_s2_cell_column(
+    df,
+    lon: str = "lon",
+    lat: str = "lat",
+    level: int = DEFAULT_LEVEL,
+    out: str = "s2_cell",
+    face_out: str | None = None,
+    tag: str = "",
+):
+    """Spark twin: one selectExpr pass (whole-stage-codegen'd Column math —
+    no Python, no shuffle)."""
+    exprs = stage_exprs(lon, lat, level, out, face_out, tag)
+    return df.selectExpr("*", *exprs).drop(*intermediate_names(level, tag))
+
+
+# ---------------------------------------------------------------------------
+# numpy twin (query-side covers, tests)
+# ---------------------------------------------------------------------------
+
+
+def face_uv_np(
+    lon: np.ndarray, lat: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(face, u, v) — same decision tree as stage_exprs, in numpy."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    fe = (np.floor((lon + 45.0) / 90.0).astype(np.int64) % 4 + 4) % 4
+    dlam = lon - 90.0 * fe.astype(np.float64)
+    dlam = np.where(dlam < -45.0, dlam + 360.0, dlam)
+    tphi = np.tan(lat * RAD)
+    cdl = np.cos(dlam * RAD)
+    veq = tphi / cdl
+    ueq = np.tan(dlam * RAD)
+    cl = np.cos(lon * RAD)
+    sl = np.sin(lon * RAD)
+    eq_face = np.select([fe == 0, fe == 1, fe == 2], [0, 1, 3], default=4)
+    face = np.where(veq > 1.0, FACE_NORTH, np.where(veq < -1.0, FACE_SOUTH, eq_face))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = np.select(
+            [face == 2, face == 5, face <= 1],
+            [(0.0 - cl) / tphi, (0.0 - sl) / tphi, ueq],
+            default=0.0 - veq,
+        )
+        v = np.select(
+            [face == 2, face == 5, face <= 1],
+            [(0.0 - sl) / tphi, (0.0 - cl) / tphi, veq],
+            default=ueq,
+        )
+    return face.astype(np.int64), u, v
+
+
+def st_np(u: np.ndarray) -> np.ndarray:
+    with np.errstate(invalid="ignore"):  # np.where evaluates both branches
+        return np.where(
+            u >= 0.0, 0.5 * np.sqrt(1.0 + 3.0 * u), 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u)
+        )
+
+
+def ij_np(
+    lon: np.ndarray, lat: np.ndarray, level: int = DEFAULT_LEVEL
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    face, u, v = face_uv_np(lon, lat)
+    n = 1 << level
+    i = np.clip(np.floor(st_np(u) * float(n)).astype(np.int64), 0, n - 1)
+    j = np.clip(np.floor(st_np(v) * float(n)).astype(np.int64), 0, n - 1)
+    return face, i, j
+
+
+def cell_np(
+    lon: np.ndarray, lat: np.ndarray, level: int = DEFAULT_LEVEL
+) -> np.ndarray:
+    face, i, j = ij_np(lon, lat, level)
+    return face * (4 ** level) + hilbert.xy2d(i, j, level)
+
+
+def cell_at_level(cell: np.ndarray | int, from_level: int, to_level: int):
+    """Parent cell id (reprojectToTier analog): the Hilbert prefix property
+    makes the coarser id an exact right-shift of the finer one."""
+    if to_level > from_level:
+        raise ValueError("to_level must be <= from_level")
+    shift = 2 * (from_level - to_level)
+    cell = np.asarray(cell, dtype=np.int64)
+    face = cell // (4 ** from_level)
+    d = cell % (4 ** from_level)
+    return face * (4 ** to_level) + (d >> shift)
+
+
+def cell_at_level_sql(col: str, from_level: int, to_level: int) -> str:
+    """Dialect-neutral SQL twin of cell_at_level (Spark selectExpr AND
+    DuckDB).  All quotients are exact (the numerators are exact multiples
+    below 2^53), so double division is bit-safe in both engines."""
+    shift = 2 * (from_level - to_level)
+    fl, tl = 4 ** from_level, 4 ** to_level
+    face = f"CAST(((({col}) - (({col}) % {fl})) / {fl}) AS BIGINT)"
+    d = f"(({col}) % {fl})"
+    dshift = f"CAST((({d} - ({d} % {1 << shift})) / {1 << shift}) AS BIGINT)"
+    return f"{face} * CAST({tl} AS BIGINT) + {dshift}"
+
+
+# ---------------------------------------------------------------------------
+# query-side cover (getQueryRanges analog)
+# ---------------------------------------------------------------------------
+
+
+def _bbox_samples(
+    bbox: tuple[float, float, float, float], k_edge: int = 256, k_grid: int = 64
+) -> tuple[np.ndarray, np.ndarray]:
+    """Boundary + interior sample points of a lon/lat bbox (plus the poles
+    when the bbox touches them — the polar faces' st-extent is not attained
+    on a lat ring)."""
+    x0, y0, x1, y1 = bbox
+    xs = np.linspace(x0, x1, k_edge)
+    ys = np.linspace(y0, y1, k_edge)
+    lon = np.concatenate([xs, xs, np.full(k_edge, x0), np.full(k_edge, x1)])
+    lat = np.concatenate([np.full(k_edge, y0), np.full(k_edge, y1), ys, ys])
+    gx, gy = np.meshgrid(np.linspace(x0, x1, k_grid), np.linspace(y0, y1, k_grid))
+    lon = np.concatenate([lon, gx.ravel()])
+    lat = np.concatenate([lat, gy.ravel()])
+    return lon, lat
+
+
+def query_ranges(
+    bbox: tuple[float, float, float, float],
+    level: int = DEFAULT_LEVEL,
+    max_ranges: int = 64,
+) -> list[tuple[int, int]]:
+    """lon/lat bbox -> inclusive s2-cell-id ranges at `level`.
+
+    Cover construction: sample the bbox (edges + interior grid + poles if
+    touched), take the per-face (i, j) hull, pad by one cell, and decompose
+    each face rectangle into Hilbert d-ranges with the same budgeted
+    quadtree as hilbert.hilbert_query_ranges.  The hull-of-samples cover is
+    conservative-by-sampling (the st image of a lon/lat rectangle is
+    separable per face — extrema land on edges — and the pad absorbs
+    quantization); exactness of the RESULT does not depend on the cover:
+    every lookup refines with the true lon/lat predicate, and recall is
+    pinned against direct filters in tests/test_s2.py over polar,
+    face-crossing and world boxes.
+
+    Antimeridian boxes (x0 > x1) split into two plain boxes, like
+    cells.ranges_for_cover's canonical split.
+    """
+    x0, y0, x1, y1 = bbox
+    if x0 > x1:
+        return sorted(
+            query_ranges((x0, y0, 180.0, y1), level, max_ranges)
+            + query_ranges((-180.0, y0, x1, y1), level, max_ranges)
+        )
+    lon, lat = _bbox_samples(bbox)
+    face, i, j = ij_np(lon, lat, level)
+    n = 1 << level
+    # a bbox touching a pole owns the full polar-face neighborhood of the
+    # pole; the sample hull already includes it via the k_grid rows at
+    # extreme lat, but keep the pole point itself exact:
+    out: list[tuple[int, int]] = []
+    budget = max(4, max_ranges // max(len(np.unique(face)), 1))
+    for f in np.unique(face):
+        m = face == f
+        gi0 = max(int(i[m].min()) - 1, 0)
+        gi1 = min(int(i[m].max()) + 1, n - 1)
+        gj0 = max(int(j[m].min()) - 1, 0)
+        gj1 = min(int(j[m].max()) + 1, n - 1)
+        base = int(f) * (4 ** level)
+        for lo, hi in hilbert.rect_query_ranges(gi0, gi1, gj0, gj1, level, budget):
+            out.append((base + lo, base + hi))
+    out.sort()
+    merged: list[tuple[int, int]] = []
+    for lo, hi in out:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
+    return merged

@@ -27,7 +27,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import cells, sqlcells
+from . import cells, cells_s2, sqlcells
 from .functions import crs
 from .geom import box_wkt
 from .operators import dedup, kde, knn, similarity, spatial_join, stats, textstats, tiling
@@ -824,10 +824,20 @@ def q_cell_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     step 2, functions/crs.py: x = a*radians(lon), y = a*ln(tan(pi/4+phi/2))
     — GeometryUtils' GeoTools transform re-expressed as Column algebra) with
     the projected coordinates themselves emitted in integer millimetres.
-    All legs oracle-checked against the identical DuckDB math."""
+    All legs oracle-checked against the identical DuckDB math.
+
+    r4 adds the SPHERICAL family: S2-style cube-face Hilbert cell ids at
+    level 12 (cells_s2.stage_exprs — the north rule's "S2 cell IDs") plus
+    the level-6 parent via the quadtree prefix property
+    (cells_s2.cell_at_level_sql, the reprojectToTier analog), both from the
+    same dialect-neutral expression list the oracle runs."""
     ev = _events(spark, sf_dir)
     ev = sqlcells.add_cell_column(ev, tier=10, out="cell10")
     ev = sqlcells.add_cell_column(ev, tier=4, out="cell4")
+    ev = cells_s2.add_s2_cell_column(ev, level=12, out="s2_cell")
+    ev = ev.withColumn(
+        "s2_parent", F.expr(cells_s2.cell_at_level_sql("s2_cell", 12, 6))
+    )
     ev = ev.withColumn("px", (F.col("lon") + F.lit(180.0)) * F.lit(5000.0)).withColumn(
         "py", (F.col("lat") + F.lit(90.0)) * F.lit(5000.0)
     )
@@ -849,7 +859,7 @@ def q_cell_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(
         "event_id", "cell10", "cell4", "cell10_proj", "cell10_merc",
-        "x3857_m", "y3857_m",
+        "x3857_m", "y3857_m", "s2_cell", "s2_parent",
     )
 
 
@@ -1935,16 +1945,21 @@ def _oracle_cell_ids() -> str:
         f"+ CAST({_math.pi / 4.0!r} AS DOUBLE))) * CAST({crs.WGS84_A!r} AS DOUBLE))"
     )
     mtr = "CAST(floor({c} + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    s2_exprs = ", ".join(
+        cells_s2.stage_exprs(level=12, out="s2_cell", face_out=None, dialect="duckdb")
+    )
+    s2_parent = cells_s2.cell_at_level_sql("s2_cell", 12, 6)
     return (
         f"WITH {EV_CTE}, "
         "evp AS (SELECT event_id, lon, lat, "
         "(lon + CAST(180.0 AS DOUBLE)) * CAST(5000.0 AS DOUBLE) AS px, "
         "(lat + CAST(90.0 AS DOUBLE)) * CAST(5000.0 AS DOUBLE) AS py, "
         f"{mx_sql} AS mx, {my_sql} AS my FROM ev), "
-        f"g AS (SELECT event_id, mx, my, {in10}, {in4}, {inp}, {inm} FROM evp) "
+        f"g AS (SELECT event_id, mx, my, {in10}, {in4}, {inp}, {inm}, {s2_exprs} FROM evp) "
         f"SELECT event_id, cell10, cell4, cell10_proj, cell10_merc, "
-        f"{mtr.format(c='mx')} AS x3857_m, {mtr.format(c='my')} AS y3857_m "
-        f"FROM (SELECT event_id, mx, my, {out10}, {out4}, {outp}, {outm} FROM g)"
+        f"{mtr.format(c='mx')} AS x3857_m, {mtr.format(c='my')} AS y3857_m, "
+        f"s2_cell, {s2_parent} AS s2_parent "
+        f"FROM (SELECT event_id, mx, my, s2_cell, {out10}, {out4}, {outp}, {outm} FROM g)"
     )
 
 

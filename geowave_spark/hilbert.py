@@ -108,6 +108,20 @@ def hilbert_query_ranges(
     gx1 = int(np.clip(np.floor(cells.norm_lon_upper(bbox[2]) * (1 << tier)), gx0, (1 << tier) - 1))
     gy0 = int(cells.grid_coord(cells.norm_lat(np.float64(bbox[1])), tier))
     gy1 = int(cells.grid_coord(cells.norm_lat(np.float64(bbox[3])), tier))
+    return rect_query_ranges(gx0, gx1, gy0, gy1, tier, max_ranges)
+
+
+def rect_query_ranges(
+    gx0: int,
+    gx1: int,
+    gy0: int,
+    gy1: int,
+    tier: int,
+    max_ranges: int | None = 64,
+) -> list[tuple[int, int]]:
+    """Inclusive grid rectangle [gx0, gx1] x [gy0, gy1] → budgeted Hilbert
+    d-ranges (the grid-space core of :func:`hilbert_query_ranges`, shared
+    with the spherical family's per-face decomposition, cells_s2.py)."""
 
     def ranges_at_cap(cap: int) -> list[tuple[int, int]]:
         out: list[tuple[int, int]] = []

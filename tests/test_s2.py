@@ -1,0 +1,215 @@
+"""S2-style spherical cells (cells_s2): LUT correctness, twin equality
+(numpy / Spark selectExpr / DuckDB), prefix property, and query-range
+recall over polar / face-crossing / antimeridian / world boxes.
+
+Reference parity surface: core/index SpaceFillingCurve.getId /
+getQueryRanges (HilbertSFC.java) re-expressed for the spherical family.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from geowave_spark import cells_s2, hilbert
+
+RNG = np.random.default_rng(7)
+
+
+def _random_lonlat(n: int) -> tuple[np.ndarray, np.ndarray]:
+    # decimal 1e-4-degree grid (the fixture contract cells_s2 documents)
+    lon = np.round(RNG.uniform(-180, 180, n), 4)
+    lat = np.round(RNG.uniform(-90, 90, n), 4)
+    return lon, lat
+
+
+# --- Hilbert state machine vs xy2d ------------------------------------------
+
+
+def test_hilbert_lut_matches_xy2d_exhaustive():
+    """The packed 4-state LUT used in stage_exprs reproduces hilbert.xy2d
+    exactly, exhaustively at level 5 (1024 cells)."""
+    level = 5
+    n = 1 << level
+    i, j = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    i = i.ravel().astype(np.int64)
+    j = j.ravel().astype(np.int64)
+    want = hilbert.xy2d(i, j, level)
+    # replay the LUT machine
+    lut = np.array(cells_s2._HILBERT_LUT, dtype=np.int64)
+    state = np.zeros_like(i)
+    d = np.zeros_like(i)
+    for k in range(level - 1, -1, -1):
+        bx = ((i >> k) & 1) * 2
+        by = (j >> k) & 1
+        packed = lut[state * 4 + bx + by]
+        d = d * 4 + packed // 4
+        state = packed % 4
+    assert (d == want).all()
+
+
+def test_face_partition_and_determinism():
+    """Every point gets exactly one face; equatorial faces follow the exact
+    floor rule; poles promote."""
+    lon, lat = _random_lonlat(20000)
+    face, i, j = cells_s2.ij_np(lon, lat, 8)
+    assert set(np.unique(face)) <= {0, 1, 2, 3, 4, 5}
+    # pure equator never promotes
+    f0, _, _ = cells_s2.ij_np(np.array([0.0, 90.0, 180.0, -90.0]), np.zeros(4), 8)
+    assert list(f0) == [0, 1, 3, 4]
+    # poles promote
+    fp, _, _ = cells_s2.ij_np(np.array([13.0, -77.0]), np.array([89.9, -89.9]), 8)
+    assert list(fp) == [cells_s2.FACE_NORTH, cells_s2.FACE_SOUTH]
+
+
+def test_cell_ids_in_range():
+    lon, lat = _random_lonlat(5000)
+    for level in (4, 8, 12):
+        c = cells_s2.cell_np(lon, lat, level)
+        assert c.min() >= 0
+        assert c.max() < 6 * 4**level
+
+
+# --- twin equality -----------------------------------------------------------
+
+
+def test_duckdb_twin_matches_numpy():
+    lon, lat = _random_lonlat(20000)
+    con = duckdb.connect()
+    con.register("pts", __import__("pandas").DataFrame({"lon": lon, "lat": lat}))
+    exprs = cells_s2.stage_exprs(level=12, dialect="duckdb")
+    got = con.sql(f"SELECT {', '.join(exprs)} FROM pts").df()["s2_cell"].to_numpy()
+    want = cells_s2.cell_np(lon, lat, 12)
+    assert (got == want).all()
+
+
+def test_spark_twin_matches_numpy(spark):
+    lon, lat = _random_lonlat(20000)
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+    out = cells_s2.add_s2_cell_column(df, level=12, face_out="s2_face")
+    pdf = out.toPandas()
+    want = cells_s2.cell_np(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), 12)
+    assert (pdf["s2_cell"].to_numpy() == want).all()
+    wf, _, _ = cells_s2.ij_np(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), 12)
+    assert (pdf["s2_face"].to_numpy() == wf).all()
+    # intermediates dropped
+    assert not [c for c in out.columns if c.startswith("_s2_")]
+
+
+def test_spark_twin_plan_is_codegen(spark):
+    """The cell-id column is pure JVM Column algebra — no Python eval, no
+    shuffle (a scan-side index key at 100 TB must be map-only)."""
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"lon": [1.0], "lat": [2.0]}))
+    out = cells_s2.add_s2_cell_column(df, level=12)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+# --- prefix property ----------------------------------------------------------
+
+
+def test_cell_at_level_prefix_property():
+    """Parent id at a coarser level equals the direct computation — the
+    quadtree block of a Hilbert curve is one contiguous run."""
+    lon, lat = _random_lonlat(20000)
+    c12 = cells_s2.cell_np(lon, lat, 12)
+    for to in (10, 6, 3):
+        direct = cells_s2.cell_np(lon, lat, to)
+        derived = cells_s2.cell_at_level(c12, 12, to)
+        assert (direct == derived).all(), to
+
+
+def test_cell_at_level_sql_twin(spark):
+    lon, lat = _random_lonlat(5000)
+    c12 = cells_s2.cell_np(lon, lat, 12)
+    import pandas as pd
+
+    pdf = pd.DataFrame({"c": c12})
+    want = cells_s2.cell_at_level(c12, 12, 6)
+    sql = cells_s2.cell_at_level_sql("c", 12, 6)
+    got_duck = duckdb.sql(f"SELECT {sql} AS p FROM pdf").df()["p"].to_numpy()
+    assert (got_duck == want).all()
+    sdf = spark.createDataFrame(pdf).selectExpr("c", f"{sql} AS p").toPandas()
+    m = dict(zip(sdf["c"], sdf["p"]))
+    assert all(m[int(c)] == int(w) for c, w in zip(c12, want))
+
+    with pytest.raises(ValueError):
+        cells_s2.cell_at_level(c12, 6, 12)
+
+
+# --- query ranges -------------------------------------------------------------
+
+BOXES = [
+    (-30.0, 10.0, 45.0, 55.0),  # face-crossing mid-lat
+    (40.0, -10.0, 50.0, 5.0),  # single equatorial face
+    (-180.0, 60.0, 180.0, 90.0),  # north polar cap
+    (-180.0, -90.0, 180.0, -60.0),  # south polar cap
+    (170.0, -20.0, -170.0, 20.0),  # antimeridian
+    (-50.0, -40.0, -40.0, -30.0),
+    (-180.0, -90.0, 180.0, 90.0),  # world
+    (88.0, 85.0, 92.0, 89.0),  # tiny near-pole (face corner)
+    (-1.0, -1.0, 1.0, 1.0),  # face-center origin
+    (44.0, 44.0, 46.0, 46.0),  # face corner seam
+]
+
+
+@pytest.mark.parametrize("bbox", BOXES)
+def test_query_ranges_recall(bbox):
+    """Every point inside the lon/lat box falls inside some returned cell-id
+    range (recall-exact; refine restores precision)."""
+    lon, lat = _random_lonlat(40000)
+    level = 12
+    cell = cells_s2.cell_np(lon, lat, level)
+    x0, y0, x1, y1 = bbox
+    if x0 <= x1:
+        m = (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
+    else:
+        m = ((lon >= x0) | (lon <= x1)) & (lat >= y0) & (lat <= y1)
+    rngs = cells_s2.query_ranges(bbox, level)
+    assert rngs == sorted(rngs)
+    assert all(lo <= hi for lo, hi in rngs)
+    inr = np.zeros_like(m)
+    for lo, hi in rngs:
+        inr |= (cell >= lo) & (cell <= hi)
+    assert not (m & ~inr).any()
+
+
+def test_query_ranges_budget():
+    for budget in (8, 64, 256):
+        rngs = cells_s2.query_ranges((-30, 10, 45, 55), 12, max_ranges=budget)
+        # per-face budget: at most ~budget ranges per touched face after merge
+        assert len(rngs) <= budget * 6
+
+
+def test_world_cover_is_everything():
+    rngs = cells_s2.query_ranges((-180, -90, 180, 90), 8)
+    assert rngs == [(0, 6 * 4**8 - 1)]
+
+
+def test_rect_query_ranges_exact_cells():
+    """The shared grid-rectangle decomposition covers exactly the rectangle
+    when unbudgeted."""
+    tier = 5
+    got = hilbert.rect_query_ranges(3, 11, 2, 9, tier, max_ranges=None)
+    n = 1 << tier
+    i, j = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    d = hilbert.xy2d(i.ravel().astype(np.int64), j.ravel().astype(np.int64), tier)
+    inside = (
+        (i.ravel() >= 3) & (i.ravel() <= 11) & (j.ravel() >= 2) & (j.ravel() <= 9)
+    )
+    want = set(d[inside].tolist())
+    covered = set()
+    for lo, hi in got:
+        covered |= set(range(lo, hi + 1))
+    assert covered == want
