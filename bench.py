@@ -50,6 +50,8 @@ HEADLINE = [
     "kde_l6",
     "range_query",
     "hier_range_query",
+    # r4c: polar-cap scan on the stored spherical S2 layout (new row)
+    "s2_range_query",
     # st_range split per leg (r4): the consolidated driver query grew a
     # CQL leg in r3 and an arithmetic-ECQL leg in r4 — per-leg rows keep
     # round-over-round comparisons same-work

@@ -1288,6 +1288,38 @@ def q_hier_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.col("kind").cast("long").alias("kind"))
 
 
+# polar-cap band: the workload equirectangular grids serve worst (a cap is
+# ONE hot row of high-latitude cells) and the spherical layout serves best
+S2_RANGE_BBOX = (-180.0, 62.0, 180.0, 84.0)
+
+
+def _ensure_s2_store(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per sf) the spherical S2-keyed copy of events."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from .sources import indexed as _indexed
+
+    base = sf_dir.rstrip("/")
+    tag = f"{base.rsplit('/', 1)[-1]}_{_hashlib.md5(base.encode()).hexdigest()[:8]}"
+    path = f"{_IMG_CACHE_ROOT}/s2idx_v1_{tag}.parquet"
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        _indexed.write_indexed_s2(_events(spark, sf_dir), path, n_files=8, phash_col=None)
+    return path
+
+
+def q_s2_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polar-cap range query answered from the stored spherical S2 layout
+    (cells_s2 per-face Hilbert ranges pushed to the scan + exact refine).
+    The refine makes the result exactly the bbox filter, so the leg sits
+    behind the plain-SQL oracle while the engine path exercises the
+    spherical pruning."""
+    from .sources import indexed as _indexed
+
+    path = _ensure_s2_store(spark, sf_dir)
+    return _indexed.s2_range_lookup(spark, path, S2_RANGE_BBOX).select("event_id")
+
+
 def _cached_images(spark: SparkSession, n: int) -> DataFrame:
     from .sources import images as img
 
@@ -2674,7 +2706,8 @@ def q_knn_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_range_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bbox range scan (tiered layout) + composite-index (hier) range
-    lookup, tagged by source index."""
+    lookup + polar-cap scan on the spherical S2 layout, tagged by source
+    index."""
     r = (
         q_range_query(spark, sf_dir)
         .withColumn("src", F.lit("bbox"))
@@ -2687,7 +2720,14 @@ def q_range_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("hier").alias("src"),
         "kind",
     )
-    return r.unionByName(h)
+    s = q_s2_range(spark, sf_dir).select(
+        "event_id",
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("long").alias("value_c"),
+        F.lit("s2").alias("src"),
+        F.lit(None).cast("long").alias("kind"),
+    )
+    return r.unionByName(h).unionByName(s)
 
 
 def q_tile_pyramid_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2918,11 +2958,19 @@ def _oracle_knn_modes() -> str:
 
 
 def _oracle_range_indexed() -> str:
+    sx0, sy0, sx1, sy1 = S2_RANGE_BBOX
+    s2_leg = (
+        f"WITH {EV_CTE} SELECT event_id FROM ev "
+        f"WHERE lon >= CAST({sx0!r} AS DOUBLE) AND lon <= CAST({sx1!r} AS DOUBLE) "
+        f"AND lat >= CAST({sy0!r} AS DOUBLE) AND lat <= CAST({sy1!r} AS DOUBLE)"
+    )
     return (
         "SELECT event_id, event_type, value_c, 'bbox' AS src, "
         f"CAST(NULL AS BIGINT) AS kind FROM ({_oracle_range()}) "
         "UNION ALL SELECT event_id, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), "
-        f"'hier', kind FROM ({_oracle_hier_range()})"
+        f"'hier', kind FROM ({_oracle_hier_range()}) "
+        "UNION ALL SELECT event_id, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), "
+        f"'s2', CAST(NULL AS BIGINT) FROM ({s2_leg})"
     )
 
 
@@ -3074,6 +3122,9 @@ BENCH_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st_range_arith": q_st_range_arith,
     "line_dwithin_mem": q_line_dwithin_mem,
     "ann_lsh_single": q_ann_lsh_single,
+    # r4c: polar-cap scan on the stored spherical S2 layout (new work, new
+    # row — the consolidated range_query_indexed grew this as a third leg)
+    "s2_range_query": q_s2_range,
 }
 
 

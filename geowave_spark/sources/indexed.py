@@ -180,6 +180,67 @@ def hilbert_range_lookup(
     return out
 
 
+S2_LEVEL = 14  # stored spherical level (6 * 4^14 ≈ 1.6e9 cells, ~2.4 km edge)
+
+
+def write_indexed_s2(
+    df: DataFrame,
+    path: str,
+    n_files: int = 32,
+    level: int = S2_LEVEL,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    phash_col: str | None = "phash",
+) -> None:
+    """Point table → spherical S2-style layout: stored ``s2`` cell column
+    (cube-face Hilbert, cells_s2.py), files range-partitioned + sorted by
+    it.  Unlike the equirectangular layouts, polar data spreads across the
+    polar faces instead of piling into degenerate high-latitude rows, so
+    near-pole scans stay balanced.  The id is pure JVM Column algebra —
+    the ingest path adds no Python stage at all (vs the pandas-UDF Hilbert
+    layout)."""
+    from .. import cells_s2
+
+    if lon_col not in df.columns and phash_col:
+        df = df.withColumn(lon_col, sqlcells.lon_from_phash(F.col(phash_col))).withColumn(
+            lat_col, sqlcells.lat_from_phash(F.col(phash_col))
+        )
+    out = cells_s2.add_s2_cell_column(df, lon_col, lat_col, level, out="s2")
+    (
+        out.repartitionByRange(n_files, F.col("s2"))
+        .sortWithinPartitions("s2")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def s2_range_lookup(
+    spark: SparkSession,
+    path: str,
+    bbox: tuple[float, float, float, float],
+    level: int = S2_LEVEL,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    loose: bool = False,
+) -> DataFrame:
+    """Range query on the S2 layout: per-face budgeted quadtree cell-id
+    range decomposition (cells_s2.query_ranges — getQueryRanges for the
+    spherical family) pushed to the scan + exact bbox refine.  Wrapped
+    antimeridian boxes split inside query_ranges; the refine uses the
+    wrap-aware predicate."""
+    from .. import cells_s2
+
+    ranges = cells_s2.query_ranges(bbox, level)
+    df = spark.read.parquet(path)
+    pred = F.lit(False)
+    for lo, hi in ranges:
+        pred = pred | F.col("s2").between(lo, hi)
+    out = df.filter(pred)
+    if not loose:
+        out = out.filter(sqlcells.bbox_refine_pred(F.col(lon_col), F.col(lat_col), bbox))
+    return out
+
+
 def xz_code_udf():
     """Arrow-batched (x0, y0, x1, y1) → XZ code UDF (extent insert path)."""
     from .. import cells_xz

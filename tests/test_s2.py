@@ -197,6 +197,73 @@ def test_world_cover_is_everything():
     assert rngs == [(0, 6 * 4**8 - 1)]
 
 
+# --- stored S2 layout ---------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def s2_layout(spark, tmp_path_factory):
+    from geowave_spark import entry_queries as eq
+    from geowave_spark.sources import indexed
+
+    path = str(tmp_path_factory.mktemp("s2") / "ev_s2.parquet")
+    ev = eq._events(spark, "/root/testdata/sf0.001")
+    indexed.write_indexed_s2(ev, path, n_files=16, phash_col=None)
+    return path
+
+
+@pytest.mark.parametrize(
+    "bbox",
+    [
+        (-30.0, 10.0, 45.0, 55.0),
+        (-180.0, 60.0, 180.0, 90.0),  # polar cap
+        (170.0, -20.0, -170.0, 20.0),  # antimeridian (wrapped)
+        (88.0, 85.0, 92.0, 89.0),  # near-pole face corner
+    ],
+)
+def test_s2_range_lookup_matches_plain_filter(spark, s2_layout, bbox):
+    from geowave_spark.sources import indexed
+    from geowave_spark import sqlcells
+    from pyspark.sql import functions as F
+
+    out = indexed.s2_range_lookup(spark, s2_layout, bbox)
+    plain = spark.read.parquet(s2_layout).filter(
+        sqlcells.bbox_refine_pred(F.col("lon"), F.col("lat"), bbox)
+    )
+    got = sorted(r["event_id"] for r in out.select("event_id").collect())
+    want = sorted(r["event_id"] for r in plain.select("event_id").collect())
+    assert got == want
+    # loose (no refine) is a superset — recall-exact cover
+    loose = indexed.s2_range_lookup(spark, s2_layout, bbox, loose=True)
+    loose_ids = set(r["event_id"] for r in loose.select("event_id").collect())
+    assert set(want) <= loose_ids
+
+
+def test_s2_layout_pushes_ranges(spark, s2_layout):
+    """S2 cell-id ranges reach the parquet scan as PushedFilters."""
+    from geowave_spark.sources import indexed
+
+    out = indexed.s2_range_lookup(spark, s2_layout, (-30.0, 10.0, 45.0, 55.0))
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    try:
+        full = out._jdf.queryExecution().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", "100")
+    assert "PushedFilters: [" in full
+    pushed = full.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "s2" in pushed, f"s2 ranges not pushed: {pushed[:200]}"
+
+
+def test_s2_ingest_is_pure_column(spark):
+    """The S2 ingest path adds no Python eval stage (vs the pandas-UDF
+    Hilbert layout) — the id is JVM Column algebra end to end."""
+    from geowave_spark import entry_queries as eq, cells_s2
+
+    ev = eq._events(spark, "/root/testdata/sf0.001")
+    out = cells_s2.add_s2_cell_column(ev, level=14, out="s2")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
 def test_rect_query_ranges_exact_cells():
     """The shared grid-rectangle decomposition covers exactly the rectangle
     when unbudgeted."""
