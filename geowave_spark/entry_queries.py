@@ -1919,16 +1919,33 @@ HOTSPOT_TIER = 6
 
 
 def q_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gi*-style hotspot z-scores over the tier-6 grid (the KDE surface's
-    significance-test twin)."""
+    """Gi*-style hotspot z-scores, tagged by grid family:
+
+    * ``sq``: tier-6 square cell grid (the KDE surface's
+      significance-test twin);
+    * ``hex``: the H3-style hexagonal grid (cells_hex.py, r4c) — uniform
+      6-neighbor ring, no diagonal anisotropy; hex (q, r) ride the
+      (gx, gy) columns.
+    """
     from .operators import stats as stats_ops
 
-    return stats_ops.hotspot_cells(_events(spark, sf_dir), tier=HOTSPOT_TIER)
+    sq = stats_ops.hotspot_cells(_events(spark, sf_dir), tier=HOTSPOT_TIER).withColumn(
+        "kind", F.lit("sq")
+    )
+    hx = (
+        stats_ops.hotspot_hex(_events(spark, sf_dir))
+        .select(
+            F.col("hq").alias("gx"), F.col("hr").alias("gy"),
+            "n", "ring_sum", "ring_cnt", "gi_mu",
+        )
+        .withColumn("kind", F.lit("hex"))
+    )
+    return sq.unionByName(hx)
 
 
-def _oracle_hotspot() -> str:
-    t, r = HOTSPOT_TIER, 1 << HOTSPOT_TIER
-    offs = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+def _oracle_gi_math() -> tuple[str, str]:
+    """(denom, z) Gi* SQL fragments shared by the square and hex legs —
+    same op order as the engine Column math (IEEE-exact cross-engine)."""
     mean = "(CAST(s._s1 AS DOUBLE) / CAST(s._nn AS DOUBLE))"
     var = f"(CAST(s._s2 AS DOUBLE) / CAST(s._nn AS DOUBLE) - {mean} * {mean})"
     w = "CAST(rg.ring_cnt AS DOUBLE)"
@@ -1937,6 +1954,13 @@ def _oracle_hotspot() -> str:
         "(CAST(s._nn AS DOUBLE) - 1.0)))"
     )
     z = f"((CAST(rg.ring_sum AS DOUBLE) - {w} * {mean}) / {denom})"
+    return denom, z
+
+
+def _oracle_hotspot_sq() -> str:
+    t, r = HOTSPOT_TIER, 1 << HOTSPOT_TIER
+    offs = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    denom, z = _oracle_gi_math()
     return (
         f"WITH {EV_CTE}, "
         f"g AS (SELECT {sql_grid('lon', 'lon', t)} AS gx, {sql_grid('lat', 'lat', t)} AS gy FROM ev), "
@@ -1952,6 +1976,41 @@ def _oracle_hotspot() -> str:
         "SELECT rg.gx, rg.gy, c.n, rg.ring_sum, rg.ring_cnt, "
         f"CASE WHEN {denom} > 0.0 THEN CAST(floor({z} * 1000000.0 + 0.5) AS BIGINT) END AS gi_mu "
         "FROM rg JOIN c ON c.gx = rg.gx AND c.gy = rg.gy CROSS JOIN s"
+    )
+
+
+def _oracle_hotspot_hex() -> str:
+    from . import cells_hex
+
+    hex_exprs = ", ".join(
+        cells_hex.stage_exprs("lon", "lat", cells_hex.DEFAULT_SIZE, out="_hc")
+    )
+    offs = ", ".join(
+        f"({dq}, {dr})" for dq, dr in ((0, 0), *cells_hex.NEIGHBOR_OFFSETS)
+    )
+    denom, z = _oracle_gi_math()
+    return (
+        f"WITH {EV_CTE}, "
+        f"g AS (SELECT {hex_exprs} FROM ev), "
+        "c AS (SELECT hq, hr, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY hq, hr), "
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS _nn, CAST(sum(n) AS BIGINT) AS _s1, "
+        "CAST(sum(n * n) AS BIGINT) AS _s2 FROM c), "
+        f"o(dq, dr) AS (VALUES {offs}), "
+        "nb AS (SELECT c.hq, c.hr, c.hq + o.dq AS tq, c.hr + o.dr AS tr "
+        "FROM c CROSS JOIN o), "
+        "rg AS (SELECT nb.hq, nb.hr, CAST(sum(c2.n) AS BIGINT) AS ring_sum, "
+        "CAST(count(*) AS BIGINT) AS ring_cnt "
+        "FROM nb JOIN c c2 ON c2.hq = nb.tq AND c2.hr = nb.tr GROUP BY nb.hq, nb.hr) "
+        "SELECT rg.hq AS gx, rg.hr AS gy, c.n, rg.ring_sum, rg.ring_cnt, "
+        f"CASE WHEN {denom} > 0.0 THEN CAST(floor({z} * 1000000.0 + 0.5) AS BIGINT) END AS gi_mu "
+        "FROM rg JOIN c ON c.hq = rg.hq AND c.hr = rg.hr CROSS JOIN s"
+    )
+
+
+def _oracle_hotspot() -> str:
+    return (
+        f"SELECT *, 'sq' AS kind FROM ({_oracle_hotspot_sq()}) "
+        f"UNION ALL SELECT *, 'hex' AS kind FROM ({_oracle_hotspot_hex()})"
     )
 
 

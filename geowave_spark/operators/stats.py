@@ -480,6 +480,77 @@ def hotspot_cells(
     return j.select("gx", "gy", "n", "ring_sum", "ring_cnt", gi.alias("gi_mu"))
 
 
+def hotspot_hex(
+    points: DataFrame,
+    size: float | None = None,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Gi*-style hotspot detection over the H3-style hexagonal grid
+    (cells_hex.py): identical statistics to :func:`hotspot_cells`, but the
+    neighborhood is the hexagon's UNIFORM 6-ring instead of the square
+    3x3 — every neighbor center is equidistant, so the binary-weight ring
+    has no diagonal-vs-edge anisotropy (the reason H3 is the standard
+    aggregation grid for movement analytics).
+
+    Plan shape mirrors hotspot_cells: one groupBy (hex counts) → 7-way
+    offset explode → self-equi-join on (hq, hr) → groupBy; global
+    mean/std broadcast back.  No lon wrap: the hex lattice is planar
+    (documented; the |lon|→180 seam splits a hexagon, matching the plain
+    equirectangular-plane semantics of the oracle twin).
+    """
+    from .. import cells_hex
+
+    size = float(size if size is not None else cells_hex.DEFAULT_SIZE)
+    pts = add_point_cols(points, lon_col, lat_col)
+    g = pts.selectExpr(
+        "*",
+        *cells_hex.stage_exprs(lon_col, lat_col, size, out="_hc", q_out="hq", r_out="hr"),
+    ).select("hq", "hr")
+    counts = g.groupBy("hq", "hr").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    counts = counts.localCheckpoint()  # feeds 3 consumers below
+    stats = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("_nn"),
+        F.sum("n").cast("long").alias("_s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("_s2"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dq).alias("dq"), F.lit(dr).alias("dr"))
+            for dq, dr in ((0, 0), *cells_hex.NEIGHBOR_OFFSETS)
+        ]
+    )
+    nb = counts.select("hq", "hr", F.explode(offsets).alias("_o")).select(
+        "hq",
+        "hr",
+        (F.col("hq") + F.col("_o.dq")).alias("_tq"),
+        (F.col("hr") + F.col("_o.dr")).alias("_tr"),
+    )
+    ring = (
+        nb.join(
+            counts.select(
+                F.col("hq").alias("_tq"), F.col("hr").alias("_tr"), F.col("n").alias("_nb")
+            ),
+            ["_tq", "_tr"],
+        )
+        .groupBy("hq", "hr")
+        .agg(
+            F.sum("_nb").cast("long").alias("ring_sum"),
+            F.count(F.lit(1)).cast("long").alias("ring_cnt"),
+        )
+    )
+    j = ring.join(counts, ["hq", "hr"]).join(F.broadcast(stats))
+    nn = F.col("_nn").cast("double")
+    mean = F.col("_s1").cast("double") / nn
+    var = F.col("_s2").cast("double") / nn - mean * mean
+    sd = F.sqrt(var)
+    w = F.col("ring_cnt").cast("double")
+    denom = sd * F.sqrt((nn * w - w * w) / (nn - F.lit(1.0)))
+    z = (F.col("ring_sum").cast("double") - w * mean) / denom
+    gi = F.when(denom > 0.0, F.floor(z * F.lit(1e6) + F.lit(0.5)).cast("long"))
+    return j.select("hq", "hr", "n", "ring_sum", "ring_cnt", gi.alias("gi_mu"))
+
+
 def zonal_statistics(
     points: DataFrame,
     polygons: DataFrame,
