@@ -68,6 +68,34 @@ def run_once(cpus: int, n: int, passes: int = 2) -> dict:
                 "total_sec": round(t2 - t0, 3),
                 "rows_per_sec": round(n / (t2 - t0), 1),
             }
+            if os.environ.get("NRULE_CELL_FAMILIES"):
+                # r4c families over the same 1M-image frame: (a) S2
+                # spherical INGEST (write_indexed_s2: key + range-partition
+                # + sort — the stored-layout path, where range predicates
+                # hit parquet stats instead of re-inlining the id
+                # expression per range) + polar-cap lookup; (b) hex axial
+                # keying (pure codegen groupBy)
+                import tempfile
+
+                from geowave_spark import cells_hex
+                from geowave_spark.sources import indexed
+
+                s2_path = os.path.join(
+                    tempfile.gettempdir(), f"nrule_s2_{cpus}_{n}.parquet"
+                )
+                t3 = time.monotonic()
+                indexed.write_indexed_s2(df, s2_path, n_files=max(8, cpus), phash_col=None)
+                t4 = time.monotonic()
+                rec["s2_polar_rows"] = indexed.s2_range_lookup(
+                    spark, s2_path, (-180.0, 62.0, 180.0, 84.0)
+                ).count()
+                t5 = time.monotonic()
+                hx = cells_hex.add_hex_cell_column(df)
+                rec["hex_cells"] = hx.select("hex_cell").distinct().count()
+                t6 = time.monotonic()
+                rec["s2_ingest_sec"] = round(t4 - t3, 3)
+                rec["s2_polar_lookup_sec"] = round(t5 - t4, 3)
+                rec["hex_key_agg_sec"] = round(t6 - t5, 3)
             if best is None or rec["total_sec"] < best["total_sec"]:
                 best = rec
         return best
