@@ -304,21 +304,124 @@ def cell_at_level_sql(col: str, from_level: int, to_level: int) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _bbox_samples(
-    bbox: tuple[float, float, float, float], k_edge: int = 256, k_grid: int = 64
-) -> tuple[np.ndarray, np.ndarray]:
-    """Boundary + interior sample points of a lon/lat bbox (plus the poles
-    when the bbox touches them — the polar faces' st-extent is not attained
-    on a lat ring)."""
-    x0, y0, x1, y1 = bbox
-    xs = np.linspace(x0, x1, k_edge)
-    ys = np.linspace(y0, y1, k_edge)
-    lon = np.concatenate([xs, xs, np.full(k_edge, x0), np.full(k_edge, x1)])
-    lat = np.concatenate([np.full(k_edge, y0), np.full(k_edge, y1), ys, ys])
-    gx, gy = np.meshgrid(np.linspace(x0, x1, k_grid), np.linspace(y0, y1, k_grid))
-    lon = np.concatenate([lon, gx.ravel()])
-    lat = np.concatenate([lat, gy.ravel()])
-    return lon, lat
+# equatorial slot intervals on the lon circle, per face (slot 2/face 3
+# wraps the antimeridian, so it appears as [135, 225) against lon+360)
+_SLOTS = ((0, -45.0, 45.0), (1, 45.0, 135.0), (3, 135.0, 225.0), (4, -135.0, -45.0))
+
+
+def _face_uv_bounds(
+    bbox: tuple[float, float, float, float],
+) -> dict[int, tuple[float, float, float, float]]:
+    """EXACT per-face (u_min, u_max, v_min, v_max) hull of the bbox's image.
+
+    Certified by monotonicity, not sampling (the geom.py lesson — a
+    sampled hull under-covers near the polar-promotion boundary by more
+    than any fixed pad):
+
+    * equatorial faces — u = tan(dlam) is monotone in lon; v =
+      tan(phi)/cos(dlam) is monotone in phi for fixed lon and has its only
+      interior lon-extremum at dlam = 0, so every extreme lies on the
+      candidate set {y0, y1} x {dlam_lo, dlam_hi, 0}; the face region is
+      the |v| <= 1 clamp of that hull;
+    * polar faces — (u, v) = rho * (-cos lon, -sin lon) with rho =
+      1/|tan phi|: an annular sector, whose extremes lie at lon in
+      {endpoints} ∪ {multiples of 90° inside} crossed with rho in
+      {rho_lo, rho_hi}; rho_hi uses the lowest promoted latitude
+      max(lat_edge, atan(cos dlam_far)) — a safe overcover (precision,
+      never recall).
+    """
+    x0, y0, x1, y1 = (float(v) for v in bbox)
+    out: dict[int, tuple[float, float, float, float]] = {}
+    north = south = False
+    d_far = 0.0  # farthest |dlam| attained on any slot (drives promotion)
+
+    for face, s0, s1 in _SLOTS:
+        for shift in (0.0, 360.0):  # slot 3 sits at [135, 225) vs lon+360
+            d0 = max(x0 + shift, s0)
+            d1 = min(x1 + shift, s1)
+            if d0 > d1:
+                continue
+            c = (s0 + s1) / 2.0  # slot centre (dlam = 0)
+            d0 -= c
+            d1 -= c
+            d_far = max(d_far, abs(d0), abs(d1))
+            u_lo, u_hi = math.tan(d0 * RAD), math.tan(d1 * RAD)
+            dcands = [d0, d1] + ([0.0] if d0 < 0.0 < d1 else [])
+            vcands = [
+                math.tan(phi * RAD) / math.cos(d * RAD)
+                for phi in (y0, y1)
+                for d in dcands
+            ]
+            v_lo, v_hi = min(vcands), max(vcands)
+            if v_hi > 1.0:
+                north = True
+            if v_lo < -1.0:
+                south = True
+            if v_lo > 1.0 or v_hi < -1.0:
+                continue  # slot fully promoted poleward
+            if face <= 1:
+                # faces 0/1: u = tan(dlam), v = veq
+                rect = (
+                    max(u_lo, -1.0), min(u_hi, 1.0),
+                    max(v_lo, -1.0), min(v_hi, 1.0),
+                )
+            else:
+                # faces 3/4 swap axes: u = -veq, v = tan(dlam)
+                # (stage_exprs' s2coords.h table)
+                rect = (
+                    max(0.0 - v_hi, -1.0), min(0.0 - v_lo, 1.0),
+                    max(u_lo, -1.0), min(u_hi, 1.0),
+                )
+            if face in out:  # slot 3 can contribute from both shifts
+                p = out[face]
+                rect = (
+                    min(p[0], rect[0]), max(p[1], rect[1]),
+                    min(p[2], rect[2]), max(p[3], rect[3]),
+                )
+            out[face] = rect
+
+    # lowest latitude at which ANY attained lon promotes: atan(cos(d_far))
+    promote_deg = math.degrees(math.atan(math.cos(d_far * RAD)))
+
+    def polar(face: int, pole_in: bool, rho_lo: float, rho_hi: float):
+        """north: (u, v) = rho*(-cos lon, -sin lon); south swaps axes via
+        the sign of tan phi (see the face 5 branch below)."""
+        lons = [x0, x1]
+        k0 = math.ceil(x0 / 90.0)
+        while k0 * 90.0 <= x1:
+            lons.append(k0 * 90.0)
+            k0 += 1
+        ucs, vcs = [], []
+        for lo in lons:
+            a = 0.0 - math.cos(lo * RAD)
+            b = 0.0 - math.sin(lo * RAD)
+            for rho in (rho_lo, rho_hi):
+                if face == FACE_NORTH:
+                    ucs.append(rho * a)
+                    vcs.append(rho * b)
+                else:  # face 5: u = -sin(lon)/tanphi, v = -cos(lon)/tanphi,
+                    # tanphi < 0 -> u = rho*sin, v = rho*cos
+                    ucs.append(rho * (-b))
+                    vcs.append(rho * (-a))
+        if pole_in:
+            ucs.append(0.0)
+            vcs.append(0.0)
+        out[face] = (
+            max(min(ucs), -1.0), min(max(ucs), 1.0),
+            max(min(vcs), -1.0), min(max(vcs), 1.0),
+        )
+
+    if north and y1 > 0.0:
+        rho_lo = 0.0 if y1 >= 90.0 else 1.0 / math.tan(y1 * RAD)
+        phi_b = max(y0, promote_deg)
+        rho_hi = 1.0 / math.tan(phi_b * RAD)
+        polar(FACE_NORTH, y1 >= 90.0, rho_lo, rho_hi)
+    if south and y0 < 0.0:
+        rho_lo = 0.0 if y0 <= -90.0 else 1.0 / math.tan(-y0 * RAD)
+        phi_b = max(-y1, promote_deg)
+        rho_hi = 1.0 / math.tan(phi_b * RAD)
+        polar(FACE_SOUTH, y0 <= -90.0, rho_lo, rho_hi)
+    return out
 
 
 def query_ranges(
@@ -328,16 +431,15 @@ def query_ranges(
 ) -> list[tuple[int, int]]:
     """lon/lat bbox -> inclusive s2-cell-id ranges at `level`.
 
-    Cover construction: sample the bbox (edges + interior grid + poles if
-    touched), take the per-face (i, j) hull, pad by one cell, and decompose
-    each face rectangle into Hilbert d-ranges with the same budgeted
-    quadtree as hilbert.hilbert_query_ranges.  The hull-of-samples cover is
-    conservative-by-sampling (the st image of a lon/lat rectangle is
-    separable per face — extrema land on edges — and the pad absorbs
-    quantization); exactness of the RESULT does not depend on the cover:
-    every lookup refines with the true lon/lat predicate, and recall is
-    pinned against direct filters in tests/test_s2.py over polar,
-    face-crossing and world boxes.
+    Cover construction: EXACT per-face (u, v) hull by extremum enumeration
+    (`_face_uv_bounds` — monotonicity arguments in its docstring; no
+    sampling anywhere), quantized through the monotone st transform with a
+    ±1-cell pad that absorbs the remaining float-ulp uncertainty (1 cell =
+    2^-level of a face ≫ 1 ulp), then each face rectangle decomposes into
+    Hilbert d-ranges with the same budgeted quadtree as
+    hilbert.hilbert_query_ranges.  Recall-exactness is a theorem of the
+    hull + monotone-st + pad construction, and is additionally pinned
+    against direct filters and a randomized-box fuzz in tests/test_s2.py.
 
     Antimeridian boxes (x0 > x1) split into two plain boxes, like
     cells.ranges_for_cover's canonical split.
@@ -348,20 +450,17 @@ def query_ranges(
             query_ranges((x0, y0, 180.0, y1), level, max_ranges)
             + query_ranges((-180.0, y0, x1, y1), level, max_ranges)
         )
-    lon, lat = _bbox_samples(bbox)
-    face, i, j = ij_np(lon, lat, level)
+    faces = _face_uv_bounds(bbox)
     n = 1 << level
-    # a bbox touching a pole owns the full polar-face neighborhood of the
-    # pole; the sample hull already includes it via the k_grid rows at
-    # extreme lat, but keep the pole point itself exact:
     out: list[tuple[int, int]] = []
-    budget = max(4, max_ranges // max(len(np.unique(face)), 1))
-    for f in np.unique(face):
-        m = face == f
-        gi0 = max(int(i[m].min()) - 1, 0)
-        gi1 = min(int(i[m].max()) + 1, n - 1)
-        gj0 = max(int(j[m].min()) - 1, 0)
-        gj1 = min(int(j[m].max()) + 1, n - 1)
+    budget = max(4, max_ranges // max(len(faces), 1))
+    for f, (u0, u1, v0, v1) in sorted(faces.items()):
+        s0, s1 = st_np(np.array([u0, u1]))
+        t0, t1 = st_np(np.array([v0, v1]))
+        gi0 = max(int(np.floor(s0 * n)) - 1, 0)
+        gi1 = min(int(np.floor(s1 * n)) + 1, n - 1)
+        gj0 = max(int(np.floor(t0 * n)) - 1, 0)
+        gj1 = min(int(np.floor(t1 * n)) + 1, n - 1)
         base = int(f) * (4 ** level)
         for lo, hi in hilbert.rect_query_ranges(gi0, gi1, gj0, gj1, level, budget):
             out.append((base + lo, base + hi))

@@ -185,6 +185,63 @@ def test_query_ranges_recall(bbox):
     assert not (m & ~inr).any()
 
 
+def test_query_ranges_recall_fuzz():
+    """Randomized boxes — including promotion-boundary-hugging and
+    face-corner boxes, the shapes a sampled hull under-covered — against a
+    dense point cloud.  The exact-extrema cover must miss nothing."""
+    rng = np.random.default_rng(1234)
+    lon = np.round(rng.uniform(-180, 180, 120000), 4)
+    lat = np.round(rng.uniform(-90, 90, 120000), 4)
+    level = 12
+    cell = cells_s2.cell_np(lon, lat, level)
+    boxes = []
+    for _ in range(60):  # generic random boxes
+        xs = np.sort(np.round(rng.uniform(-180, 180, 2), 3))
+        ys = np.sort(np.round(rng.uniform(-90, 90, 2), 3))
+        boxes.append((xs[0], ys[0], xs[1], ys[1]))
+    for _ in range(40):  # promotion-boundary huggers (35.26°..45° band)
+        x0 = float(np.round(rng.uniform(-180, 140, 1)[0], 3))
+        w = float(rng.uniform(1, 40))
+        y0 = float(np.round(rng.uniform(33, 46, 1)[0], 3))
+        h = float(rng.uniform(0.5, 12))
+        boxes.append((x0, y0, min(x0 + w, 180.0), min(y0 + h, 90.0)))
+        boxes.append((x0, -min(y0 + h, 90.0), min(x0 + w, 180.0), -y0))
+    for corner in (-135.0, -45.0, 45.0, 135.0):  # face-corner straddlers
+        boxes.append((corner - 2.0, 33.0, corner + 2.0, 48.0))
+        boxes.append((corner - 0.01, -48.0, corner + 0.01, -33.0))
+    for bbox in boxes:
+        x0, y0, x1, y1 = bbox
+        m = (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
+        rngs = cells_s2.query_ranges(bbox, level)
+        inr = np.zeros_like(m)
+        for lo, hi in rngs:
+            inr |= (cell >= lo) & (cell <= hi)
+        missed = int((m & ~inr).sum())
+        assert missed == 0, f"RECALL FAILURE {bbox}: {missed} missed"
+
+
+def test_face_uv_bounds_contains_sampled_image():
+    """The exact per-face hull contains the (u, v) of every sampled point
+    inside the box (the hull is certified by monotonicity; this pins the
+    implementation against the row-assignment formulas)."""
+    rng = np.random.default_rng(5)
+    for _ in range(40):
+        xs = np.sort(rng.uniform(-180, 180, 2))
+        ys = np.sort(rng.uniform(-90, 90, 2))
+        bbox = (xs[0], ys[0], xs[1], ys[1])
+        lon = rng.uniform(xs[0], xs[1], 4000)
+        lat = rng.uniform(ys[0], ys[1], 4000)
+        face, u, v = cells_s2.face_uv_np(lon, lat)
+        hull = cells_s2._face_uv_bounds(bbox)
+        for f in np.unique(face):
+            assert int(f) in hull, (bbox, f)
+            u0, u1, v0, v1 = hull[int(f)]
+            m = face == f
+            eps = 1e-12
+            assert u[m].min() >= u0 - eps and u[m].max() <= u1 + eps, (bbox, f)
+            assert v[m].min() >= v0 - eps and v[m].max() <= v1 + eps, (bbox, f)
+
+
 def test_query_ranges_budget():
     for budget in (8, 64, 256):
         rngs = cells_s2.query_ranges((-30, 10, 45, 55), 12, max_ranges=budget)
