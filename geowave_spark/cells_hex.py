@@ -201,6 +201,20 @@ def k_ring(k: int) -> list[tuple[int, int]]:
     return out
 
 
+def parent_axial(
+    q: np.ndarray | int, r: np.ndarray | int, size: float = DEFAULT_SIZE
+) -> tuple[np.ndarray, np.ndarray]:
+    """Aperture-4 parent: the hex at edge 2*size whose cell contains this
+    hex's CENTER.  Like H3's own aperture-7 hierarchy, containment is
+    center-based and approximate — a child hex near a parent boundary can
+    spill across it (hexagons do not tile into larger hexagons exactly);
+    what IS exact is that every point's parent-of-child is at hex distance
+    <= 1 from its direct coarse assignment (pinned in tests), which is the
+    property hierarchical rollups and k-ring coarsening need."""
+    cx, cy = center(q, r, size)
+    return axial_np(cx, cy, 2.0 * size)
+
+
 def hex_distance(
     q1: np.ndarray | int, r1: np.ndarray | int, q2: np.ndarray | int, r2: np.ndarray | int
 ) -> np.ndarray:

@@ -102,6 +102,23 @@ def test_size_scaling_is_nested_density():
     assert n_fine > 2.5 * n_coarse
 
 
+def test_parent_axial_hierarchy():
+    """Aperture-4 parents: parent-of-child is within hex distance 1 of the
+    point's direct coarse assignment, and ~4 children map to one parent."""
+    lon, lat = _random_lonlat(20000)
+    q, r = cells_hex.axial_np(lon, lat, size=3.0)
+    pq, pr = cells_hex.parent_axial(q, r, size=3.0)
+    dq, dr = cells_hex.axial_np(lon, lat, size=6.0)  # direct coarse binning
+    d = cells_hex.hex_distance(pq, pr, dq, dr)
+    assert int(d.max()) <= 1
+    # most points agree exactly (centers well inside the parent)
+    assert (d == 0).mean() > 0.6
+    # aperture ~4: child/parent cell-count ratio
+    n_child = len(set(zip(q.tolist(), r.tolist())))
+    n_parent = len(set(zip(pq.tolist(), pr.tolist())))
+    assert 2.5 < n_child / n_parent < 5.5
+
+
 def test_hotspot_hex_brute_force(spark):
     """Engine hex Gi* == a numpy brute-force recomputation on a small
     deterministic point set."""
