@@ -101,6 +101,19 @@ def main() -> None:
     print("store fingerprint:", store.fingerprint(),
           "| range rows:", store.range_lookup((-30.0, 10.0, 45.0, 55.0)).count())
 
+    # 9. the round-4 cell families (the north rule's "H3/S2"): a spherical
+    #    S2-style stored layout answering a polar-cap scan, and a hex
+    #    Gi* hotspot surface over the uniform 6-neighbor ring
+    from geowave_spark.operators import stats as stats_ops
+
+    s2_path = os.path.join(work, "store_s2.parquet")
+    indexed.write_indexed_s2(sf.df, s2_path, n_files=8, phash_col=None)
+    polar = indexed.s2_range_lookup(spark, s2_path, (-180.0, 62.0, 180.0, 84.0))
+    print("polar-cap rows (S2 layout):", polar.count())
+    hot = stats_ops.hotspot_hex(sf.df)
+    print("hex hotspot cells:", hot.count(),
+          "| max Gi* (micro):", hot.agg(F.max("gi_mu")).first()[0])
+
     spark.stop()
     print("done — work dir:", work)
 
