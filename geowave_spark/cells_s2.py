@@ -446,10 +446,19 @@ def query_ranges(
     """
     x0, y0, x1, y1 = bbox
     if x0 > x1:
-        return sorted(
+        # the two halves' POLAR-face rectangles overlap (both reach the
+        # pole), so merge — not just sort — the union
+        both = sorted(
             query_ranges((x0, y0, 180.0, y1), level, max_ranges)
             + query_ranges((-180.0, y0, x1, y1), level, max_ranges)
         )
+        merged0: list[tuple[int, int]] = []
+        for lo, hi in both:
+            if merged0 and lo <= merged0[-1][1] + 1:
+                merged0[-1] = (merged0[-1][0], max(merged0[-1][1], hi))
+            else:
+                merged0.append((lo, hi))
+        return merged0
     faces = _face_uv_bounds(bbox)
     n = 1 << level
     out: list[tuple[int, int]] = []

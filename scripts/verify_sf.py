@@ -75,13 +75,22 @@ def main() -> None:
     )
     import __spark_entry__ as m
 
-    con = duckdb.connect()
-    glob = "/*.parquet" if sf_dir.rstrip("/").startswith("/root/repo") else ""
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"]:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet{glob}')"
-        )
+    def fresh_con():
+        # per-query connection: one query's OOM must not poison the rest
+        # (observed: a shared connection keeps failing tiny allocations
+        # after a single memory_limit hit), and a bounded limit + spill
+        # dir keeps the recursive-CTE oracles off the JVM's memory
+        c = duckdb.connect()
+        c.execute("SET memory_limit='48GB'")
+        c.execute("SET temp_directory='/tmp/duckdb_spill'")
+        glob = "/*.parquet" if sf_dir.rstrip("/").startswith("/root/repo") else ""
+        for t in ["region", "nation", "customer", "supplier", "part", "orders",
+                  "lineitem", "events", "documents", "embeddings"]:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet{glob}')"
+            )
+        return c
+
     qs, orc = m.queries(), m.oracle_sql()
     names = only or sorted(orc)
     results: dict[str, dict] = {}
@@ -91,7 +100,11 @@ def main() -> None:
             sn, ss = spark_fingerprint(qs[name](spark, sf_dir))
             t_spark = round(time.monotonic() - t0, 1)
             t1 = time.monotonic()
-            dn, ds = duck_fingerprint(con, orc[name])
+            con = fresh_con()
+            try:
+                dn, ds = duck_fingerprint(con, orc[name])
+            finally:
+                con.close()
             t_duck = round(time.monotonic() - t1, 1)
             ok = (sn == dn) and (ss == ds)
             results[name] = {
