@@ -93,6 +93,8 @@ def stage_exprs(
     face_out: str | None = "s2_face",
     tag: str = "",
     dialect: str = "spark",
+    parent_level: int | None = None,
+    parent_out: str = "s2_parent",
 ) -> list[str]:
     """Chained-alias SELECT fragments computing the cell id.
 
@@ -104,6 +106,14 @@ def stage_exprs(
     integer-exact Hilbert stage differs (element_at vs list_extract, DIV
     vs //), where a divergence is impossible.  `tag` disambiguates
     intermediates when one query carries two S2 legs.
+
+    ``parent_level`` additionally emits the coarser ancestor id AS
+    ``parent_out``, built from the SAME digit aliases (the quadtree prefix
+    is the top ``parent_level`` digits) — one extra reference per digit.
+    Post-hoc `cell_at_level_sql(out, ...)` is arithmetically identical but
+    textually references ``out`` four times, and both engines inline
+    lateral aliases, quadrupling the whole id expression tree; at 1M rows
+    that blew DuckDB's oracle wrapper past 5 GB.  Derive parents here.
     """
     p = f"_s2{tag}_"
     n = 1 << level
@@ -181,9 +191,51 @@ def stage_exprs(
         for k in range(level - 1, -1, -1)
     )
     e.append(f"CAST({p}face AS BIGINT) * {4 ** level} + ({digits}) AS {out}")
+    if parent_level is not None:
+        if not 0 <= parent_level <= level:
+            raise ValueError("parent_level must be in [0, level]")
+        pl = parent_level
+        pdigits = " + ".join(
+            f"CAST({4 ** (k - level + pl)} AS BIGINT) * {div4.format(c=f'{p}c{k}')}"
+            for k in range(level - 1, level - 1 - pl, -1)
+        ) or "CAST(0 AS BIGINT)"
+        e.append(
+            f"CAST({p}face AS BIGINT) * {4 ** pl} + ({pdigits}) AS {parent_out}"
+        )
     if face_out:
         e.append(f"CAST({p}face AS BIGINT) AS {face_out}")
     return e
+
+
+def split_exprs(exprs: list[str], tag: str = "") -> tuple[list[str], list[str]]:
+    """Partition stage_exprs output into (float stages, integer Hilbert
+    stages) at the si/ti boundary.
+
+    DuckDB inlines lateral aliases, and its executor allocates an
+    intermediate vector per expression node PER THREAD — the fully inlined
+    id tree (every c_k chain re-containing the float pipeline) costs
+    multiple GB across 16 threads at 1M rows.  An `AS MATERIALIZED` CTE
+    between the two halves makes the Hilbert chain reference materialized
+    COLUMNS si/ti instead of trees, collapsing executor memory to the
+    column data itself.  The float half still inlines internally, but only
+    once per output column.  (Spark needs no split: whole-stage codegen
+    compiles nodes to code, not per-node vectors.)
+    """
+    import re as _re
+
+    p = f"_s2{tag}_"
+    digit = _re.compile(_re.escape(p) + r"c\d+$")
+    pre: list[str] = []
+    hil: list[str] = []
+    for x in exprs:
+        alias = x.rsplit(" AS ", 1)[-1].strip()
+        if digit.match(alias):
+            hil.append(x)
+        elif alias.startswith(p):
+            pre.append(x)
+        else:  # out / parent_out / face_out — all digit consumers
+            hil.append(x)
+    return pre, hil
 
 
 def intermediate_names(
@@ -208,10 +260,15 @@ def add_s2_cell_column(
     out: str = "s2_cell",
     face_out: str | None = None,
     tag: str = "",
+    parent_level: int | None = None,
+    parent_out: str = "s2_parent",
 ):
     """Spark twin: one selectExpr pass (whole-stage-codegen'd Column math —
     no Python, no shuffle)."""
-    exprs = stage_exprs(lon, lat, level, out, face_out, tag)
+    exprs = stage_exprs(
+        lon, lat, level, out, face_out, tag,
+        parent_level=parent_level, parent_out=parent_out,
+    )
     return df.selectExpr("*", *exprs).drop(*intermediate_names(level, tag))
 
 

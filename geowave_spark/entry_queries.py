@@ -834,10 +834,7 @@ def q_cell_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     ev = sqlcells.add_cell_column(ev, tier=10, out="cell10")
     ev = sqlcells.add_cell_column(ev, tier=4, out="cell4")
-    ev = cells_s2.add_s2_cell_column(ev, level=12, out="s2_cell")
-    ev = ev.withColumn(
-        "s2_parent", F.expr(cells_s2.cell_at_level_sql("s2_cell", 12, 6))
-    )
+    ev = cells_s2.add_s2_cell_column(ev, level=12, out="s2_cell", parent_level=6)
     ev = ev.withColumn("px", (F.col("lon") + F.lit(180.0)) * F.lit(5000.0)).withColumn(
         "py", (F.col("lat") + F.lit(90.0)) * F.lit(5000.0)
     )
@@ -2036,21 +2033,25 @@ def _oracle_cell_ids() -> str:
         f"+ CAST({_math.pi / 4.0!r} AS DOUBLE))) * CAST({crs.WGS84_A!r} AS DOUBLE))"
     )
     mtr = "CAST(floor({c} + CAST(0.5 AS DOUBLE)) AS BIGINT)"
-    s2_exprs = ", ".join(
-        cells_s2.stage_exprs(level=12, out="s2_cell", face_out=None, dialect="duckdb")
+    s2_all = cells_s2.stage_exprs(
+        level=12, out="s2_cell", face_out=None, dialect="duckdb", parent_level=6
     )
-    s2_parent = cells_s2.cell_at_level_sql("s2_cell", 12, 6)
+    # MATERIALIZED boundary between the float stages and the Hilbert chain
+    # (split_exprs docstring: inlined-tree executor memory at 1M rows)
+    s2_float, s2_hil = cells_s2.split_exprs(s2_all)
     return (
         f"WITH {EV_CTE}, "
         "evp AS (SELECT event_id, lon, lat, "
         "(lon + CAST(180.0 AS DOUBLE)) * CAST(5000.0 AS DOUBLE) AS px, "
         "(lat + CAST(90.0 AS DOUBLE)) * CAST(5000.0 AS DOUBLE) AS py, "
         f"{mx_sql} AS mx, {my_sql} AS my FROM ev), "
-        f"g AS (SELECT event_id, mx, my, {in10}, {in4}, {inp}, {inm}, {s2_exprs} FROM evp) "
+        f"gf AS MATERIALIZED (SELECT event_id, mx, my, {in10}, {in4}, {inp}, {inm}, "
+        f"{', '.join(s2_float)} FROM evp), "
+        f"g AS (SELECT event_id, mx, my, {', '.join(s2_hil)}, "
+        f"{out10}, {out4}, {outp}, {outm} FROM gf) "
         f"SELECT event_id, cell10, cell4, cell10_proj, cell10_merc, "
         f"{mtr.format(c='mx')} AS x3857_m, {mtr.format(c='my')} AS y3857_m, "
-        f"s2_cell, {s2_parent} AS s2_parent "
-        f"FROM (SELECT event_id, mx, my, s2_cell, {out10}, {out4}, {outp}, {outm} FROM g)"
+        f"s2_cell, s2_parent FROM g"
     )
 
 
