@@ -368,8 +368,9 @@ _SLOTS = ((0, -45.0, 45.0), (1, 45.0, 135.0), (3, 135.0, 225.0), (4, -135.0, -45
 
 def _face_uv_bounds(
     bbox: tuple[float, float, float, float],
-) -> dict[int, tuple[float, float, float, float]]:
-    """EXACT per-face (u_min, u_max, v_min, v_max) hull of the bbox's image.
+) -> dict[int, list[tuple[float, float, float, float]]]:
+    """EXACT per-face list of (u_min, u_max, v_min, v_max) rectangles
+    covering the bbox's image.
 
     Certified by monotonicity, not sampling (the geom.py lesson — a
     sampled hull under-covers near the polar-promotion boundary by more
@@ -381,14 +382,19 @@ def _face_uv_bounds(
       candidate set {y0, y1} x {dlam_lo, dlam_hi, 0}; the face region is
       the |v| <= 1 clamp of that hull;
     * polar faces — (u, v) = rho * (-cos lon, -sin lon) with rho =
-      1/|tan phi|: an annular sector, whose extremes lie at lon in
-      {endpoints} ∪ {multiples of 90° inside} crossed with rho in
-      {rho_lo, rho_hi}; rho_hi uses the lowest promoted latitude
-      max(lat_edge, atan(cos dlam_far)) — a safe overcover (precision,
-      never recall).
+      1/|tan phi|: an annular sector, SPLIT at 45° lon boundaries so each
+      segment's cos/sin are monotone (extremes at segment endpoints x
+      {rho_lo, rho_hi}) and each curved arc gets a tight rectangle — one
+      rectangle around a wide arc would cover half the face (measured
+      0.003 precision on thin high-latitude rings); rho_hi uses the
+      lowest promoted latitude max(lat_edge, atan(cos dlam_far)) — a safe
+      overcover (precision, never recall).
+
+    Multiple rectangles per face are possible (polar segments; slot 3's
+    two shift images); recall needs only that their union covers.
     """
     x0, y0, x1, y1 = (float(v) for v in bbox)
-    out: dict[int, tuple[float, float, float, float]] = {}
+    out: dict[int, list[tuple[float, float, float, float]]] = {}
     north = south = False
     d_far = 0.0  # farthest |dlam| attained on any slot (drives promotion)
 
@@ -429,44 +435,41 @@ def _face_uv_bounds(
                     max(0.0 - v_hi, -1.0), min(0.0 - v_lo, 1.0),
                     max(u_lo, -1.0), min(u_hi, 1.0),
                 )
-            if face in out:  # slot 3 can contribute from both shifts
-                p = out[face]
-                rect = (
-                    min(p[0], rect[0]), max(p[1], rect[1]),
-                    min(p[2], rect[2]), max(p[3], rect[3]),
-                )
-            out[face] = rect
+            out.setdefault(face, []).append(rect)
 
     # lowest latitude at which ANY attained lon promotes: atan(cos(d_far))
     promote_deg = math.degrees(math.atan(math.cos(d_far * RAD)))
 
     def polar(face: int, pole_in: bool, rho_lo: float, rho_hi: float):
         """north: (u, v) = rho*(-cos lon, -sin lon); south swaps axes via
-        the sign of tan phi (see the face 5 branch below)."""
-        lons = [x0, x1]
-        k0 = math.ceil(x0 / 90.0)
-        while k0 * 90.0 <= x1:
-            lons.append(k0 * 90.0)
+        the sign of tan phi (see the face 5 branch below).  The lon range
+        splits at 45° boundaries; within a segment cos and sin are
+        monotone, so per-segment extremes sit at the segment endpoints."""
+        cuts = [x0]
+        k0 = math.floor(x0 / 45.0) + 1
+        while k0 * 45.0 < x1:
+            cuts.append(k0 * 45.0)
             k0 += 1
-        ucs, vcs = [], []
-        for lo in lons:
-            a = 0.0 - math.cos(lo * RAD)
-            b = 0.0 - math.sin(lo * RAD)
-            for rho in (rho_lo, rho_hi):
-                if face == FACE_NORTH:
-                    ucs.append(rho * a)
-                    vcs.append(rho * b)
-                else:  # face 5: u = -sin(lon)/tanphi, v = -cos(lon)/tanphi,
-                    # tanphi < 0 -> u = rho*sin, v = rho*cos
-                    ucs.append(rho * (-b))
-                    vcs.append(rho * (-a))
-        if pole_in:
-            ucs.append(0.0)
-            vcs.append(0.0)
-        out[face] = (
-            max(min(ucs), -1.0), min(max(ucs), 1.0),
-            max(min(vcs), -1.0), min(max(vcs), 1.0),
-        )
+        cuts.append(x1)
+        for seg0, seg1 in zip(cuts, cuts[1:]):
+            ucs, vcs = [], []
+            for lo in (seg0, seg1):
+                a = 0.0 - math.cos(lo * RAD)
+                b = 0.0 - math.sin(lo * RAD)
+                for rho in (rho_lo, rho_hi):
+                    if face == FACE_NORTH:
+                        ucs.append(rho * a)
+                        vcs.append(rho * b)
+                    else:  # face 5: u = -sin(lon)/tanphi, v = -cos(lon)/tanphi,
+                        # tanphi < 0 -> u = rho*sin, v = rho*cos
+                        ucs.append(rho * (-b))
+                        vcs.append(rho * (-a))
+            # the pole (rho = 0 -> (0, 0)) is inside every segment rect
+            # whenever pole_in, because rho_lo is 0 then
+            out.setdefault(face, []).append((
+                max(min(ucs), -1.0), min(max(ucs), 1.0),
+                max(min(vcs), -1.0), min(max(vcs), 1.0),
+            ))
 
     if north and y1 > 0.0:
         rho_lo = 0.0 if y1 >= 90.0 else 1.0 / math.tan(y1 * RAD)
@@ -519,8 +522,9 @@ def query_ranges(
     faces = _face_uv_bounds(bbox)
     n = 1 << level
     out: list[tuple[int, int]] = []
-    budget = max(4, max_ranges // max(len(faces), 1))
-    for f, (u0, u1, v0, v1) in sorted(faces.items()):
+    rects = [(f, r) for f, rs in sorted(faces.items()) for r in rs]
+    budget = max(4, max_ranges // max(len(rects), 1))
+    for f, (u0, u1, v0, v1) in rects:
         s0, s1 = st_np(np.array([u0, u1]))
         t0, t1 = st_np(np.array([v0, v1]))
         gi0 = max(int(np.floor(s0 * n)) - 1, 0)

@@ -235,11 +235,15 @@ def test_face_uv_bounds_contains_sampled_image():
         hull = cells_s2._face_uv_bounds(bbox)
         for f in np.unique(face):
             assert int(f) in hull, (bbox, f)
-            u0, u1, v0, v1 = hull[int(f)]
             m = face == f
             eps = 1e-12
-            assert u[m].min() >= u0 - eps and u[m].max() <= u1 + eps, (bbox, f)
-            assert v[m].min() >= v0 - eps and v[m].max() <= v1 + eps, (bbox, f)
+            covered = np.zeros(int(m.sum()), dtype=bool)
+            for u0, u1, v0, v1 in hull[int(f)]:
+                covered |= (
+                    (u[m] >= u0 - eps) & (u[m] <= u1 + eps)
+                    & (v[m] >= v0 - eps) & (v[m] <= v1 + eps)
+                )
+            assert covered.all(), (bbox, f)
 
 
 def test_query_ranges_budget():
