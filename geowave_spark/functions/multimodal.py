@@ -3,10 +3,11 @@ feature-extract / frame-sample over `mapInPandas`.
 
 Per the engine brief: image/audio/video payloads are opaque `binary`
 columns with typed metadata; the Spark-side plumbing (schemas, Arrow batch
-shapes, partition behavior) is REAL and tested, while decoders for
-formats whose libraries are absent in this container are either
-implemented from scratch (PNG/BMP/DCT in imagecodec.py) or stubbed behind
-clearly-marked NotImplementedError with a deterministic fake for tests.
+shapes, partition behavior) is REAL and tested.  Decoders are implemented
+from scratch where the public spec needs no library — PNG/BMP/TIFF/DCT in
+imagecodec.py, WAV + animated GIF in mediacodec.py — and stubbed behind
+clearly-marked NotImplementedError (with a deterministic fake for tests)
+only for the genuinely library-bound ones (mp4/mkv video, mp3/flac audio).
 
 All operators are `mapInPandas` (iterator of pandas batches → iterator of
 pandas batches): constant memory per batch, no driver involvement, and at
@@ -65,11 +66,17 @@ def resize_images(df: DataFrame, out_w: int, out_h: int, out_fmt: str = "png") -
 # ---------------------------------------------------------------------------
 
 def decode_video_frames(data: bytes, fmt: str) -> list[np.ndarray]:
-    """STUB: real video decode requires ffmpeg/pyav, absent here.
-
-    Replace this single function on a real cluster; everything downstream
-    (sampling, schema, batching) is live code.
+    """Motion-format decode: animated GIF is REAL (pure-spec LZW decoder,
+    mediacodec.py — full GIF89a semantics: interlace, transparency,
+    disposal compositing).  mp4/mkv/webm genuinely require ffmpeg/pyav,
+    absent in this container — those stay a clearly-marked stub; replace
+    this one branch on a real cluster, everything downstream (sampling,
+    schema, batching) is live code either way.
     """
+    if fmt == "gif":
+        from . import mediacodec
+
+        return mediacodec.decode_gif_frames(data)
     raise NotImplementedError(
         f"video decode for {fmt!r} needs ffmpeg/pyav — not available in this container"
     )
@@ -117,7 +124,13 @@ def sample_video_frames(
 # ---------------------------------------------------------------------------
 
 def decode_audio(data: bytes, fmt: str) -> np.ndarray:
-    """STUB: real audio decode requires soundfile/librosa, absent here."""
+    """Audio decode: WAV (RIFF PCM/float, any bit depth/channels) is REAL
+    (mediacodec.decode_wav, mono-mixed float32).  Compressed formats
+    (mp3/flac/ogg) require soundfile/librosa, absent here — stubbed."""
+    if fmt == "wav":
+        from . import mediacodec
+
+        return mediacodec.decode_wav(data)[0]
     raise NotImplementedError(
         f"audio decode for {fmt!r} needs soundfile/librosa — not available in this container"
     )
