@@ -1,12 +1,14 @@
 """Pure-numpy/stdlib image codecs for the binary `bytes` column.
 
 The container has no PIL/libjpeg, so the engine ships its own deterministic
-codecs.  BMP and PNG are REAL, spec-conformant encoders/decoders (lossless).
-"jpeg" is a clearly-marked STAND-IN lossy codec (8x8 block DCT + uniform
-quantization + zlib) — it is deterministic, genuinely lossy, and tuned so
-PSNR >= 40 dB, exercising the BASELINE.json per-row invariant
-("decoded-pixel allclose, PSNR>=40dB for lossy") with real plumbing; swap in
-libjpeg on a cluster with the real library installed.
+codecs.  BMP and PNG are REAL, spec-conformant encoders/decoders
+(lossless); TIFF decodes the full classic spec (strips/tiles, LZW/deflate/
+PackBits, predictor 2).  fmt="jpeg" is the REAL baseline ITU T.81 codec
+(jpegcodec.py — JFIF markers, Annex K tables, Huffman entropy coding,
+4:4:4/4:2:0), satisfying the BASELINE.json per-row invariant
+("decoded-pixel allclose, PSNR>=40dB for lossy") against an actual lossy
+format; jpeg decode sniffs the payload so legacy GWDC stand-in bytes
+(fmt "dct", the pre-real-codec tables) still decode.
 
 All functions take/return HxWx3 uint8 numpy arrays.  They run inside
 Arrow-batched pandas UDFs (see sources/images.py and functions/geo_udfs.py);
@@ -411,9 +413,28 @@ def decode_tiff(data: bytes) -> np.ndarray:
 # Dispatch + metrics
 # ---------------------------------------------------------------------------
 
-_ENCODERS = {"png": encode_png, "bmp": encode_bmp, "jpeg": encode_dct}
-_DECODERS = {"png": decode_png, "bmp": decode_bmp, "jpeg": decode_dct,
-             "tiff": decode_tiff}
+
+def _encode_jpeg(arr: np.ndarray) -> bytes:
+    from . import jpegcodec
+
+    return jpegcodec.encode_jpeg(arr)
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
+    """fmt="jpeg" decode with payload sniffing: real JFIF/JPEG (SOI magic)
+    via the baseline T.81 decoder; legacy GWDC payloads (tables written
+    before the real codec landed) via the stand-in decoder."""
+    if data[:2] == b"\xff\xd8":
+        from . import jpegcodec
+
+        return jpegcodec.decode_jpeg(data)
+    return decode_dct(data)
+
+
+_ENCODERS = {"png": encode_png, "bmp": encode_bmp, "jpeg": _encode_jpeg,
+             "dct": encode_dct}
+_DECODERS = {"png": decode_png, "bmp": decode_bmp, "jpeg": _decode_jpeg,
+             "dct": decode_dct, "tiff": decode_tiff}
 LOSSLESS = {"png", "bmp"}
 
 

@@ -78,7 +78,9 @@ def test_similarity_topk_matches_numpy_oracle(spark):
     # lossy-jpeg, so cosine vs the lossless clone is near-1, not exactly 1)
     top2 = [r for r in got if r["query_id"] == "img0000000002" and r["rank"] == 1][0]
     assert top2["image_id"] == "zclone2"
-    assert top2["cos_mu"] >= 999_000
+    # real baseline-JPEG quantization (q=98) moves the color histogram
+    # slightly more than the old GWDC stand-in did; "near-1" margin
+    assert top2["cos_mu"] >= 995_000
 
 
 def test_features_compose_with_stored_ann_contract(spark, tmp_path):
