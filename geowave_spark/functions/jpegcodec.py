@@ -442,25 +442,24 @@ def encode_jpeg(
 
 
 @lru_cache(maxsize=64)
-def _decode_lut(bits: bytes, vals: bytes) -> tuple[bytes, bytes]:
-    """(BITS, HUFFVAL) → 16-bit-peek LUTs: sym[peek], len[peek].
+def _decode_lut(bits: bytes, vals: bytes) -> list[int]:
+    """(BITS, HUFFVAL) → fused 16-bit-peek LUT: lut[peek] = (len << 8) | sym.
 
-    Returned as `bytes` (not ndarray): indexing a bytes object yields a
-    plain int at C speed, which is what the serial entropy loop needs."""
-    sym = np.zeros(1 << 16, np.uint8)
-    ln = np.zeros(1 << 16, np.uint8)
+    Returned as a Python list: one C-speed index yields both the code
+    length and the symbol for the serial entropy loop (a fused list entry
+    halves the lookups vs separate sym/len tables)."""
+    fused = np.zeros(1 << 16, np.int32)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
             lo = code << (16 - length)
             hi = (code + 1) << (16 - length)
-            sym[lo:hi] = vals[k]
-            ln[lo:hi] = length
+            fused[lo:hi] = (length << 8) | vals[k]
             code += 1
             k += 1
         code <<= 1
-    return sym.tobytes(), ln.tobytes()
+    return fused.tolist()
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -551,7 +550,14 @@ def _decode_scan(data, pos, comps, qt, huff, h, w, dri) -> np.ndarray:
             i += 2  # restart marker: boundary handled by MCU counting
         else:
             break  # real marker (EOI or next segment)
-    d = bytes(out) + b"\x00\x00\x00\x00"  # pad so 32-bit reads never overrun
+    buf = bytes(out) + b"\x00\x00\x00\x00\x00"
+    # precompute the 40-bit window at every BYTE offset, once, vectorized:
+    # win[i] = buf[i..i+5) big-endian.  One list index then replaces five
+    # byte loads + four shift/or ops per symbol in the serial loop below.
+    bb = np.frombuffer(buf, np.uint8).astype(np.int64)
+    win = (
+        (bb[:-4] << 32) | (bb[1:-3] << 24) | (bb[2:-2] << 16) | (bb[3:-1] << 8) | bb[4:]
+    ).tolist()
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -566,10 +572,10 @@ def _decode_scan(data, pos, comps, qt, huff, h, w, dri) -> np.ndarray:
         for by in range(c["v"]):
             for bx in range(c["h"]):
                 plan.append((ci, huff[0x00 | c["dc"]], huff[0x10 | c["ac"]], by, bx))
-    # coefficient sink: flat (row*64+k, value) per component, scattered
-    # into the block grid vectorized after the serial loop
-    idxs: list[list[int]] = [[] for _ in comps]
-    vals: list[list[int]] = [[] for _ in comps]
+    # coefficient sink: one packed ((row*64+k) << 12 | value+2048) int per
+    # nonzero, per component — coefficients are 11-bit categories so the
+    # biased value always fits 12 bits; unpacked vectorized after the loop
+    sink: list[list[int]] = [[] for _ in comps]
 
     preds = [0] * len(comps)
     bitpos = 0
@@ -580,24 +586,19 @@ def _decode_scan(data, pos, comps, qt, huff, h, w, dri) -> np.ndarray:
                 bitpos = (bitpos + 7) & ~7
                 preds = [0] * len(comps)
             mcu_count += 1
-            for ci, (dsym, dlen), (asym, alen), by, bx in plan:
+            for ci, dlut, alut, by, bx in plan:
                 c = comps[ci]
                 base = ((my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)) * 64
-                ix = idxs[ci]
-                vx = vals[ci]
+                acc = sink[ci]
                 # one 40-bit window serves the ≤16-bit Huffman peek AND the
                 # ≤11-bit amplitude that follows (16+11+7 offset ≤ 34 bits)
-                i = bitpos >> 3
                 off = bitpos & 7
-                chunk = (
-                    (d[i] << 32) | (d[i + 1] << 24) | (d[i + 2] << 16)
-                    | (d[i + 3] << 8) | d[i + 4]
-                )
-                p16 = (chunk >> (24 - off)) & 0xFFFF
-                s = dsym[p16]
-                ln = dlen[p16]
+                chunk = win[bitpos >> 3]
+                fused = dlut[(chunk >> (24 - off)) & 0xFFFF]
+                ln = fused >> 8
                 if ln == 0:
                     raise ValueError("invalid DC Huffman code")
+                s = fused & 255
                 bitpos += ln
                 if s:
                     v = (chunk >> (40 - off - ln - s)) & ((1 << s) - 1)
@@ -605,43 +606,37 @@ def _decode_scan(data, pos, comps, qt, huff, h, w, dri) -> np.ndarray:
                     if v < (1 << (s - 1)):
                         v -= (1 << s) - 1
                     preds[ci] += v
-                ix.append(base)
-                vx.append(preds[ci])
+                acc.append((base << 12) | (preds[ci] + 2048))
                 k = 1
                 while k < 64:
-                    i = bitpos >> 3
                     off = bitpos & 7
-                    chunk = (
-                        (d[i] << 32) | (d[i + 1] << 24) | (d[i + 2] << 16)
-                        | (d[i + 3] << 8) | d[i + 4]
-                    )
-                    p16 = (chunk >> (24 - off)) & 0xFFFF
-                    sym = asym[p16]
-                    ln = alen[p16]
+                    chunk = win[bitpos >> 3]
+                    fused = alut[(chunk >> (24 - off)) & 0xFFFF]
+                    ln = fused >> 8
                     if ln == 0:
                         raise ValueError("invalid AC Huffman code")
                     bitpos += ln
-                    s = sym & 15
+                    s = fused & 15
                     if s == 0:
-                        if sym == 0xF0:
+                        if fused & 255 == 0xF0:
                             k += 16
                             continue
                         break  # EOB
-                    k += sym >> 4
+                    k += (fused >> 4) & 15
                     if k > 63:
                         raise ValueError("AC run overflow")
                     v = (chunk >> (40 - off - ln - s)) & ((1 << s) - 1)
                     bitpos += s
                     if v < (1 << (s - 1)):
                         v -= (1 << s) - 1
-                    ix.append(base + k)
-                    vx.append(v)
+                    acc.append(((base + k) << 12) | (v + 2048))
                     k += 1
 
     for ci, c in enumerate(comps):
         coef = np.zeros(c["bh"] * c["bw"] * 64, np.int32)
-        if idxs[ci]:
-            coef[np.array(idxs[ci], np.int64)] = np.array(vals[ci], np.int64)
+        if sink[ci]:
+            packed = np.array(sink[ci], np.int64)
+            coef[packed >> 12] = (packed & 4095) - 2048
         c["coef"] = coef.reshape(-1, 64)
 
     # dequant + un-zigzag + IDCT per component (vectorized)
