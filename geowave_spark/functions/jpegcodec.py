@@ -479,6 +479,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < n:
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1  # optional 0xFF fill bytes before a marker (T.81 B.1.1.2)
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

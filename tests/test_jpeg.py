@@ -139,6 +139,15 @@ def test_grayscale_single_component_stream():
     assert np.sqrt((err**2).mean()) < 3.0
 
 
+def test_marker_fill_bytes_tolerated():
+    # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    img = _noise(16, 16, seed=2)
+    enc = jc.encode_jpeg(img)
+    i = enc.index(b"\xff\xc0")
+    patched = enc[:i] + b"\xff\xff\xff" + enc[i:]
+    assert np.array_equal(jc.decode_jpeg(patched), jc.decode_jpeg(enc))
+
+
 def test_rejects_progressive_and_garbage():
     img = _noise(16, 16, seed=1)
     enc = bytearray(jc.encode_jpeg(img))
