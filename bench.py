@@ -444,6 +444,71 @@ def bench_ann(cpus: int, n: int = 1_000_000, k: int = 10, nq: int = 32) -> dict:
         spark.stop()
 
 
+def bench_media(cpus: int, n_gif: int = 20_000, n_wav: int = 50_000) -> dict:
+    """Media-payload operators over the real from-scratch codecs: animated
+    GIF frame sampling (decode + per-frame PNG re-encode) and WAV audio
+    features (RIFF PCM decode + windowed RMS/ZCR), each one Arrow-batched
+    mapInPandas pass — the same opaque-binary contract as the image table."""
+    import numpy as np
+    import pandas as pd
+
+    from geowave_spark.functions import mediacodec as mc
+    from geowave_spark.functions import multimodal as mm
+    from geowave_spark.session import get_spark
+
+    spark = get_spark(f"bench-media-{cpus}", cpus=cpus, shuffle_partitions=max(32, cpus))
+    try:
+        def gif_rows(it):
+            for pdf in it:
+                rows = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    rng = np.random.default_rng(1000 + i)
+                    base = (rng.integers(0, 6, (16, 16, 3)) * 42).astype(np.uint8)
+                    frames = []
+                    for k in range(3 + i % 4):
+                        f = base.copy()
+                        f[(k * 3) % 16 : (k * 3) % 16 + 2, :, 0] = 252
+                        frames.append(f)
+                    rows.append({"image_id": f"g{i:08d}", "bytes": mc.encode_gif(frames), "fmt": "gif"})
+                yield pd.DataFrame(rows)
+
+        def wav_rows(it):
+            for pdf in it:
+                rows = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    t = np.arange(1600, dtype=np.float32)
+                    pcm = np.clip(np.sin(t * (0.01 + 0.0001 * (i % 97))) * 0.8, -1, 1)
+                    rows.append({"image_id": f"w{i:08d}", "bytes": mc.encode_wav(pcm, 8000), "fmt": "wav"})
+                yield pd.DataFrame(rows)
+
+        schema = "image_id string, bytes binary, fmt string"
+        gifs = spark.range(0, n_gif, 1, max(32, cpus)).mapInPandas(gif_rows, schema)
+        gifs.write.mode("overwrite").parquet("/tmp/geowave_fixture_cache/media_gif.parquet")
+        wavs = spark.range(0, n_wav, 1, max(32, cpus)).mapInPandas(wav_rows, schema)
+        wavs.write.mode("overwrite").parquet("/tmp/geowave_fixture_cache/media_wav.parquet")
+        gifs = spark.read.parquet("/tmp/geowave_fixture_cache/media_gif.parquet")
+        wavs = spark.read.parquet("/tmp/geowave_fixture_cache/media_wav.parquet")
+
+        out: dict = {"n_gif": n_gif, "n_wav": n_wav}
+        t0 = time.monotonic()
+        nframes = mm.sample_video_frames(gifs, every_nth=2).count()
+        sec = round(time.monotonic() - t0, 3)
+        out["gif_frame_sample"] = {
+            "sec": sec, "gifs_per_sec": round(n_gif / sec, 1), "frames": nframes,
+        }
+        t0 = time.monotonic()
+        nfeat = mm.audio_features(wavs, window=400).count()
+        sec = round(time.monotonic() - t0, 3)
+        out["wav_features"] = {
+            "sec": sec, "clips_per_sec": round(n_wav / sec, 1), "rows": nfeat,
+        }
+        return out
+    finally:
+        spark.stop()
+
+
 def bench_crs(cpus: int, n: int = 10_000_000) -> dict:
     """CRS reprojection throughput (custom-CRS step 2): forward+inverse
     EPSG:3857 and UTM over 10^7 generated points, plus a projected-frame
@@ -627,6 +692,9 @@ def main() -> None:
         return
     if "--images" in sys.argv:
         print(json.dumps({"images": bench_images(CPUS)}))
+        return
+    if "--media" in sys.argv:
+        print(json.dumps({"media": bench_media(CPUS)}))
         return
     if "--crs" in sys.argv:
         print(json.dumps({"crs": bench_crs(CPUS)}))
