@@ -55,21 +55,37 @@ def compute_features(
     bytes_col: str = "bytes",
     fmt_col: str = "fmt",
     out_col: str = "embedding",
+    on_error: str = "fail",
 ) -> DataFrame:
     """(id, embedding array<float>): decode + featurize, Arrow-batched.
 
     One mapInPandas pass (no per-row Python UDFs — input_hint mandate);
     output schema matches the embeddings table contract, so the result
     drops into cosine_topk / lsh_ann_topk / ivf_ann_topk /
-    write_vectors_ivf unchanged."""
+    write_vectors_ivf unchanged.
+
+    ``on_error``: corrupt-payload policy — "fail" (default) propagates,
+    "null" emits a NULL embedding for the bad row, "skip" drops it (see
+    phash.compute_phash — one policy across the decode-bound operators)."""
+    if on_error not in ("fail", "null", "skip"):
+        raise ValueError(f"on_error must be fail|null|skip, got {on_error!r}")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                histogram64(codec.decode_image(b, f)).astype(np.float32).tolist()
-                for b, f in zip(pdf[bytes_col], pdf[fmt_col])
-            ]
-            yield pd.DataFrame({id_col: pdf[id_col], out_col: feats})
+            ids, feats = [], []
+            for i, b, f in zip(pdf[id_col], pdf[bytes_col], pdf[fmt_col]):
+                if on_error == "fail":
+                    v = histogram64(codec.decode_image(b, f)).astype(np.float32).tolist()
+                else:
+                    try:
+                        v = histogram64(codec.decode_image(b, f)).astype(np.float32).tolist()
+                    except Exception:
+                        if on_error == "skip":
+                            continue
+                        v = None
+                ids.append(i)
+                feats.append(v)
+            yield pd.DataFrame({id_col: ids, out_col: feats})
 
     from .phash import ensure_decode_splits
 

@@ -21,6 +21,7 @@ from collections.abc import Callable, Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from . import imagecodec as codec
 
@@ -61,8 +62,43 @@ def resize_images(df: DataFrame, out_w: int, out_h: int, out_fmt: str = "png") -
     return df.mapInPandas(fn, RESIZED_SCHEMA)
 
 
+DECODE_HEALTH_SCHEMA = "image_id string, fmt string, ok boolean, error string"
+
+
+def decode_health(
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """Corpus decode audit: (id, fmt, ok, error) per payload.
+
+    The curation pass a 10^12-row ingest runs BEFORE the strict
+    (on_error="fail") pipelines: one Arrow-batched attempt-decode per row,
+    never raising — corrupt blobs come back as ok=false with the exception
+    text, so the bad-id set is a joinable frame rather than a dead job."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b, f in zip(pdf[id_col], pdf[bytes_col], pdf[fmt_col]):
+                try:
+                    codec.decode_image(bytes(b), f)
+                    rows.append({"image_id": i, "fmt": f, "ok": True, "error": None})
+                except Exception as e:
+                    rows.append(
+                        {"image_id": i, "fmt": f, "ok": False,
+                         "error": f"{type(e).__name__}: {e}"[:200]}
+                    )
+            yield pd.DataFrame(rows, columns=["image_id", "fmt", "ok", "error"])
+
+    return df.select(
+        F.col(id_col).alias("image_id"), F.col(bytes_col).alias("bytes"), F.col(fmt_col).alias("fmt")
+    ).mapInPandas(fn, DECODE_HEALTH_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
-# Video frame sampling — decoder stubbed (no video libs in this container)
+# Video frame sampling — gif real, ffmpeg-bound formats stubbed
 # ---------------------------------------------------------------------------
 
 def decode_video_frames(data: bytes, fmt: str) -> list[np.ndarray]:

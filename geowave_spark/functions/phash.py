@@ -95,16 +95,37 @@ def compute_phash(
     bytes_col: str = "bytes",
     fmt_col: str = "fmt",
     out_col: str = "phash64",
+    on_error: str = "fail",
 ) -> DataFrame:
-    """(id, phash64 long): decode + hash every image, Arrow-batched."""
+    """(id, phash64 long): decode + hash every image, Arrow-batched.
+
+    ``on_error`` — corrupt-payload policy for 10^12-row robustness (one
+    bad blob must not kill a cluster-day of work):
+      "fail" (default) propagate the decode exception (task retry → job
+             failure — the strict mode CI runs);
+      "null" emit the row with a NULL hash (audit joins see exactly which
+             ids failed; band/join stages drop nulls);
+      "skip" drop the row.
+    """
+    if on_error not in ("fail", "null", "skip"):
+        raise ValueError(f"on_error must be fail|null|skip, got {on_error!r}")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hashes = [
-                phash64_pixels(codec.decode_image(b, f))
-                for b, f in zip(pdf[bytes_col], pdf[fmt_col])
-            ]
-            yield pd.DataFrame({id_col: pdf[id_col], out_col: pd.array(hashes, dtype="int64")})
+            ids, hashes = [], []
+            for i, b, f in zip(pdf[id_col], pdf[bytes_col], pdf[fmt_col]):
+                if on_error == "fail":
+                    h = phash64_pixels(codec.decode_image(b, f))
+                else:
+                    try:
+                        h = phash64_pixels(codec.decode_image(b, f))
+                    except Exception:
+                        if on_error == "skip":
+                            continue
+                        h = None
+                ids.append(i)
+                hashes.append(h)
+            yield pd.DataFrame({id_col: ids, out_col: pd.array(hashes, dtype="Int64")})
 
     return ensure_decode_splits(df.select(id_col, bytes_col, fmt_col)).mapInPandas(
         fn, f"{id_col} string, {out_col} long"
@@ -132,10 +153,17 @@ def image_neardup_pairs(
     composing several pHash stages (pairs + clusters + conflicts) pass the
     one decode pass through so it never re-runs."""
     sigs = (
-        signatures.select(F.col(id_col), F.col("phash64"))
-        if signatures is not None
-        else compute_phash(images, id_col, bytes_col, fmt_col, out_col="phash64")
-    ).withColumnRenamed(id_col, "doc_id").withColumnRenamed("phash64", "simhash")
+        (
+            signatures.select(F.col(id_col), F.col("phash64"))
+            if signatures is not None
+            else compute_phash(images, id_col, bytes_col, fmt_col, out_col="phash64")
+        )
+        # rows a tolerant decode pass (on_error="null") marked bad never
+        # enter banding — they are auditable upstream, not joinable
+        .filter(F.col("phash64").isNotNull())
+        .withColumnRenamed(id_col, "doc_id")
+        .withColumnRenamed("phash64", "simhash")
+    )
     pairs = dedup.simhash_pairs(
         images,  # unused when signatures are supplied
         max_hamming=max_hamming,
