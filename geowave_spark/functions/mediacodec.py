@@ -136,7 +136,10 @@ def _gif_lzw_decode(min_code: int, buf: bytes, n_pixels: int) -> np.ndarray:
     while len(out) < n_pixels:
         while nbits < width:
             if pos >= n:
-                return np.frombuffer(bytes(out[:n_pixels]), np.uint8)
+                a = np.frombuffer(bytes(out[:n_pixels]), np.uint8)
+                if len(a) < n_pixels:  # truncated stream: pad like below
+                    a = np.concatenate([a, np.zeros(n_pixels - len(a), np.uint8)])
+                return a
             acc |= buf[pos] << nbits  # LSB-first
             pos += 1
             nbits += 8
