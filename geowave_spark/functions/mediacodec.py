@@ -277,6 +277,10 @@ def decode_gif_frames(data: bytes) -> list[np.ndarray]:
             canvas[y0 : y0 + h, x0 : x0 + w] = 0
         elif disposal == 3:  # restore previous
             canvas = prev_canvas.copy()
+        # GCE scope is ONLY "the first graphic rendering block to follow"
+        # (GIF89a §23): a GCE-less next frame renders opaquely, disposal 0
+        transparent_idx = -1
+        disposal = 0
     return frames
 
 

@@ -47,7 +47,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .indexed import cell_range_predicate, ensure_parallelism, with_cell_column
+from .indexed import cell_range_predicate, ensure_parallelism, with_cell_column, write_indexed
 
 _MANIFEST = "_manifest.json"
 
@@ -91,12 +91,10 @@ def write_store(
     """Initial bulk load: generation-0 base run + fresh manifest."""
     os.makedirs(root, exist_ok=True)
     run = "base_g0"
-    out = with_cell_column(df, lon_col, lat_col, phash_col, bounds=bounds)
-    (
-        out.repartitionByRange(n_files, F.col("cell"))
-        .sortWithinPartitions("cell")
-        .write.mode("overwrite")
-        .parquet(os.path.join(root, run))
+    # the base run IS the one-shot indexed layout — one write path to keep
+    write_indexed(
+        df, os.path.join(root, run), n_files=n_files,
+        lon_col=lon_col, lat_col=lat_col, phash_col=phash_col, bounds=bounds,
     )
     spark = df.sparkSession
     stats = _run_stats(spark.read.parquet(os.path.join(root, run)))
@@ -125,6 +123,9 @@ def append_store(df: DataFrame, root: str, n_files: int = 8) -> dict:
     k = m["key"]
     run = f"delta_{m['next_delta']:05d}"
     bounds = tuple(k["bounds"]) if k["bounds"] else None
+    # a crashed earlier append may have left an orphan dir for this run
+    # name (the counter only advances at commit) — clear it, then write
+    _drop_orphan(root, run, m)
     out = with_cell_column(df, k["lon_col"], k["lat_col"], k["phash_col"], bounds=bounds)
     (
         out.repartitionByRange(n_files, F.col("cell"))
@@ -141,9 +142,43 @@ def append_store(df: DataFrame, root: str, n_files: int = 8) -> dict:
     return m
 
 
+def _drop_orphan(root: str, run: str, manifest: dict) -> None:
+    """Remove a run directory left by a crashed pre-commit write.
+
+    Safe by construction: `run` is the NEXT name the caller is about to
+    write, and the manifest (the source of truth) does not reference it —
+    so anything on disk under that name is dead state from a failed
+    attempt, and a retry must not wedge on write.mode("errorifexists")."""
+    assert run not in manifest["runs"], "refusing to drop a live run"
+    path = os.path.join(root, run)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+
+
 def live_runs(root: str) -> list[str]:
     m = _read_manifest(root)
     return [m["base"], *m["deltas"]]
+
+
+def vacuum_store(root: str) -> list[str]:
+    """Remove run directories no longer referenced by the manifest.
+
+    The lake-style GC step: compaction commits first (manifest swap) and
+    leaves dead runs on disk so queries planned against the previous
+    manifest finish scanning; run vacuum after such readers have drained
+    (the same contract as Iceberg's expire-snapshots / Delta VACUUM).
+    Returns the removed run names."""
+    m = _read_manifest(root)
+    live = {m["base"], *m["deltas"]}
+    removed = []
+    for name in sorted(os.listdir(root)):
+        p = os.path.join(root, name)
+        if not os.path.isdir(p) or name in live:
+            continue
+        if name.startswith("base_g") or name.startswith("delta_"):
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(name)
+    return removed
 
 
 def read_store(spark: SparkSession, root: str) -> DataFrame:
@@ -169,16 +204,27 @@ def lookup_store(
     )
 
 
-def compact_store(spark: SparkSession, root: str, n_files: int = 32) -> dict:
-    """Merge all live runs into generation N+1; swap; drop dead runs.
+def compact_store(
+    spark: SparkSession, root: str, n_files: int = 32, vacuum: bool = True
+) -> dict:
+    """Merge all live runs into generation N+1; swap; optionally vacuum.
 
     The rewrite is a single scan → range shuffle → sorted write (no
-    driver collect); the manifest swap is the commit point, and dead run
-    directories are removed only after it succeeds."""
+    driver collect); the manifest swap is the commit point.  A crashed
+    earlier attempt's orphan target directory is cleared before writing,
+    so compaction retries never wedge.  With ``vacuum=True`` (default)
+    dead runs are removed right after the swap — correct when no query
+    planned against the previous manifest is still scanning; pass
+    ``vacuum=False`` under concurrent readers and run `vacuum_store`
+    once they drain (the expire-snapshots contract).  The new base's
+    stats are derived from the live runs' recorded stats — the merge
+    changes layout, not content, so compaction never re-scans its own
+    output."""
     m = _read_manifest(root)
     old_runs = [m["base"], *m["deltas"]]
     gen = m["generation"] + 1
     new_base = f"base_g{gen}"
+    _drop_orphan(root, new_base, m)
     df = spark.read.parquet(*[os.path.join(root, r) for r in old_runs])
     (
         df.repartitionByRange(n_files, F.col("cell"))
@@ -186,7 +232,13 @@ def compact_store(spark: SparkSession, root: str, n_files: int = 32) -> dict:
         .write.mode("errorifexists")
         .parquet(os.path.join(root, new_base))
     )
-    stats = _run_stats(spark.read.parquet(os.path.join(root, new_base)))
+    olds = [m["runs"][r] for r in old_runs]
+    nonempty = [s for s in olds if s["rows"]]
+    stats = {
+        "rows": sum(s["rows"] for s in olds),
+        "min_cell": min(s["min_cell"] for s in nonempty) if nonempty else None,
+        "max_cell": max(s["max_cell"] for s in nonempty) if nonempty else None,
+    }
     new_m = {
         **m,
         "generation": gen,
@@ -196,6 +248,6 @@ def compact_store(spark: SparkSession, root: str, n_files: int = 32) -> dict:
         "updated_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     _swap_manifest(root, new_m)
-    for r in old_runs:  # post-commit cleanup; crash here leaks dirs, not data
-        shutil.rmtree(os.path.join(root, r), ignore_errors=True)
+    if vacuum:
+        vacuum_store(root)
     return new_m

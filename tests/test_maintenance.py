@@ -115,6 +115,49 @@ def test_compaction_is_result_invariant_and_shrinks_files(spark, store):
     assert m2["deltas"] == ["delta_00003"]  # counter never reused
 
 
+def test_compaction_stats_derived_not_rescanned(spark, store):
+    # after the earlier compaction test, runs stats must be exact
+    m = mt._read_manifest(store)
+    total = sum(s["rows"] for s in m["runs"].values())
+    assert total == mt.read_store(spark, store).count()
+
+
+def test_crashed_compaction_retry_does_not_wedge(spark, tmp_path):
+    root = str(tmp_path / "crash_store")
+    mt.write_store(_batch(spark, 20, n=1000), root, n_files=2, phash_col=None)
+    mt.append_store(_batch(spark, 21, n=1000), root, n_files=2)
+    # simulate a crashed earlier attempt: orphan target dir exists on disk
+    m = mt._read_manifest(root)
+    orphan = os.path.join(root, f"base_g{m['generation'] + 1}")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.parquet"), "wb") as f:
+        f.write(b"partial write")
+    m2 = mt.compact_store(spark, root, n_files=2)
+    assert m2["base"] == os.path.basename(orphan)
+    assert mt.read_store(spark, root).count() == 2000
+    # crashed APPEND retry: orphan delta under the next counter name
+    orphan_d = os.path.join(root, f"delta_{m2['next_delta']:05d}")
+    os.makedirs(orphan_d)
+    mt.append_store(_batch(spark, 22, n=500), root, n_files=2)
+    assert mt.read_store(spark, root).count() == 2500
+
+
+def test_compaction_vacuum_false_keeps_old_runs_for_readers(spark, tmp_path):
+    root = str(tmp_path / "reader_store")
+    mt.write_store(_batch(spark, 30, n=1000), root, n_files=2, phash_col=None)
+    mt.append_store(_batch(spark, 31, n=1000), root, n_files=2)
+    # a reader plans against the pre-compaction manifest (lazy scan)
+    old_reader = mt.read_store(spark, root)
+    m = mt.compact_store(spark, root, n_files=2, vacuum=False)
+    # the old runs are still on disk -> the in-flight plan completes
+    assert old_reader.count() == 2000
+    # new manifest sees only the new base; vacuum then removes dead runs
+    assert mt.live_runs(root) == [m["base"]]
+    removed = mt.vacuum_store(root)
+    assert set(removed) == {"base_g0", "delta_00000"}
+    assert mt.read_store(spark, root).count() == 2000
+
+
 def test_manifest_is_valid_json_with_stats(store):
     with open(os.path.join(store, "_manifest.json")) as f:
         m = json.load(f)

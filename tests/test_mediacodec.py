@@ -195,6 +195,27 @@ def test_gif_transparency_and_disposal_compositing():
     assert np.array_equal(out[1], want)
 
 
+def test_gce_scope_is_single_image():
+    # GIF89a §23: a graphic control extension governs ONLY the next image.
+    # Frame 2 reuses index 0 but has NO GCE -> must render opaquely.
+    pal = np.array([[9, 9, 9], [255, 0, 0], [0, 255, 0]], np.uint8)
+    f1 = np.array([[1, 0], [0, 1]], np.uint8)
+    f2 = np.array([[0, 0], [2, 2]], np.uint8)
+    gce_trans = b"\x21\xf9\x04" + bytes([(1 << 2) | 1, 0, 0, 0]) + b"\x00"  # transp idx 0
+    gif = _manual_gif(
+        2, 2, pal,
+        [gce_trans, _image_block(0, 0, 2, 2, f1, 2), _image_block(0, 0, 2, 2, f2, 2)],
+    )
+    out = mc.decode_gif_frames(gif)
+    # frame 1: index-0 cells transparent over black canvas
+    want1 = np.zeros((2, 2, 3), np.uint8)
+    want1[0, 0] = pal[1]
+    want1[1, 1] = pal[1]
+    assert np.array_equal(out[0], want1)
+    # frame 2: index 0 is OPAQUE color 9,9,9 (transparency did not stick)
+    assert np.array_equal(out[1], pal[f2])
+
+
 def test_gif_restore_previous_disposal():
     pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0]], np.uint8)
     f1 = np.full((3, 3), 1, np.uint8)
