@@ -118,6 +118,20 @@ class SpatialFrame:
     def stats(self, group_col: str, value_col: str, ts_col: str) -> DataFrame:
         return stats.table_stats(self.df, group_col, value_col, ts_col, self.lon_col, self.lat_col)
 
+    # -- store maintenance ---------------------------------------------------
+
+    def write_store(self, root: str, n_files: int = 32, bounds=None) -> dict:
+        """Bulk-load this frame as a maintained cell-indexed store (the
+        continuous-ingest layout: append_store / compact_store /
+        lookup_store in sources.maintenance operate on it)."""
+        from .sources import maintenance
+
+        return maintenance.write_store(
+            self.df, root, n_files=n_files,
+            lon_col=self.lon_col, lat_col=self.lat_col, phash_col=None,
+            bounds=bounds,
+        )
+
 
 class GeometryFrame:
     """A DataFrame with a WKT geometry column — the general-geometry

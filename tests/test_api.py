@@ -87,3 +87,17 @@ def test_geometry_frame_within_predicate(spark):
     inter = {tuple(r) for r in gf.join(polys, "poly_id").collect()}
     w = {tuple(r) for r in got.collect()}
     assert n > 0 and w <= inter
+
+
+def test_spatialframe_write_store_roundtrip(spark, sf_dir, tmp_path):
+    from geowave_spark.sources import maintenance as mt
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(2000)
+    sf = SpatialFrame.from_keyed(ev, "event_id")
+    root = str(tmp_path / "api_store")
+    m = sf.write_store(root, n_files=4)
+    assert m["generation"] == 0
+    bbox = (-30.0, 10.0, 45.0, 55.0)
+    want = sorted(r["event_id"] for r in sf.within_bbox(bbox).select("event_id").collect())
+    got = sorted(r["event_id"] for r in mt.lookup_store(spark, root, bbox).select("event_id").collect())
+    assert got == want
