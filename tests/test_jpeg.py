@@ -159,6 +159,21 @@ def test_rejects_progressive_and_garbage():
         jc.decode_jpeg(b"not a jpeg at all")
 
 
+def test_phash_stable_under_420_reencode():
+    """The perceptual-dedup invariant against REAL chroma subsampling:
+    pHash is luma-only, and 4:2:0 leaves luma at full resolution, so even
+    on noise (where 4:2:0 chroma PSNR collapses) the hash moves ≤ a few
+    bits — a 420 re-encode is still found at the hamming≤4 dedup default."""
+    from geowave_spark.functions import phash as ph
+
+    rng = np.random.default_rng(3)
+    for i in range(20):
+        img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        h0 = ph.phash64_pixels(img)
+        h420 = ph.phash64_pixels(jc.decode_jpeg(jc.encode_jpeg(img, subsampling="420")))
+        assert bin(h0 ^ h420).count("1") <= 4
+
+
 def test_zigzag_is_t81_sequence():
     # first and last entries of the spec's scan order
     want_head = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5]
