@@ -507,7 +507,9 @@ def query_ranges(
     x0, y0, x1, y1 = bbox
     if x0 > x1:
         # the two halves' POLAR-face rectangles overlap (both reach the
-        # pole), so merge — not just sort — the union
+        # pole), so merge — not just sort — the union; then re-budget:
+        # each half used the full budget, so the union can hold up to
+        # 2*max_ranges and must be consolidated back under the contract
         both = sorted(
             query_ranges((x0, y0, 180.0, y1), level, max_ranges)
             + query_ranges((-180.0, y0, x1, y1), level, max_ranges)
@@ -518,7 +520,7 @@ def query_ranges(
                 merged0[-1] = (merged0[-1][0], max(merged0[-1][1], hi))
             else:
                 merged0.append((lo, hi))
-        return merged0
+        return _consolidate(merged0, max_ranges)
     faces = _face_uv_bounds(bbox)
     n = 1 << level
     out: list[tuple[int, int]] = []
@@ -541,4 +543,26 @@ def query_ranges(
             merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
         else:
             merged.append((lo, hi))
-    return merged
+    # hard budget: the per-rect floor (budget >= 4) can overshoot
+    # max_ranges when a box touches many face rectangles
+    return _consolidate(merged, max_ranges)
+
+
+def _consolidate(ranges: list[tuple[int, int]], max_ranges: int) -> list[tuple[int, int]]:
+    """Coarsen a sorted disjoint range list to ≤ max_ranges by repeatedly
+    absorbing the SMALLEST gaps (the reference's range-constraint
+    consolidation): recall is preserved — ranges only ever grow — and the
+    loosened cells are the cheapest possible extra scan."""
+    if len(ranges) <= max_ranges:
+        return ranges
+    gaps = sorted(
+        range(1, len(ranges)), key=lambda i: ranges[i][0] - ranges[i - 1][1]
+    )
+    kill = set(gaps[: len(ranges) - max_ranges])  # boundaries to dissolve
+    out: list[tuple[int, int]] = []
+    for i, (lo, hi) in enumerate(ranges):
+        if i in kill and out:
+            out[-1] = (out[-1][0], hi)
+        else:
+            out.append((lo, hi))
+    return out

@@ -91,21 +91,36 @@ class _Reader:
 # Schema handling: normalize JSON schema + named-type environment
 
 
-def _normalize(schema, env: dict, namespace: str = ""):
-    """Resolve named-type references; return a normalized schema node."""
+def _normalize(schema, env: dict, namespace: str = "", open_names: set | None = None):
+    """Resolve named-type references; return a normalized schema node.
+
+    ``open_names`` tracks records whose fields are mid-normalization: a
+    reference back into that set is a RECURSIVE schema — legal Avro, but
+    unrepresentable as a Spark StructType (and unserializable by the
+    deterministic json.dumps fingerprint) — rejected loudly by the
+    module's convention instead of surfacing as 'Circular reference
+    detected' from json.dumps or a RecursionError."""
+    if open_names is None:
+        open_names = set()
     if isinstance(schema, str):
         if schema in (
             "null", "boolean", "int", "long", "float", "double", "bytes", "string",
         ):
             return schema
         full = schema if "." in schema else (f"{namespace}.{schema}" if namespace else schema)
+        if full in open_names or schema in open_names:
+            raise AvroError(
+                f"recursive schema: {schema!r} references itself (directly or "
+                "via a cycle) — self-referential Avro records have no Spark "
+                "StructType equivalent and are not supported"
+            )
         if full in env:
             return env[full]
         if schema in env:
             return env[schema]
         raise AvroError(f"unknown type reference {schema!r}")
     if isinstance(schema, list):
-        return [_normalize(s, env, namespace) for s in schema]
+        return [_normalize(s, env, namespace, open_names) for s in schema]
     if not isinstance(schema, dict):
         raise AvroError(f"bad schema node {schema!r}")
     t = schema.get("type")
@@ -117,18 +132,20 @@ def _normalize(schema, env: dict, namespace: str = ""):
         env[full] = node
         env.setdefault(name, node)
         if t == "record":
+            open_names = open_names | {name, full}
             node["fields"] = [
-                {**f, "type": _normalize(f["type"], env, ns)} for f in schema["fields"]
+                {**f, "type": _normalize(f["type"], env, ns, open_names)}
+                for f in schema["fields"]
             ]
         return node
     if t == "array":
-        return {"type": "array", "items": _normalize(schema["items"], env, namespace)}
+        return {"type": "array", "items": _normalize(schema["items"], env, namespace, open_names)}
     if t == "map":
-        return {"type": "map", "values": _normalize(schema["values"], env, namespace)}
+        return {"type": "map", "values": _normalize(schema["values"], env, namespace, open_names)}
     if isinstance(t, (dict, list)):
-        return _normalize(t, env, namespace)
+        return _normalize(t, env, namespace, open_names)
     if isinstance(t, str):
-        return _normalize(t, env, namespace)
+        return _normalize(t, env, namespace, open_names)
     raise AvroError(f"bad schema node {schema!r}")
 
 

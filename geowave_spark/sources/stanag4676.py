@@ -156,8 +156,10 @@ def _classification(el, name: str) -> str:
 
 def _decode_chip(b64: str):
     """base64 chip → (raw bytes, ndarray | None). Decode uses the
-    engine's own codecs (PNG/BMP/TIFF magic sniff); failures keep the
-    raw bytes (reference warns and continues)."""
+    engine's own codecs (PNG/BMP/TIFF/JPEG magic sniff — JPEG is the
+    common 4676 motion-imagery payload, handled by jpegcodec since the
+    real baseline decoder landed); failures keep the raw bytes
+    (reference warns and continues)."""
     from ..functions import imagecodec as IC
 
     try:
@@ -172,9 +174,38 @@ def _decode_chip(b64: str):
             arr = IC.decode_bmp(raw)
         elif raw[:2] in (b"II", b"MM"):
             arr = IC.decode_tiff(raw)
+        elif raw[:2] == b"\xff\xd8":
+            from ..functions import jpegcodec
+
+            arr = jpegcodec.decode_jpeg(raw)
     except Exception:
         arr = None
     return raw, arr
+
+
+def _int(el, name: str, default: int = -1) -> int:
+    """Integer child text with warn-free tolerance (the float fields'
+    _float contract): non-integer text ('3.0', 'N/A', '') → default
+    instead of a ValueError that kills the whole partition."""
+    t = _text(el, name)
+    if not t:
+        return default
+    try:
+        return int(t)
+    except ValueError:
+        try:
+            return int(float(t))
+        except ValueError:
+            return default
+
+
+def _xsi_local(el) -> str | None:
+    """xsi:type attribute with any QName prefix stripped: schema-valid
+    files may write xsi:type="s4676:TrackPoint" when the target namespace
+    is prefix-bound — the local name is what discriminates (the element
+    tags already get the same treatment via _local)."""
+    v = el.attrib.get(_XSI)
+    return v.split(":")[-1] if v else None
 
 
 def _parse_message(path: str, content: bytes) -> tuple[list, list]:
@@ -204,7 +235,7 @@ def _parse_message(path: str, content: bytes) -> tuple[list, list]:
         for item in track:
             if _local(item.tag) != "items":
                 continue
-            if item.attrib.get(_XSI) != "VideoInformation":
+            if _xsi_local(item) != "VideoInformation":
                 continue
             ts = _ts_us(_text(item, "trackItemTime"))
             b64 = _text(item, "imageChip")
@@ -216,9 +247,9 @@ def _parse_message(path: str, content: bytes) -> tuple[list, list]:
             chips[ts] = {
                 "raw": raw,
                 "arr": arr,
-                "frame": int(_text(item, "frameNumber") or -1),
-                "row": int(_text(item, "pixelRow") or -1),
-                "col": int(_text(item, "pixelColumn") or -1),
+                "frame": _int(item, "frameNumber"),
+                "row": _int(item, "pixelRow"),
+                "col": _int(item, "pixelColumn"),
             }
         # rescale every decoded chip of the event to the max WxH and
         # re-encode PNG (IngestMessageHandler.java:135-152)
@@ -237,7 +268,7 @@ def _parse_message(path: str, content: bytes) -> tuple[list, list]:
         for item in track:
             if _local(item.tag) != "items":
                 continue
-            xsi = item.attrib.get(_XSI)
+            xsi = _xsi_local(item)
             if xsi in (None, "TrackPoint"):
                 lat, lon, elev = _position(item, "trackPointPosition")
                 dlat, dlon, delev = (None, None, None)
@@ -387,7 +418,7 @@ def _parse_mission(path: str, content: bytes) -> tuple[list, list]:
                 {
                     "source_file": path,
                     "mission": mission,
-                    "frame_number": int(_text(ch, "frameNumber") or -1),
+                    "frame_number": _int(ch, "frameNumber"),
                     "frame_ts_us": _ts_us(_text(ch, "frameTimestamp")),
                     "wkt": fwkt,
                 }

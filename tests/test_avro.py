@@ -266,3 +266,29 @@ def test_avro_feeds_tdrive_contract(spark, tmp_path):
         F.col("latitude").alias("lat"),
     )
     assert out.filter(F.col("lon").isNotNull() & F.col("ts").isNotNull()).count() == 4
+
+
+def test_recursive_schema_rejected_loudly():
+    """Self-referential records are legal Avro but have no Spark
+    StructType equivalent — the module's 'reject loudly' convention must
+    name recursion, not leak json.dumps' circular-reference error."""
+    import json
+
+    import pytest
+
+    from geowave_spark.sources.avro import AvroError, parse_schema
+
+    rec = {
+        "type": "record", "name": "Node",
+        "fields": [{"name": "v", "type": "int"},
+                   {"name": "next", "type": ["null", "Node"]}],
+    }
+    with pytest.raises(AvroError, match="recursive"):
+        parse_schema(json.dumps(rec))
+    # non-recursive reuse of a named sibling type stays legal
+    ok = [
+        {"type": "record", "name": "P", "fields": [{"name": "x", "type": "double"}]},
+        {"type": "record", "name": "Q",
+         "fields": [{"name": "a", "type": "P"}, {"name": "b", "type": "P"}]},
+    ]
+    assert parse_schema(json.dumps(ok))["name"] == "Q"

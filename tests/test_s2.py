@@ -341,3 +341,20 @@ def test_rect_query_ranges_exact_cells():
     for lo, hi in got:
         covered |= set(range(lo, hi + 1))
     assert covered == want
+
+
+def test_query_ranges_budget_contract():
+    """max_ranges is a hard contract, including the two cases that used to
+    overshoot: antimeridian-wrapped boxes (each half consumed the full
+    budget) and tiny budgets below the per-rect floor.  Consolidation must
+    keep recall (ranges only grow), checked against the unbudgeted set."""
+    wrapped = (100.0, 10.0, -150.0, 40.0)
+    tight = cells_s2.query_ranges(wrapped, level=12, max_ranges=64)
+    assert len(tight) <= 64
+    loose = cells_s2.query_ranges(wrapped, level=12, max_ranges=100000)
+    # every unbudgeted range is contained in some budgeted range
+    for lo, hi in loose:
+        assert any(a <= lo and hi <= b for a, b in tight)
+    for mr in (4, 8, 16):
+        r = cells_s2.query_ranges((-10.0, -10.0, 10.0, 10.0), level=12, max_ranges=mr)
+        assert len(r) <= mr

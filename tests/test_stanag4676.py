@@ -256,3 +256,57 @@ def test_mission_frames(spark, mission_dir):
     fr = rows[0]
     assert fr["frame_number"] == 1 and fr["mission"] == "m-1"
     assert fr["wkt"].startswith("POLYGON ((19.5 9.5, 20.5 9.5, 20.5 10.5, 19.5 9.5")
+
+
+def _prefixed_jpeg_xml() -> str:
+    """Review-fix fixture: QName-prefixed xsi:type values + a JPEG chip +
+    non-integer frameNumber (all legal / in-the-wild shapes)."""
+    import base64
+
+    import numpy as np
+
+    from geowave_spark.functions import jpegcodec as jc
+
+    arr = np.full((6, 8, 3), 120, np.uint8)
+    arr[:3, :, 0] = 200
+    jpeg_b64 = base64.b64encode(jc.encode_jpeg(arr)).decode()
+    return f"""<?xml version="1.0" encoding="UTF-8"?>
+<TrackMessage xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance">
+  <tracks>
+    <trackUUID>t-jpg</trackUUID>
+    <trackNumber>TRKJ</trackNumber>
+    <trackStatus>CONFIRMED</trackStatus>
+    <missionID>m-9</missionID>
+    <items xsi:type="s4676:TrackPoint">
+      <trackItemUUID>jp-1</trackItemUUID>
+      <trackItemTime>2024-03-02T08:00:00Z</trackItemTime>
+      <trackPointPosition><latitude>1.0</latitude><longitude>2.0</longitude></trackPointPosition>
+    </items>
+    <items xsi:type="s4676:VideoInformation">
+      <trackItemUUID>jv-1</trackItemUUID>
+      <trackItemTime>2024-03-02T08:00:00Z</trackItemTime>
+      <imageChip>{jpeg_b64}</imageChip>
+      <frameNumber>3.0</frameNumber>
+      <pixelRow>N/A</pixelRow>
+      <pixelColumn>7</pixelColumn>
+    </items>
+  </tracks>
+</TrackMessage>
+"""
+
+
+def test_prefixed_xsi_and_jpeg_chip(spark, tmp_path):
+    d = tmp_path / "stanag_jpg"
+    d.mkdir()
+    (d / "m.xml").write_text(_prefixed_jpeg_xml())
+    pts = S.read_stanag4676(spark, str(d)).collect()
+    # the prefixed TrackPoint row is discriminated, not dropped
+    assert [r["track_item_uuid"] for r in pts] == ["jp-1"]
+    r = pts[0]
+    # JPEG chip decoded, rescaled-path encoded as PNG, attached by ts
+    assert r["chip"] is not None and bytes(r["chip"])[:8] == b"\x89PNG\r\n\x1a\n"
+    assert (r["chip_w"], r["chip_h"]) == (8, 6)
+    dec = IC.decode_png(bytes(r["chip"]))
+    assert dec.shape == (6, 8, 3)
+    # non-integer frameNumber/pixelRow tolerated like the float fields
+    assert r["frame_number"] == 3 and r["pixel_row"] == -1 and r["pixel_column"] == 7
