@@ -267,12 +267,6 @@ class _Parser:
             )
         return F.col(prop)
 
-    def is_geom_prop(self, prop: str) -> bool:
-        g = self.geometry
-        if isinstance(g, tuple):
-            return True  # any property position inside a spatial op
-        return prop == g
-
     # -- arithmetic expressions ----------------------------------------------
     def arith_expr(self) -> Column:
         c = self.arith_term()
@@ -382,13 +376,10 @@ class _Parser:
         up = w.upper()
         if up == "IN" and self.peek("lp") is not None:
             # bare ID filter (GeoTools ECQL: ``IN ('states.1', 'states.5')``
-            # selects by feature id) — resolves against the caller's id_col
+            # selects by feature id) — resolves against the caller's id_col.
+            # NOT IN needs no branch here: not_expr consumes every leading
+            # NOT before predicate() runs, so it arrives as ~(this path)
             return self.id_filter()
-        if up == "NOT" and self.at_word("IN"):
-            self.take("word")
-            if self.peek("lp") is not None:
-                return ~self.id_filter()
-            raise CQLError("expected ( after NOT IN")
         if up == "INCLUDE":  # GeoTools Filter.INCLUDE: match everything
             return F.lit(True)
         if up == "EXCLUDE":  # Filter.EXCLUDE: match nothing

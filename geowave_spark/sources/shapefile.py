@@ -29,6 +29,7 @@ import struct
 
 import numpy as np
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -155,14 +156,24 @@ def parse_shp(content: bytes) -> list[tuple[int, str | None]]:
     off = 100
     while off + 8 <= end:
         rec_no, rec_words = struct.unpack_from(">ii", content, off)
+        if rec_words < 2:  # minimum content = the 4-byte shape type;
+            # anything less means a corrupt header — raising beats the
+            # infinite loop a non-positive length would cause
+            raise ValueError(f"corrupt .shp: record {rec_no} length {rec_words} words")
         body = off + 8
         out.append((rec_no, _shape_wkt(content, body, rec_words * 2)))
         off = body + rec_words * 2
     return out
 
 
-def parse_dbf(content: bytes) -> list[dict]:
-    """dBase III .dbf payload → one attribute dict per (non-deleted) record."""
+def parse_dbf(content: bytes) -> list[dict | None]:
+    """dBase III .dbf payload → one entry per PHYSICAL record, in file
+    order; flag-deleted (0x2A) records come back as None.
+
+    Positional fidelity matters: .shp and .dbf records pair by index, and
+    a writer that flag-deletes without packing leaves the deleted slot in
+    BOTH files' numbering — skipping it here would shift every later
+    feature onto its neighbor's attributes."""
     n_rec, hdr_size, rec_size = struct.unpack_from("<IHH", content, 4)
     fields: list[tuple[str, str, int, int]] = []
     off = 32
@@ -180,7 +191,8 @@ def parse_dbf(content: bytes) -> list[dict]:
             break
         rec = content[pos : pos + rec_size]
         pos += rec_size
-        if rec[:1] == b"\x2a":  # deleted
+        if rec[:1] == b"\x2a":  # deleted: keep the SLOT (alignment)
+            out.append(None)
             continue
         vals: dict = {}
         o = 1
@@ -226,7 +238,9 @@ def read_shapefile(spark: SparkSession, path: str) -> DataFrame:
             .select(stem.alias("stem"), F.col("content").alias("dbf"))
         )
         joined = shp.join(F.broadcast(dbf), "stem", "left")
-    except Exception:  # no .dbf siblings at all
+    except AnalysisException:  # no .dbf siblings at all (path not found);
+        # any OTHER failure (auth, IO) must propagate — swallowing it
+        # would silently strip every feature's attributes
         joined = shp.withColumn("dbf", F.lit(None).cast("binary"))
 
     def parse(batches):
@@ -237,7 +251,8 @@ def read_shapefile(spark: SparkSession, path: str) -> DataFrame:
                 for i, (rec_no, wkt) in enumerate(parse_shp(bytes(shp_b))):
                     if wkt is None:
                         continue
-                    a = attrs[i] if i < len(attrs) else {}
+                    a = attrs[i] if i < len(attrs) else None
+                    a = {} if a is None else a  # deleted slot → no attrs
                     rows.append(
                         {
                             "source_file": src,

@@ -86,20 +86,46 @@ def streaming_dedup(
 
     out_schema = stream.schema
 
+    out_cols = [f.name for f in stream.schema.fields]
+
     def fn(key, pdfs, state: GroupState):
         import pandas as pd
 
         if state.hasTimedOut:
             state.remove()
             return
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        emit = None
-        if not state.exists and len(rows):
-            emit = rows.sort_values(order_col).head(1)
+        if state.exists:
+            # hot-key fast path: a seen key emits nothing, so never
+            # materialize its duplicate rows — one chunk gives the typed
+            # empty frame, the rest of the iterator stays unconsumed
+            if state_ttl_ms is not None:
+                state.setTimeoutDuration(state_ttl_ms)
+            chunk = next(iter(pdfs), None)
+            yield chunk.head(0) if chunk is not None else pd.DataFrame(columns=out_cols)
+            return
+        # fresh key: streaming min by order_col — keep ONE candidate row
+        # per chunk instead of concatenating the whole batch
+        best = None
+        empty = None
+        for pdf in pdfs:
+            if empty is None:
+                empty = pdf.head(0)
+            if len(pdf):
+                cand = pdf.sort_values(order_col).head(1)
+                best = (
+                    cand
+                    if best is None
+                    else pd.concat([best, cand], ignore_index=True)
+                    .sort_values(order_col)
+                    .head(1)
+                )
+        if best is not None and len(best):
             state.update((True,))
-        if state.exists and state_ttl_ms is not None:
-            state.setTimeoutDuration(state_ttl_ms)
-        yield emit if emit is not None else rows.head(0)
+            if state_ttl_ms is not None:
+                state.setTimeoutDuration(state_ttl_ms)
+            yield best
+        else:
+            yield empty if empty is not None else pd.DataFrame(columns=out_cols)
 
     return stream.groupBy(F.col(key_col)).applyInPandasWithState(
         fn,

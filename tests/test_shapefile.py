@@ -149,3 +149,35 @@ def test_tracks_shapefile_matches_inmemory_wkt(spark, tmp_path):
     }
     want = {r.polygon_id: r.wkt for r in _tracks_df(spark).collect()}
     assert got == want
+
+
+def test_deleted_dbf_record_keeps_positional_alignment():
+    """A flag-deleted (0x2A) middle record must keep its SLOT: the .shp
+    and .dbf pair by physical index, so skipping it would hand record 3
+    its neighbor's attributes."""
+    n_rec, rec_size = 3, 1 + 8 + 5
+    hdr_size = 32 + 32 * 2 + 1
+    out = struct.pack("<BBBBIHH20x", 0x03, 26, 8, 19, n_rec, hdr_size, rec_size)
+    out += struct.pack("<11sc4xBB14x", b"NAME", b"C", 8, 0)
+    out += struct.pack("<11sc4xBB14x", b"MAG", b"N", 5, 1)
+    out += b"\x0d"
+    out += b"\x20" + b"first   " + b"  1.0"
+    out += b"\x2a" + b"deleted " + b"  9.9"   # flag-deleted slot
+    out += b"\x20" + b"third   " + b"  3.0"
+    out += b"\x1a"
+    attrs = shp.parse_dbf(bytes(out))
+    assert attrs == [
+        {"NAME": "first", "MAG": 1.0},
+        None,
+        {"NAME": "third", "MAG": 3.0},
+    ]
+
+
+def test_corrupt_shp_record_length_raises():
+    """A non-positive record content length must raise, not loop forever."""
+    rec1 = struct.pack("<i2d", 1, -98.25, 35.5)
+    recs = struct.pack(">ii", 1, -4) + rec1
+    header = struct.pack(">i5ii", 9994, 0, 0, 0, 0, 0, (100 + len(recs)) // 2)
+    header += struct.pack("<ii8d", 1000, 1, 0, 0, 0, 0, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="corrupt"):
+        shp.parse_shp(header + recs)
