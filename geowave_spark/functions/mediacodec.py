@@ -263,10 +263,15 @@ def decode_gif_frames(data: bytes) -> list[np.ndarray]:
                     src += 1
             idx = de
         prev_canvas = canvas.copy()
-        region = canvas[y0 : y0 + h, x0 : x0 + w]
-        rgb = ct[np.minimum(idx, len(ct) - 1)]
+        # clip frames that overrun the logical screen (broken writers emit
+        # them; browsers render the clipped part, so decode must too)
+        ch = min(h, sh - y0) if y0 < sh else 0
+        cw = min(w, sw - x0) if x0 < sw else 0
+        region = canvas[y0 : y0 + ch, x0 : x0 + cw]
+        idx_c = idx[:ch, :cw]
+        rgb = ct[np.minimum(idx_c, len(ct) - 1)]
         if transparent_idx >= 0:
-            mask = idx != transparent_idx
+            mask = idx_c != transparent_idx
             region[mask] = rgb[mask]
         else:
             region[:] = rgb

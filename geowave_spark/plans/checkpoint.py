@@ -16,6 +16,19 @@ idiomatic design is *stage outputs as tables*:
   written checkpoint (per-file row counts + min/max balance), recorded in
   the manifest so skewed stages are visible without the Spark UI.
 
+Crash ordering: the manifest is REMOVED before a stage's data is
+rewritten and written back only after the new data commits — so a crash
+anywhere in between leaves "no manifest" (stage re-runs), never a stale
+manifest paired with different data that a later run could wrongly
+resume from.
+
+Filesystem: manifest and _SUCCESS probes route through the same
+filesystem as the checkpoint data — plain paths use the local OS, any
+URI root (``hdfs://``, ``s3a://``, ``file://``) goes through Spark's
+Hadoop FileSystem via the JVM gateway, so resume works identically on a
+cluster (tested locally through ``file://`` URIs, which exercise the
+Hadoop branch against local disk).
+
 Skew note: a stage can be given an explicit ``repartition`` spec so its
 checkpoint is written pre-partitioned on the join key of the NEXT stage —
 resumption then starts from co-located data (the same trick as the
@@ -31,6 +44,94 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class _LocalFS:
+    """Manifest I/O on the driver's local filesystem (plain paths)."""
+
+    def join(self, *parts: str) -> str:
+        return os.path.join(*parts)
+
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)
+
+    def delete(self, path: str) -> None:
+        if os.path.exists(path):
+            os.remove(path)
+
+
+class _HadoopFS:
+    """Manifest I/O through Spark's Hadoop FileSystem (URI roots).
+
+    The same filesystem the executors write checkpoint parquet through —
+    the reason this exists: os.path.exists against an ``hdfs://`` string
+    is always False, which would silently disable resume on exactly the
+    cluster deployments the module targets."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        jvm = spark._jvm
+        self._jvm = jvm
+        self._fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+            jvm.java.net.URI(root), spark._jsc.hadoopConfiguration()
+        )
+
+    def _p(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def join(self, *parts: str) -> str:
+        return "/".join(p.rstrip("/") for p in parts[:-1]) + "/" + parts[-1]
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._p(path))
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._p(path)))
+
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._p(path))
+        try:
+            chunks = []
+            buf_cls = self._jvm.java.io.BufferedReader
+            rd = buf_cls(self._jvm.java.io.InputStreamReader(stream, "UTF-8"))
+            line = rd.readLine()
+            while line is not None:
+                chunks.append(line)
+                line = rd.readLine()
+            return "\n".join(chunks)
+        finally:
+            stream.close()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        # write-to-temp + rename (atomic on HDFS; best-effort on object
+        # stores, where the read side tolerates a missing manifest anyway)
+        tmp = path + ".tmp"
+        out = self._fs.create(self._p(tmp), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        self._fs.delete(self._p(path), False)
+        self._fs.rename(self._p(tmp), self._p(path))
+
+    def delete(self, path: str) -> None:
+        self._fs.delete(self._p(path), False)
+
+
+def _fs_for(spark: SparkSession, root: str):
+    return _HadoopFS(spark, root) if "://" in root else _LocalFS()
 
 
 @dataclass
@@ -50,25 +151,25 @@ class CheckpointedPipeline:
 
     def __init__(self, spark: SparkSession, root: str, run_id: str = "default"):
         self.spark = spark
-        self.root = os.path.join(root, run_id)
-        os.makedirs(self.root, exist_ok=True)
+        self._fs = _fs_for(spark, root)
+        self.root = self._fs.join(root, run_id)
+        self._fs.mkdirs(self.root)
         self.results: dict[str, StageResult] = {}
 
     # -- manifest ----------------------------------------------------------
 
     def _manifest_path(self, name: str) -> str:
-        return os.path.join(self.root, f"{name}.manifest.json")
+        return self._fs.join(self.root, f"{name}.manifest.json")
 
     def _data_path(self, name: str) -> str:
-        return os.path.join(self.root, f"{name}.parquet")
+        return self._fs.join(self.root, f"{name}.parquet")
 
     def _load_manifest(self, name: str) -> dict | None:
         p = self._manifest_path(name)
-        if os.path.exists(p):
+        if self._fs.exists(p):
             try:
-                with open(p) as f:
-                    return json.load(f)
-            except (json.JSONDecodeError, OSError):
+                return json.loads(self._fs.read_text(p))
+            except Exception:
                 return None  # corrupt manifest = no checkpoint; stage re-runs
         return None
 
@@ -101,13 +202,18 @@ class CheckpointedPipeline:
             man
             and man.get("fingerprint") == fingerprint
             and man.get("repartition", None) == spec
-            and os.path.exists(os.path.join(data, "_SUCCESS"))
+            and self._fs.exists(self._fs.join(data, "_SUCCESS"))
         ):
             df = self.spark.read.parquet(data)
             self.results[name] = StageResult(
                 name, data, man["rows"], man["partitions"], 0.0, True, fingerprint, upstream
             )
             return df
+
+        # invalidate BEFORE rewriting the data: a crash between the data
+        # overwrite and the new manifest must leave "no manifest" (re-run),
+        # never the old manifest describing the new data
+        self._fs.delete(self._manifest_path(name))
 
         t0 = time.monotonic()
         df = build()
@@ -120,13 +226,11 @@ class CheckpointedPipeline:
         # per-partition (per written file) metrics from one cheap columnar
         # aggregation over the checkpoint — the lineage record shows row
         # balance so skewed stages are visible without the Spark UI
-        from pyspark.sql import functions as FF
-
         per_file = {
             os.path.basename(r["_f"]): r["n"]
-            for r in out.withColumn("_f", FF.input_file_name())
+            for r in out.withColumn("_f", F.input_file_name())
             .groupBy("_f")
-            .agg(FF.count(FF.lit(1)).alias("n"))
+            .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
         rows = int(sum(per_file.values()))
@@ -140,10 +244,9 @@ class CheckpointedPipeline:
         # atomic manifest: write-to-temp + rename, so a crash mid-write
         # can never leave a truncated manifest that blocks every later
         # resume (the exact failure this class exists to survive)
-        mpath = self._manifest_path(name)
-        tmp = mpath + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
+        self._fs.write_text_atomic(
+            self._manifest_path(name),
+            json.dumps(
                 {
                     "stage": name,
                     "fingerprint": fingerprint,
@@ -154,10 +257,9 @@ class CheckpointedPipeline:
                     "partition_stats": partition_stats,
                     "wall_s": round(wall, 3),
                     "written_at": time.time(),
-                },
-                f,
-            )
-        os.replace(tmp, mpath)
+                }
+            ),
+        )
         self.results[name] = StageResult(name, data, rows, partitions, wall, False, fingerprint, upstream)
         return out
 

@@ -75,11 +75,15 @@ def geotiff_meta(data: bytes) -> dict:
     if 34735 in t:
         d = t[34735]
         nkeys = int(d[3])
+        found: dict[int, int] = {}
         for k in range(nkeys):
             kid, loc, _cnt, val = (int(v) for v in d[4 + 4 * k : 8 + 4 * k])
             if kid in (2048, 3072) and loc == 0 and val not in (0, 32767):
-                epsg = val
-                break
+                found[kid] = val
+        # a projected raster carries BOTH keys (its datum's geographic CRS
+        # in 2048 plus the projection in 3072) and GeoKeys sort ascending —
+        # the PROJECTED code is the raster's actual CRS, so 3072 wins
+        epsg = found.get(3072, found.get(2048))
     nodata = None
     if 42113 in t:
         try:

@@ -38,6 +38,7 @@ GPX_SCHEMA = T.StructType(
     [
         T.StructField("source_file", T.StringType()),
         T.StructField("kind", T.StringType()),  # wpt | rtept | trkpt
+        T.StructField("track", T.IntegerType()),  # 0-based <trk> index; -1 for wpt/rtept
         T.StructField("seq", T.LongType()),
         T.StructField("lon", T.DoubleType()),
         T.StructField("lat", T.DoubleType()),
@@ -172,10 +173,9 @@ def read_gpx(spark: SparkSession, path: str) -> DataFrame:
             for p, content in zip(pdf["path"], pdf["content"]):
                 root = ET.fromstring(bytes(content).decode("utf-8"))
                 seq = 0
-                for el in root.iter():
-                    k = local(el.tag)
-                    if k not in ("wpt", "rtept", "trkpt"):
-                        continue
+
+                def emit(el, k: str, track: int):
+                    nonlocal seq
                     ele = time = name = None
                     for ch in el:
                         ck = local(ch.tag)
@@ -189,6 +189,7 @@ def read_gpx(spark: SparkSession, path: str) -> DataFrame:
                         {
                             "source_file": p,
                             "kind": k,
+                            "track": track,
                             "seq": seq,
                             "lon": float(el.attrib["lon"]),
                             "lat": float(el.attrib["lat"]),
@@ -198,6 +199,28 @@ def read_gpx(spark: SparkSession, path: str) -> DataFrame:
                         }
                     )
                     seq += 1
+
+                # structured walk (not root.iter()): trkpt rows carry the
+                # index of the <trk> that owns them, so a multi-track file
+                # yields one feature PER TRACK (the reference's
+                # one-feature-per-track contract), never a merged line
+                # with phantom segments between unrelated tracks
+                track_idx = 0
+                for child in root:
+                    ck = local(child.tag)
+                    if ck == "wpt":
+                        emit(child, "wpt", -1)
+                    elif ck == "rte":
+                        for pt in child:
+                            if local(pt.tag) == "rtept":
+                                emit(pt, "rtept", -1)
+                    elif ck == "trk":
+                        for seg in child:
+                            if local(seg.tag) == "trkseg":
+                                for pt in seg:
+                                    if local(pt.tag) == "trkpt":
+                                        emit(pt, "trkpt", track_idx)
+                        track_idx += 1
             yield pd.DataFrame(rows, columns=[f.name for f in GPX_SCHEMA])
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")
@@ -205,9 +228,10 @@ def read_gpx(spark: SparkSession, path: str) -> DataFrame:
 
 
 def gpx_tracks_to_wkt(points: DataFrame) -> DataFrame:
-    """Collapse trkpt rows into one LINESTRING WKT per source file —
-    ready for the geometry joins (the reference emits one track feature
-    per GPX track the same way)."""
+    """Collapse trkpt rows into one LINESTRING WKT per (source file,
+    track) — the reference's one-feature-per-GPX-track contract; a
+    multi-track file yields one row per <trk>, never a merged line with
+    phantom segments between unrelated tracks."""
     from pyspark.sql import functions as F
 
     pts = points.filter(F.col("kind") == "trkpt")
@@ -217,7 +241,7 @@ def gpx_tracks_to_wkt(points: DataFrame) -> DataFrame:
             s["lon"].cast("string"), F.lit(" "), s["lat"].cast("string")
         ),
     )
-    agg = pts.groupBy("source_file").agg(
+    agg = pts.groupBy("source_file", "track").agg(
         coords.alias("_coords"), F.count(F.lit(1)).alias("n_points")
     )
     # a one-trkpt track must emit POINT: 'LINESTRING (x y)' is invalid WKT
@@ -228,7 +252,7 @@ def gpx_tracks_to_wkt(points: DataFrame) -> DataFrame:
     ).otherwise(
         F.concat(F.lit("LINESTRING ("), F.array_join(F.col("_coords"), ", "), F.lit(")"))
     )
-    return agg.select("source_file", wkt.alias("wkt"), "n_points")
+    return agg.select("source_file", "track", wkt.alias("wkt"), "n_points")
 
 
 # ---------------------------------------------------------------------------

@@ -137,3 +137,59 @@ def test_custom_udaf_bbox_area(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_uri_root_routes_through_hadoop_fs(spark, tmp_path):
+    """file:// URI roots exercise the Hadoop FileSystem branch (the code
+    path hdfs:// and s3a:// take on a cluster) against local disk: write,
+    resume, and the crash-window manifest invalidation all behave as on
+    plain paths."""
+    from geowave_spark.plans.checkpoint import CheckpointedPipeline, _HadoopFS, _fs_for
+
+    root = "file://" + str(tmp_path / "ckpt_uri")
+    assert isinstance(_fs_for(spark, root), _HadoopFS)
+    p = CheckpointedPipeline(spark, root, run_id="r1")
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(100).withColumnRenamed("id", "v")
+
+    a = p.stage("s1", build, fingerprint="fpA")
+    assert a.count() == 100 and calls["n"] == 1
+    # resume in a NEW pipeline object (fresh manifest read through the FS)
+    p2 = CheckpointedPipeline(spark, root, run_id="r1")
+    b = p2.stage("s1", build, fingerprint="fpA")
+    assert b.count() == 100 and calls["n"] == 1  # not rebuilt
+    assert p2.results["s1"].resumed
+    # changed fingerprint rebuilds (and the manifest swap is atomic)
+    c = p2.stage("s1", build, fingerprint="fpB")
+    assert c.count() == 100 and calls["n"] == 2
+
+
+def test_stale_manifest_never_describes_new_data(spark, tmp_path):
+    """Crash window: if the data rewrite starts, the OLD manifest must
+    already be gone — a later run with the old fingerprint re-runs
+    instead of resuming onto the new stage's output."""
+    from geowave_spark.plans.checkpoint import CheckpointedPipeline
+
+    root = str(tmp_path / "ckpt_crash")
+    p = CheckpointedPipeline(spark, root, run_id="r1")
+    p.stage("s", lambda: spark.range(10).withColumnRenamed("id", "v"), fingerprint="A")
+
+    # simulate the crash: manifest invalidated + data rewritten, but the
+    # NEW manifest never lands (kill between write and manifest commit)
+    p._fs.delete(p._manifest_path("s"))
+    spark.range(99).withColumnRenamed("id", "w").write.mode("overwrite").parquet(p._data_path("s"))
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(10).withColumnRenamed("id", "v")
+
+    p2 = CheckpointedPipeline(spark, root, run_id="r1")
+    out = p2.stage("s", build, fingerprint="A")
+    # no stale resume onto the 99-row foreign data: the stage re-ran
+    assert calls["n"] == 1 and out.count() == 10
+    assert not p2.results["s"].resumed

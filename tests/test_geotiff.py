@@ -326,3 +326,55 @@ def test_lzw_roundtrip_stress():
     for data in cases:
         enc = _lzw_encode(data)
         assert imagecodec._lzw_decode(enc) == data
+
+
+def test_projected_epsg_wins_over_geographic(tmp_path):
+    """ArcGIS/libgeotiff writers emit BOTH GeographicTypeGeoKey (2048, the
+    datum's geographic CRS) and ProjectedCSTypeGeoKey (3072) for projected
+    rasters; GeoKeys sort ascending, so a first-match walk reports 4326
+    for a UTM raster.  The projected code must win."""
+    import struct as _s
+
+    import numpy as np
+
+    from geowave_spark.functions import imagecodec as IC
+    from geowave_spark.sources import geotiff as gt
+
+    # minimal gray uint8 TIFF with a GeoKeyDirectory holding both keys
+    w = h = 2
+    data = bytes(range(4))
+    entries = [
+        (256, 4, 1, [w]), (257, 4, 1, [h]), (258, 3, 1, [8]), (259, 3, 1, [1]),
+        (262, 3, 1, [1]), (277, 3, 1, [1]), (339, 3, 1, [1]),
+        (273, 4, 1, [8]), (279, 4, 1, [len(data)]), (278, 4, 1, [h]),
+        (33550, 12, 3, [1.0, 1.0, 0.0]),
+        (33922, 12, 6, [0.0, 0.0, 0.0, 500000.0, 4650000.0, 0.0]),
+        (34735, 3, 16,
+         [1, 1, 0, 3,
+          1024, 0, 1, 1,          # ModelTypeProjected
+          2048, 0, 1, 4326,       # geographic datum CRS
+          3072, 0, 1, 32633]),    # the raster's ACTUAL (projected) CRS
+    ]
+    out = bytearray(b"II*\x00")
+    ifd_off = 8 + len(data)
+    out += _s.pack("<I", ifd_off)
+    out += data
+    # value area after the IFD
+    n = len(entries)
+    val_off = ifd_off + 2 + 12 * n + 4
+    body = bytearray()
+    ifd = _s.pack("<H", n)
+    tsize = {3: 2, 4: 4, 12: 8}
+    tfmt = {3: "H", 4: "I", 12: "d"}
+    for tag, typ, cnt, vals in entries:
+        raw = b"".join(_s.pack("<" + tfmt[typ], v) for v in vals)
+        if len(raw) <= 4:
+            ifd += _s.pack("<HHI", tag, typ, cnt) + raw.ljust(4, b"\x00")
+        else:
+            ifd += _s.pack("<HHI", tag, typ, cnt) + _s.pack("<I", val_off + len(body))
+            body += raw
+    ifd += _s.pack("<I", 0)
+    out += ifd + body
+    meta = gt.geotiff_meta(bytes(out))
+    assert meta["epsg"] == 32633
+    assert IC.decode_tiff(bytes(out)).shape == (2, 2, 3)

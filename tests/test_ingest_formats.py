@@ -98,3 +98,25 @@ def test_read_gpx_and_track_wkt(spark, tmp_path):
     assert len(tracks) == 1 and tracks[0]["n_points"] == 3
     g = geom.geometry_from_wkt(tracks[0]["wkt"])
     assert g.bbox == (0.0, 0.0, 2.0, 1.0)
+
+
+def test_gpx_multi_track_one_feature_per_track(spark, tmp_path):
+    """Two <trk> elements in one file must yield two WKT features —
+    merging them would add a phantom segment between unrelated tracks."""
+    gpx = (
+        '<?xml version="1.0"?><gpx xmlns="http://www.topografix.com/GPX/1/1">'
+        '<trk><trkseg>'
+        '<trkpt lon="0" lat="0"></trkpt><trkpt lon="1" lat="0"></trkpt>'
+        "</trkseg></trk>"
+        '<trk><trkseg>'
+        '<trkpt lon="50" lat="50"></trkpt><trkpt lon="51" lat="50"></trkpt>'
+        "</trkseg></trk></gpx>"
+    )
+    (tmp_path / "two.gpx").write_text(gpx)
+    pts = fmt.read_gpx(spark, str(tmp_path / "two.gpx"))
+    rows = sorted(pts.collect(), key=lambda r: r["seq"])
+    assert [r["track"] for r in rows] == [0, 0, 1, 1]
+    tracks = sorted(fmt.gpx_tracks_to_wkt(pts).collect(), key=lambda r: r["track"])
+    assert len(tracks) == 2
+    assert tracks[0]["wkt"] == "LINESTRING (0.0 0.0, 1.0 0.0)"
+    assert tracks[1]["wkt"] == "LINESTRING (50.0 50.0, 51.0 50.0)"

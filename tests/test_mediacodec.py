@@ -216,6 +216,18 @@ def test_gce_scope_is_single_image():
     assert np.array_equal(out[1], pal[f2])
 
 
+def test_gif_frame_overrunning_screen_is_clipped():
+    # broken writers emit frames extending past the logical screen;
+    # browsers clip — decode must not crash on the broadcast mismatch
+    pal = np.array([[0, 0, 0], [255, 0, 0]], np.uint8)
+    f = np.ones((3, 3), np.uint8)
+    gif = _manual_gif(2, 2, pal, [_image_block(1, 1, 3, 3, f, 2)])
+    out = mc.decode_gif_frames(gif)
+    want = np.zeros((2, 2, 3), np.uint8)
+    want[1, 1] = pal[1]  # only the in-screen cell lands
+    assert np.array_equal(out[0], want)
+
+
 def test_gif_restore_previous_disposal():
     pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0]], np.uint8)
     f1 = np.full((3, 3), 1, np.uint8)
