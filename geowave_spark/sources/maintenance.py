@@ -204,6 +204,30 @@ def lookup_store(
     )
 
 
+def maybe_compact(
+    spark: SparkSession,
+    root: str,
+    max_deltas: int = 8,
+    delta_fraction: float = 0.5,
+    n_files: int = 32,
+    vacuum: bool = True,
+) -> dict | None:
+    """Schedulable compaction policy: compact when the delta count exceeds
+    ``max_deltas`` OR the deltas hold more than ``delta_fraction`` of the
+    store's rows (the size-tiered trigger a tablet server applies
+    implicitly).  Returns the new manifest when compaction ran, else None
+    — call it after every append (cheap: one manifest read) or from a
+    cron'd maintenance job."""
+    m = _read_manifest(root)
+    if not m["deltas"]:
+        return None
+    delta_rows = sum(m["runs"][r]["rows"] for r in m["deltas"])
+    total = sum(s["rows"] for s in m["runs"].values())
+    if len(m["deltas"]) > max_deltas or (total and delta_rows / total > delta_fraction):
+        return compact_store(spark, root, n_files=n_files, vacuum=vacuum)
+    return None
+
+
 def compact_store(
     spark: SparkSession, root: str, n_files: int = 32, vacuum: bool = True
 ) -> dict:

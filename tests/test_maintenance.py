@@ -163,3 +163,21 @@ def test_manifest_is_valid_json_with_stats(store):
         m = json.load(f)
     for run, st in m["runs"].items():
         assert st["rows"] > 0 and st["min_cell"] <= st["max_cell"]
+
+
+def test_maybe_compact_policy(spark, tmp_path):
+    root = str(tmp_path / "policy_store")
+    mt.write_store(_batch(spark, 40, n=4000), root, n_files=2, phash_col=None)
+    # small delta: neither trigger fires
+    mt.append_store(_batch(spark, 41, n=100), root, n_files=1)
+    assert mt.maybe_compact(spark, root, max_deltas=8, delta_fraction=0.5) is None
+    # delta mass exceeds half the store -> size trigger fires
+    mt.append_store(_batch(spark, 42, n=5000), root, n_files=2)
+    m = mt.maybe_compact(spark, root, max_deltas=8, delta_fraction=0.5)
+    assert m is not None and m["deltas"] == [] and m["runs"][m["base"]]["rows"] == 9100
+    # count trigger: many tiny deltas
+    for s in range(43, 47):
+        mt.append_store(_batch(spark, s, n=10), root, n_files=1)
+    assert mt.maybe_compact(spark, root, max_deltas=8) is None  # 4 <= 8
+    m2 = mt.maybe_compact(spark, root, max_deltas=3)
+    assert m2 is not None and m2["generation"] == m["generation"] + 1
