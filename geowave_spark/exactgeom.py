@@ -116,7 +116,14 @@ def _pip_part(rings: list[list[Pt]], px: Fraction, py: Fraction) -> str:
 def _pip(g, px: Fraction, py: Fraction) -> str:
     """'in' / 'bnd' / 'out' against an area geometry (multi = any part;
     'in' wins over 'bnd' — a point on one part's boundary but strictly
-    inside a touching sibling part is interior to the union)."""
+    inside a touching sibling part is interior to the union).
+
+    Contract: OGC-VALID multipolygons (sibling parts touch at finitely
+    many POINTS, never along edges) — same precondition as JTS relate.
+    There a pinch point is genuinely on the union's boundary, so 'bnd'
+    is the correct answer whenever no part strictly contains the point;
+    edge-adjacent siblings (invalid input) would need a sector sweep to
+    classify shared-edge interiors and are out of contract."""
     best = "out"
     for part in _area_parts(g):
         r = _pip_part(_rings_fr(part), px, py)
@@ -193,13 +200,57 @@ def _bbox_fr(pts: list[Pt]) -> tuple[Fraction, Fraction, Fraction, Fraction]:
     return min(xs), min(ys), max(xs), max(ys)
 
 
+def _side_points(mx, my, dx, dy, all_segs: list[Seg]) -> list[Pt]:
+    """The two exact face witnesses adjacent to a boundary sub-segment.
+
+    For a sub-segment midpoint m with direction d, walk the normal ray
+    m + t·n on each side and find the FIRST exact crossing parameter with
+    any segment of the combined arrangement; half that parameter places
+    the witness strictly inside the open face touching the sub-segment on
+    that side (strictly off every boundary by construction).  All
+    arithmetic is rational — no epsilons."""
+    out: list[Pt] = []
+    for sgn in (1, -1):
+        wx, wy = -dy * sgn, dx * sgn  # normal direction
+        t_min = Fraction(1)  # cap: faces are never thinner than needed
+        for cx, cy, ex, ey in all_segs:
+            fx, fy = ex - cx, ey - cy
+            denom = wx * fy - wy * fx
+            if denom != 0:
+                t = ((cx - mx) * fy - (cy - my) * fx) / denom
+                u = ((cx - mx) * wy - (cy - my) * wx) / denom
+                if t > 0 and 0 <= u <= 1 and t < t_min:
+                    t_min = t
+            else:
+                # ray parallel to the segment: a collinear segment lies
+                # ALONG the ray — its endpoint projections bound t too
+                if _orient(mx, my, mx + wx, my + wy, cx, cy) == 0:
+                    l2 = wx * wx + wy * wy
+                    for qx, qy in ((cx, cy), (ex, ey)):
+                        t = ((qx - mx) * wx + (qy - my) * wy) / l2
+                        if 0 < t < t_min:
+                            t_min = t
+        h = t_min / 2
+        out.append((mx + h * wx, my + h * wy))
+    return out
+
+
 def covers(ga, gb) -> bool:
     """Exact JTS-``covers``: every point of gb in the CLOSED ga.
 
     ga with area: every gb vertex and every cut-sub-segment midpoint of
-    gb's boundary in closed ga; then, for gb with area, no hole of ga may
-    sit inside gb (one exact interior point per hole decides — see module
-    docstring).  ga a line: gb must be 0/1-dim and every vertex plus every
+    gb's boundary in closed ga; then, for gb with area, an ARRANGEMENT-
+    FACE sweep certifies the interiors: every open face of the combined
+    boundary arrangement that lies inside gb but outside ga must adjoin
+    some boundary sub-segment (its boundary consists of arrangement
+    edges), so testing the two exact side witnesses of EVERY sub-segment
+    of BOTH boundaries decides completely.  This subsumes the former
+    per-hole witness (a hole of ga is bounded by ga-boundary arcs) and is
+    correct where a single hole point was not: islands nested inside
+    holes (the witness must also be OUTSIDE ga) and exterior pockets
+    enclosed between touching sibling parts (bounded by ga arcs whose
+    side witness lands in the pocket).
+    ga a line: gb must be 0/1-dim and every vertex plus every
     cut-sub-segment midpoint of gb must lie ON ga."""
     if isinstance(gb, _g.Point):
         px, py = _fr(gb.x), _fr(gb.y)
@@ -208,22 +259,29 @@ def covers(ga, gb) -> bool:
         return any(_on_seg(px, py, *s) for s in _segs_fr(ga))
     if _g._has_area(ga):
         segs_a = _segs_fr(ga)
+        segs_b = _segs_fr(gb)
         for vx, vy in _verts_fr(gb):
             if _pip(ga, vx, vy) == "out":
                 return False
-        for s in _segs_fr(gb):
+        for s in segs_b:
             for mx, my in _sub_midpoints(*s, segs_a):
                 if _pip(ga, mx, my) == "out":
                     return False
         if _g._has_area(gb):
-            bx0, by0, bx1, by1 = (_fr(v) for v in gb.bbox)
-            for hole in _hole_rings_fr(ga):
-                hx0, hy0, hx1, hy1 = _bbox_fr(hole[:-1])
-                if hx0 > bx1 or bx0 > hx1 or hy0 > by1 or by0 > hy1:
-                    continue
-                p = _ring_interior_point(hole)
-                if p is not None and _pip(gb, p[0], p[1]) == "in":
-                    return False
+            all_segs = segs_a + segs_b
+            for own, other in ((segs_a, segs_b), (segs_b, segs_a)):
+                for ax, ay, bx, by in own:
+                    ts = _cut_ts(ax, ay, bx, by, other)
+                    dx, dy = bx - ax, by - ay
+                    for t0, t1 in zip(ts[:-1], ts[1:]):
+                        tm = (t0 + t1) / 2
+                        mx, my = ax + tm * dx, ay + tm * dy
+                        for px, py in _side_points(mx, my, dx, dy, all_segs):
+                            if (
+                                _pip(gb, px, py) == "in"
+                                and _pip(ga, px, py) == "out"
+                            ):
+                                return False
         return True
     # ga is 0/1-dimensional
     if _g._has_area(gb) or isinstance(ga, _g.Point):

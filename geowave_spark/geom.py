@@ -697,7 +697,12 @@ def covers_pair(ga, gb) -> bool:
                     hx[strict][:, None], hy[strict][:, None],
                     Sg[None, :, 0], Sg[None, :, 1], Sg[None, :, 2], Sg[None, :, 3],
                 ).any(axis=1)
-                if not bool(on_boundary.all()):
+                # a witness only punches gb out of ga if it is also OUTSIDE
+                # the closed ga: a multipolygon may nest an ISLAND part
+                # inside this hole, and a witness landing on the island is
+                # covered material, not an escape
+                in_ga = ga.contains(hx[strict], hy[strict])
+                if not bool((on_boundary | in_ga).all()):
                     return False
     # accept-side audit: every float witness passed — in degenerate
     # contact that is exactly where sampling could miss an escape, so the

@@ -82,25 +82,10 @@ _HULL_SCHEMA = T.StructType(
 
 
 def _convex_hull(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
-    """Monotone-chain convex hull (public classic algorithm), CCW order."""
-    pts = np.unique(np.column_stack([xs, ys]), axis=0)
-    if len(pts) <= 2:
-        return pts
-
-    def cross(o, a, b):
-        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
-
-    lower: list = []
-    for p in pts:
-        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
-            lower.pop()
-        lower.append(p)
-    upper: list = []
-    for p in pts[::-1]:
-        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
-            upper.pop()
-        upper.append(p)
-    return np.array(lower[:-1] + upper[:-1])
+    """Monotone-chain convex hull, CCW order — one algorithm for both
+    entry points: this is `_strict_hull` on stacked coordinates (the
+    collinear-dropping rule the oracle depends on lives in ONE place)."""
+    return _strict_hull(np.column_stack([xs, ys]))
 
 
 def cluster_hulls(assignments: DataFrame, lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:

@@ -209,3 +209,63 @@ def test_exact_path_matches_quarter_grid_truth(seed):
     # the rectilinear generator produces plenty of degenerate contact —
     # this family genuinely exercises the exact path
     assert n_routed >= 5
+
+
+# ---------------------------------------------------------------------------
+# r4d review regressions: multipolygon face cases the per-hole witness missed
+# ---------------------------------------------------------------------------
+
+
+def test_covers_island_nested_in_hole():
+    """gb IS an island part nested inside a hole of another part: every
+    point of gb lies in ga (covers True).  The former single-hole-witness
+    rejected it because the hole's interior point landed inside gb."""
+    from geowave_spark import geom as g, exactgeom as xg
+
+    ga = g.geometry_from_wkt(
+        "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0),"
+        " (2 2, 2 8, 8 8, 8 2, 2 2)), ((3 3, 7 3, 7 7, 3 7, 3 3)))"
+    )
+    island = g.geometry_from_wkt("POLYGON ((3 3, 7 3, 7 7, 3 7, 3 3))")
+    assert xg.covers(ga, island)
+    # float path, no boundary contact: gb strictly inside the island
+    inner = g.geometry_from_wkt("POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))")
+    assert g.covers_pair(ga, inner)
+    # a gb poking the hole-minus-island region still rejects (both paths)
+    poker = g.geometry_from_wkt("POLYGON ((2.2 2.2, 2.8 2.2, 2.8 2.8, 2.2 2.8, 2.2 2.2))")
+    assert not g.covers_pair(ga, poker)
+    hole_filler = g.geometry_from_wkt("POLYGON ((2 2, 8 2, 8 8, 2 8, 2 2))")
+    assert not xg.covers(ga, hole_filler)
+
+
+def test_covers_pocket_between_touching_parts():
+    """Two OGC-valid parts touching at isolated points enclose an exterior
+    pocket; gb = the pocket shares every boundary point with ga but its
+    interior is outside — covers must be False (the arrangement-face
+    sweep's side witness lands in the pocket)."""
+    from geowave_spark import geom as g, exactgeom as xg
+
+    ga = g.geometry_from_wkt(
+        "MULTIPOLYGON (((0 0, 3 0, 3 1, 0 1, 0 0)),"
+        " ((0 1, 1.5 2, 3 1, 3 3, 0 3, 0 1)))"
+    )
+    pocket = g.geometry_from_wkt("POLYGON ((0 1, 3 1, 1.5 2, 0 1))")
+    assert not xg.covers(ga, pocket)
+    assert not g.covers_pair(ga, pocket)
+    # the parts themselves ARE covered
+    part = g.geometry_from_wkt("POLYGON ((0 0, 3 0, 3 1, 0 1, 0 0))")
+    assert xg.covers(ga, part)
+
+
+def test_covers_classic_hole_punch_still_rejects():
+    from geowave_spark import geom as g, exactgeom as xg
+
+    ga = g.geometry_from_wkt(
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 4 6, 6 6, 6 4, 4 4))"
+    )
+    gb = g.geometry_from_wkt("POLYGON ((3 3, 7 3, 7 7, 3 7, 3 3))")
+    assert not xg.covers(ga, gb)
+    assert not g.covers_pair(ga, gb)
+    # exact-fit into the hole ring is allowed (boundary-only contact)...
+    ring = g.geometry_from_wkt("POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))")
+    assert not xg.covers(ga, ring)  # hole interior is NOT covered material
