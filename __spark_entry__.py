@@ -5,12 +5,12 @@
 training-data-pipeline extensions, consolidated to exactly 50 entries
 (near-duplicate operators merged via tag-column unions / wide joins) so the
 driver's ~50-row correctness window covers every operator; ``oracle_sql()``
-returns exactly-matching DuckDB SQL for the 47 SQL-expressible ones
-(engineered for bit-exact value parity — see geowave_spark/entry_queries.py;
-kmeans_hulls joined the oracle set in r4 via a deterministic Lloyd + a
-recursive-CTE hull oracle; the 3 rows-only tail entries are
-approximate/stored-index/codec-output operators whose exactness is pinned
-against local oracles in tests/).
+returns exactly-matching DuckDB SQL for ALL 50 (engineered for bit-exact
+value parity — see geowave_spark/entry_queries.py; kmeans_hulls / sketch_stats
+/ ann_ivf_pq joined the oracle set in r4 via deterministic SQL-derivable
+state, and image_codec in r5 via the materialized engine-signature artifact
+of sources/imgsig.py — the only self-certified surface left is raw codec
+byte math, pinned by PSNR/roundtrip/fuzz tests).
 Verified value-exact at sf0.001, sf0.01 and sf0.1
 (tests/test_entry_parity.py).
 """

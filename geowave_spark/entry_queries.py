@@ -2900,8 +2900,14 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_image_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image decode statistics + resize pipeline + pixel-level perceptual
-    dedup (engine codecs → rows-only), tagged with null-padded value
-    columns.
+    dedup, tagged with null-padded value columns — ORACLE-BACKED since r5
+    via the materialized signature artifact (sources/imgsig.py +
+    _oracle_image_codec; the ann_ivf_pq move applied to images).  The
+    Spark side below still runs the full distributed pipeline from raw
+    bytes; the oracle recomputes banding/CC/keep/conflict/retrieval in
+    SQL over the frozen engine signatures, so self-certification shrinks
+    to the codec byte math (pinned by test_codec/test_jpeg PSNR,
+    roundtrip and fuzz oracles).
 
     The phash/neardup legs exercise functions/phash.py end-to-end: decode →
     DCT pHash (Arrow-batched) → hamming-banded near-dup self-join.  Ten
@@ -2958,7 +2964,8 @@ def q_image_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass-through the operators expose for exactly this composition)
     sigs = ph.compute_phash(corpus).localCheckpoint()
     nd_pairs = ph.image_neardup_pairs(corpus, max_hamming=4, bands=5, signatures=sigs)
-    p = sigs.join(base.limit(50).select("image_id"), "image_id").select(
+    first50 = base.filter(F.col("image_id") < f"img{50:010d}")
+    p = sigs.join(first50.select("image_id"), "image_id").select(
         F.lit("phash").alias("kind"),
         "image_id",
         F.lit(None).cast("double").alias("a"),
@@ -2989,7 +2996,7 @@ def q_image_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hamming").cast("long").alias("c"),
     )
     sim = feat.image_similarity_topk(
-        corpus, base.limit(5), k=3
+        corpus, base.filter(F.col("image_id") < f"img{5:010d}"), k=3
     ).select(
         F.lit("similar").alias("kind"),
         F.concat_ws(":", F.col("query_id"), F.col("image_id"), F.col("rank")).alias("image_id"),
@@ -3188,6 +3195,84 @@ BENCH_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 
+def _oracle_image_codec() -> str:
+    """Seven-leg twin of q_image_codec over the materialized engine
+    signature artifact (sources/imgsig.py — the ann_ivf_pq move applied to
+    the image pipeline, closing the r4 verdict's last ``no_oracle`` row).
+
+    decode / resize / phash legs read the frozen per-image signatures (the
+    driver row certifies the DISTRIBUTED Arrow decode path reproduces the
+    local per-image reference functions bit-exactly; the codec byte math
+    itself is pinned by tests/test_codec.py + test_jpeg.py).  The
+    neardup / keep / conflict / similar legs are REAL algorithmic oracles:
+    hamming pairs via bit_count(xor), connected components via the
+    recursive-CTE min-label closure (the dedup_canonical pattern), the
+    quality-keep QUALIFY, and the cosine top-k fold shared with
+    ann_cosine_topk — all recomputed from the artifact independently of
+    the engine's banding/CC/window plans."""
+    from .sources import imgsig
+
+    path = imgsig.ensure_sig_artifact(_IMG_CACHE_ROOT)
+    ham = "bit_count(xor(a.phash64, b.phash64))"
+    nb = "CAST(NULL AS DOUBLE)"
+    nc = "CAST(NULL AS BIGINT)"
+    return (
+        "WITH RECURSIVE "
+        "sig AS MATERIALIZED (SELECT image_id, phash64, w, h, caption, "
+        "feature::DOUBLE[] AS f, mean_r_mu, mean_g_mu, resize_crc "
+        f"FROM read_parquet('{path}')), "
+        # decode stats: full 300-row base fixture
+        "d AS (SELECT 'decode' AS kind, image_id, CAST(mean_r_mu AS DOUBLE) AS a, "
+        f"CAST(mean_g_mu AS DOUBLE) AS b, {nc} AS c FROM sig WHERE image_id LIKE 'img%'), "
+        # resize: first 200 base rows, fixed 16x12 png re-encode crc
+        f"r AS (SELECT 'resize' AS kind, image_id, CAST({imgsig.RESIZE_W} AS DOUBLE) AS a, "
+        f"CAST({imgsig.RESIZE_H} AS DOUBLE) AS b, resize_crc AS c FROM sig "
+        f"WHERE image_id LIKE 'img%' AND image_id < 'img{imgsig.N_RESIZE:010d}'), "
+        # phash echo: first 50 base ids
+        f"p AS (SELECT 'phash' AS kind, image_id, {nb} AS a, {nb} AS b, phash64 AS c "
+        f"FROM sig WHERE image_id LIKE 'img%' AND image_id < 'img{50:010d}'), "
+        # near-dup pairs: exact hamming<=4 semantics (the engine's 5-band
+        # pigeonhole candidate generation is lossless at max_hamming=4)
+        "prs AS MATERIALIZED (SELECT a.image_id AS ia, b.image_id AS ib, "
+        f"CAST({ham} AS BIGINT) AS ham FROM sig a JOIN sig b "
+        f"ON a.image_id < b.image_id AND {ham} <= 4), "
+        f"nd AS (SELECT 'neardup' AS kind, ia || ':' || ib AS image_id, {nb} AS a, "
+        f"{nb} AS b, ham AS c FROM prs), "
+        # connected components over the pair graph -> quality keep
+        "edges AS (SELECT ia AS u, ib AS v FROM prs UNION ALL SELECT ib, ia FROM prs), "
+        "reach(image_id, label) AS (SELECT image_id, image_id FROM sig "
+        "UNION SELECT e.u, r2.label FROM reach r2 JOIN edges e ON e.v = r2.image_id), "
+        "comp AS (SELECT image_id, min(label) AS canonical_id FROM reach GROUP BY image_id), "
+        "scored AS (SELECT s.image_id, CAST(s.w AS BIGINT) * s.h AS n_px, c.canonical_id "
+        "FROM comp c JOIN sig s USING (image_id)), "
+        f"keep AS (SELECT 'keep' AS kind, image_id, {nb} AS a, {nb} AS b, n_px AS c "
+        "FROM scored QUALIFY row_number() OVER (PARTITION BY canonical_id "
+        "ORDER BY n_px DESC, image_id ASC) = 1), "
+        # caption conflicts: near-identical pixels, differing captions
+        "conf AS (SELECT 'conflict' AS kind, p2.ia || ':' || p2.ib AS image_id, "
+        f"{nb} AS a, {nb} AS b, p2.ham AS c FROM prs p2 "
+        "JOIN sig ca ON ca.image_id = p2.ia JOIN sig cb ON cb.image_id = p2.ib "
+        "WHERE ca.caption IS DISTINCT FROM cb.caption), "
+        # content retrieval: first 5 base queries, cosine top-3 over corpus
+        "q AS (SELECT image_id AS query_id, f AS qf FROM sig "
+        f"WHERE image_id LIKE 'img%' AND image_id < 'img{5:010d}'), "
+        f"cand AS (SELECT q.query_id, s.image_id, {sql_mu(_sql_cos('q.qf', 's.f'))} AS cos_mu "
+        "FROM sig s CROSS JOIN q), "
+        "simr AS (SELECT query_id, image_id, cos_mu, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cos_mu DESC, image_id ASC) AS rk FROM cand), "
+        "sim AS (SELECT 'similar' AS kind, "
+        "query_id || ':' || image_id || ':' || CAST(rk AS VARCHAR) AS image_id, "
+        f"{nb} AS a, {nb} AS b, cos_mu AS c FROM simr WHERE rk <= 3) "
+        "SELECT kind, image_id, a, b, c FROM d "
+        "UNION ALL SELECT kind, image_id, a, b, c FROM r "
+        "UNION ALL SELECT kind, image_id, a, b, c FROM p "
+        "UNION ALL SELECT kind, image_id, a, b, c FROM nd "
+        "UNION ALL SELECT kind, image_id, a, b, c FROM keep "
+        "UNION ALL SELECT kind, image_id, a, b, c FROM conf "
+        "UNION ALL SELECT kind, image_id, a, b, c FROM sim"
+    )
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "pip_join_tiered": _oracle_pip_join(),
@@ -3241,5 +3326,5 @@ def build_oracles() -> dict[str, str]:
         "set_except_customers": _oracle_set_except(),
         "kmeans_hulls": _oracle_kmeans_hulls(),
         "image_tile_counts": _oracle_image_tiles(),
-        # image_resize / image_decode_stats: engine codec output → rows-only
+        "image_codec": _oracle_image_codec(),
     }
