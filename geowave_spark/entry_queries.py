@@ -705,18 +705,41 @@ def q_st_range_subbin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_st_range_cql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions import cql as _cql
-
+def st_range_cql_text() -> str:
+    """The st_range 'cql' leg filter, built ONLY from the shared constants
+    (RANGE_BBOX / ST_CQL_WINDOW / ST_CQL_VALUE) — the same constants the
+    DuckDB oracle interpolates, so engine and oracle cannot silently
+    diverge (r4 ADVICE; pinned by tests/test_cql_constants.py)."""
     bx0, by0, bx1, by1 = RANGE_BBOX
     w0, w1 = ST_CQL_WINDOW
     v0, v1 = ST_CQL_VALUE
-    return _cql.cql_filter(
-        _events(spark, sf_dir),
+    return (
         f"BBOX(geom, {bx0!r}, {by0!r}, {bx1!r}, {by1!r}) "
         f"AND ts DURING {w0}Z/{w1}Z "
         "AND (event_type IN ('click', 'view') OR event_type LIKE 'purch%') "
-        f"AND value BETWEEN {v0} AND {v1}",
+        f"AND value BETWEEN {v0} AND {v1}"
+    )
+
+
+def st_range_arith_text() -> str:
+    """The st_range 'arith' leg filter from the same shared constants."""
+    bx0, by0, bx1, by1 = RANGE_BBOX
+    v0, v1 = ST_CQL_VALUE
+    return (
+        f"BBOX(geom, {bx0!r}, {by0!r}, {bx1!r}, {by1!r}) "
+        "AND value * 2 + 10 > 100 "
+        "AND abs(lat - 30) < 12 "
+        "AND strLength(strTrim(event_type)) >= 4 "
+        f"AND floor(value / 10) BETWEEN {v0} AND min({v1}, 300)"
+    )
+
+
+def q_st_range_cql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import cql as _cql
+
+    return _cql.cql_filter(
+        _events(spark, sf_dir),
+        st_range_cql_text(),
         geometry=("lon", "lat"),
     ).select(
         "event_id", "event_type", _cents(F.col("value")).alias("value_c"),
@@ -727,15 +750,9 @@ def q_st_range_cql(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_st_range_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import cql as _cql
 
-    bx0, by0, bx1, by1 = RANGE_BBOX
-    v0, v1 = ST_CQL_VALUE
     return _cql.cql_filter(
         _events(spark, sf_dir),
-        f"BBOX(geom, {bx0!r}, {by0!r}, {bx1!r}, {by1!r}) "
-        "AND value * 2 + 10 > 100 "
-        "AND abs(lat - 30) < 12 "
-        "AND strLength(strTrim(event_type)) >= 4 "
-        f"AND floor(value / 10) BETWEEN {v0} AND min({v1}, 300)",
+        st_range_arith_text(),
         geometry=("lon", "lat"),
     ).select(
         "event_id", "event_type", _cents(F.col("value")).alias("value_c"),

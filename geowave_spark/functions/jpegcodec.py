@@ -552,7 +552,12 @@ def _decode_scan(data, pos, comps, qt, huff, h, w, dri) -> np.ndarray:
             i += 2  # restart marker: boundary handled by MCU counting
         else:
             break  # real marker (EOI or next segment)
-    buf = bytes(out) + b"\x00\x00\x00\x00\x00"
+    # pad past the data end by one block's worst-case read (64 coefficients
+    # x 27 bits = 216 bytes) so a truncated stream can NEVER index win out
+    # of range mid-block; the per-block bitlimit guard below then reports
+    # it as the module's descriptive ValueError instead of an IndexError
+    bitlimit = len(out) * 8
+    buf = bytes(out) + b"\x00" * 221
     # precompute the 40-bit window at every BYTE offset, once, vectorized:
     # win[i] = buf[i..i+5) big-endian.  One list index then replaces five
     # byte loads + four shift/or ops per symbol in the serial loop below.
@@ -589,6 +594,8 @@ def _decode_scan(data, pos, comps, qt, huff, h, w, dri) -> np.ndarray:
                 preds = [0] * len(comps)
             mcu_count += 1
             for ci, dlut, alut, by, bx in plan:
+                if bitpos >= bitlimit:
+                    raise ValueError("truncated entropy data")
                 c = comps[ci]
                 base = ((my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)) * 64
                 acc = sink[ci]
@@ -601,6 +608,8 @@ def _decode_scan(data, pos, comps, qt, huff, h, w, dri) -> np.ndarray:
                 if ln == 0:
                     raise ValueError("invalid DC Huffman code")
                 s = fused & 255
+                if s > 11:  # baseline DC categories are 0..11 (T.81 F.1.2.1)
+                    raise ValueError("corrupt DC category")
                 bitpos += ln
                 if s:
                     v = (chunk >> (40 - off - ln - s)) & ((1 << s) - 1)

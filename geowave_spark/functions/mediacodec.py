@@ -53,11 +53,13 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         (size,) = struct.unpack_from("<I", data, pos + 4)
         body = data[pos + 8 : pos + 8 + size]
         if tag == b"fmt ":
+            if len(body) < 16:  # declared size may exceed the actual bytes
+                raise ValueError("truncated WAV fmt chunk")
             fmt_tag, n_ch, rate, _brate, _balign, bits = struct.unpack_from(
                 "<HHIIHH", body
             )
             if fmt_tag == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE → SubFormat GUID
-                if size < 40:
+                if size < 40 or len(body) < 26:
                     raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
                 fmt_tag = struct.unpack_from("<H", body, 24)[0]
         elif tag == b"data":
@@ -154,6 +156,8 @@ def _gif_lzw_decode(min_code: int, buf: bytes, n_pixels: int) -> np.ndarray:
         if code == EOI:
             break
         if prev is None:
+            if code >= len(table):  # first code after CLEAR must be literal
+                raise ValueError("corrupt GIF LZW stream")
             entry = table[code]
         elif code < len(table):
             entry = table[code]

@@ -20,6 +20,11 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Upper bound on the driver-side distinct-expression collect.  Visibility
+# vocabularies are combinatorially tiny (a few labels x a few operators);
+# 10k distinct expressions means the column is not a visibility column.
+MAX_DISTINCT_EXPRESSIONS = 10_000
+
 _TOKEN = re.compile(r"\s*([()&|]|[A-Za-z0-9_.-]+)")
 
 
@@ -82,9 +87,21 @@ def visibility_filter(
     Malformed expressions FAIL CLOSED: an unparseable visibility string
     denies its rows (like an unmatched label) instead of crashing the
     whole scan — row data must never be able to kill the query.
+
+    The distinct collect is limit-guarded (the probe_broadcastable
+    pattern): real visibility vocabularies are tiny by construction, but
+    an adversarial or mis-typed column (e.g. a free-text field) must fail
+    loudly instead of pulling an unbounded label set onto the driver.
     """
     auths = set(authorizations)
-    distinct = [r[0] for r in df.select(vis_col).distinct().collect()]
+    probe = df.select(vis_col).distinct().limit(MAX_DISTINCT_EXPRESSIONS + 1).collect()
+    if len(probe) > MAX_DISTINCT_EXPRESSIONS:
+        raise ValueError(
+            f"visibility column {vis_col!r} has more than "
+            f"{MAX_DISTINCT_EXPRESSIONS} distinct expressions — this is not "
+            "a label vocabulary; refusing the driver-side collect"
+        )
+    distinct = [r[0] for r in probe]
 
     def _granted(v: str) -> bool:
         try:

@@ -84,9 +84,19 @@ class _HadoopFS:
     def __init__(self, spark: SparkSession, root: str):
         jvm = spark._jvm
         self._jvm = jvm
+        self._gw = spark.sparkContext._gateway
         self._fs = jvm.org.apache.hadoop.fs.FileSystem.get(
             jvm.java.net.URI(root), spark._jsc.hadoopConfiguration()
         )
+        # FileContext exposes the PUBLIC atomic overwrite-rename
+        # (FileSystem#rename(Path,Path,Rename...) is protected); absent on
+        # exotic store impls -> None and write_text_atomic falls back
+        try:
+            self._fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                jvm.java.net.URI(root), spark._jsc.hadoopConfiguration()
+            )
+        except Exception:
+            self._fc = None
 
     def _p(self, path: str):
         return self._jvm.org.apache.hadoop.fs.Path(path)
@@ -115,14 +125,26 @@ class _HadoopFS:
             stream.close()
 
     def write_text_atomic(self, path: str, text: str) -> None:
-        # write-to-temp + rename (atomic on HDFS; best-effort on object
-        # stores, where the read side tolerates a missing manifest anyway)
+        # write-to-temp + overwrite-rename: a SINGLE metadata operation on
+        # HDFS (FileSystem.rename with Options.Rename.OVERWRITE — no
+        # manifest-less window like delete-then-rename had, r4 ADVICE).
+        # Object stores without an atomic rename fall back to
+        # delete+rename, where the read side tolerates a missing manifest.
         tmp = path + ".tmp"
         out = self._fs.create(self._p(tmp), True)
         try:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
+        if self._fc is not None:
+            try:
+                rename_cls = self._jvm.org.apache.hadoop.fs.Options.Rename
+                opts = self._gw.new_array(rename_cls, 1)
+                opts[0] = rename_cls.OVERWRITE
+                self._fc.rename(self._p(tmp), self._p(path), opts)
+                return
+            except Exception:
+                pass  # store without atomic rename -> legacy two-step below
         self._fs.delete(self._p(path), False)
         self._fs.rename(self._p(tmp), self._p(path))
 

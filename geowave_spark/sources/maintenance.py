@@ -210,7 +210,7 @@ def maybe_compact(
     max_deltas: int = 8,
     delta_fraction: float = 0.5,
     n_files: int = 32,
-    vacuum: bool = True,
+    vacuum: bool = False,
 ) -> dict | None:
     """Schedulable compaction policy: compact when the delta count exceeds
     ``max_deltas`` OR the deltas hold more than ``delta_fraction`` of the
@@ -229,18 +229,20 @@ def maybe_compact(
 
 
 def compact_store(
-    spark: SparkSession, root: str, n_files: int = 32, vacuum: bool = True
+    spark: SparkSession, root: str, n_files: int = 32, vacuum: bool = False
 ) -> dict:
     """Merge all live runs into generation N+1; swap; optionally vacuum.
 
     The rewrite is a single scan → range shuffle → sorted write (no
     driver collect); the manifest swap is the commit point.  A crashed
     earlier attempt's orphan target directory is cleared before writing,
-    so compaction retries never wedge.  With ``vacuum=True`` (default)
-    dead runs are removed right after the swap — correct when no query
-    planned against the previous manifest is still scanning; pass
-    ``vacuum=False`` under concurrent readers and run `vacuum_store`
-    once they drain (the expire-snapshots contract).  The new base's
+    so compaction retries never wedge.  Vacuum is OPT-IN (r4 ADVICE:
+    eager deletion raced queries planned against the previous manifest —
+    readers are separate processes even in the single-writer model):
+    compaction only commits the swap and leaves dead runs on disk; run
+    `vacuum_store` after in-flight readers drain, or pass ``vacuum=True``
+    when the caller KNOWS no reader holds the old manifest (the
+    expire-snapshots contract).  The new base's
     stats are derived from the live runs' recorded stats — the merge
     changes layout, not content, so compaction never re-scans its own
     output."""

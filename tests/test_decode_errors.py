@@ -84,3 +84,63 @@ def test_on_error_validation():
         ph.compute_phash(None, on_error="ignore")
     with pytest.raises(ValueError, match="fail|null|skip"):
         feat.compute_features(None, on_error="ignore")
+
+
+# ---------------------------------------------------------------------------
+# r4 ADVICE: corrupt payloads must raise the module's DESCRIPTIVE ValueError
+# (never IndexError / struct.error / 'negative shift count') so audit rows
+# carry useful text
+# ---------------------------------------------------------------------------
+
+
+def _entropy_truncations():
+    """JPEG bytes cut inside the entropy-coded segment, various offsets."""
+    import numpy as np
+
+    from geowave_spark.functions import jpegcodec as jc
+    from geowave_spark.sources import images as src2
+
+    arr = src2.pixels_for(3)
+    full = jc.encode_jpeg(arr, quality=90)
+    sos = full.find(b"\xff\xda")
+    assert sos > 0
+    start = sos + 2 + int.from_bytes(full[sos + 2:sos + 4], "big")
+    return [full[:k] for k in range(start + 1, len(full) - 2, 97)]
+
+
+def test_jpeg_truncated_entropy_is_descriptive_valueerror():
+    from geowave_spark.functions import jpegcodec as jc
+
+    hit = 0
+    for blob in _entropy_truncations():
+        try:
+            jc.decode_jpeg(blob)
+        except ValueError:
+            hit += 1
+        # no IndexError / struct.error may escape — pytest would fail loudly
+    assert hit > 0  # at least some cuts must be detected as corrupt
+
+
+def test_gif_first_code_out_of_range_is_valueerror():
+    from geowave_spark.functions import mediacodec as mc
+
+    # min_code=2 -> CLEAR=4, EOI=5, table has 6 entries; first code 7 is
+    # out of range while prev is None (the formerly-IndexError path)
+    import numpy as np
+
+    packed = bytes([0b00000111])  # 3-bit code 7, LSB-first
+    with pytest.raises(ValueError, match="corrupt GIF LZW stream"):
+        mc._gif_lzw_decode(2, packed, 16)
+
+
+def test_wav_truncated_fmt_chunk_is_valueerror():
+    import struct
+
+    from geowave_spark.functions import mediacodec as mc
+
+    # fmt chunk declares 16 bytes but the payload is cut after 6
+    body = struct.pack("<HHI", 1, 1, 8000)[:6]
+    blob = b"RIFF" + struct.pack("<I", 4 + 8 + len(body)) + b"WAVE" \
+        + b"fmt " + struct.pack("<I", 16) + body
+    with pytest.raises(ValueError, match="truncated WAV fmt chunk"):
+        mc.decode_wav(blob)

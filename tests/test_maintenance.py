@@ -103,7 +103,11 @@ def test_compaction_is_result_invariant_and_shrinks_files(spark, store):
     assert after == before
     files_after = len(mt.read_store(spark, store).inputFiles())
     assert files_after < files_before
-    # dead runs removed from disk; manifest knows only the new base
+    # vacuum is opt-in (r4 ADVICE): the swap leaves dead runs on disk for
+    # in-flight readers; an explicit vacuum_store then removes them
+    for r in runs_before:
+        assert os.path.exists(os.path.join(store, r))
+    assert sorted(mt.vacuum_store(store)) == sorted(runs_before)
     for r in runs_before:
         assert not os.path.exists(os.path.join(store, r))
     assert set(m["runs"]) == {"base_g1"}

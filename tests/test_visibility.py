@@ -53,3 +53,19 @@ def test_visibility_filter_rows(spark):
     assert got2 == [1, 3, 4, 5, 6]
     got3 = sorted(r["id"] for r in vis.visibility_filter(df, set()).collect())
     assert got3 == [5, 6]
+
+
+def test_pathological_cardinality_guard(spark, monkeypatch):
+    """r4 verdict ask #8: an unbounded label column (e.g. free text routed
+    into vis_col by mistake) must raise instead of collecting the whole
+    distinct set driver-side.  Bound lowered via monkeypatch so the test
+    stays cheap."""
+    monkeypatch.setattr(vis, "MAX_DISTINCT_EXPRESSIONS", 50)
+    from pyspark.sql import functions as F
+
+    df = spark.range(200).select(
+        F.col("id").cast("int").alias("id"),
+        F.concat(F.lit("label"), F.col("id")).alias("visibility"),
+    )
+    with pytest.raises(ValueError, match="distinct expressions"):
+        vis.visibility_filter(df, {"label1"})
