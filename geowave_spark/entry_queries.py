@@ -668,7 +668,11 @@ def q_st_range(spark: SparkSession, sf_dir: str) -> DataFrame:
       language itself sits behind the DuckDB oracle gate;
     * ``arith``: an ECQL filter exercising arithmetic expressions and the
       GeoTools property functions (abs / floor / strLength / strTrim /
-      min) — the grammar growth beyond the r3 subset, oracle-mirrored.
+      min) — the grammar growth beyond the r3 subset, oracle-mirrored;
+    * ``relate``: the same bbox as an arbitrary DE-9IM interior-contact
+      mask ('T********' — not one of the canonical four), driving the r5
+      general matrix evaluator (georelate.relate_pair) through CQL under
+      the oracle gate.
 
     Every leg's bbox / window / value constants derive from RANGE_BBOX /
     ST_CQL_WINDOW / ST_CQL_VALUE, shared with the oracle SQL.
@@ -678,6 +682,7 @@ def q_st_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q_st_range_subbin(spark, sf_dir))
         .unionByName(q_st_range_cql(spark, sf_dir))
         .unionByName(q_st_range_arith(spark, sf_dir))
+        .unionByName(q_st_range_relate(spark, sf_dir))
     )
 
 
@@ -731,6 +736,32 @@ def st_range_arith_text() -> str:
         "AND abs(lat - 30) < 12 "
         "AND strLength(strTrim(event_type)) >= 4 "
         f"AND floor(value / 10) BETWEEN {v0} AND min({v1}, 300)"
+    )
+
+
+def st_range_relate_text() -> str:
+    """The st_range 'relate' leg: the SAME bbox as the other legs phrased
+    as an arbitrary DE-9IM interior-contact mask — 'T********' is NOT one
+    of the canonical four patterns, so this leg drives the general matrix
+    evaluator (georelate.relate_pair via geo_udfs.st_relate_wkt) through
+    the CQL front end, under the driver oracle gate (r4 verdict ask #4)."""
+    bx0, by0, bx1, by1 = RANGE_BBOX
+    return (
+        f"RELATE(geom, POLYGON (({bx0!r} {by0!r}, {bx1!r} {by0!r}, "
+        f"{bx1!r} {by1!r}, {bx0!r} {by1!r}, {bx0!r} {by0!r})), 'T********')"
+    )
+
+
+def q_st_range_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import cql as _cql
+
+    return _cql.cql_filter(
+        _events(spark, sf_dir),
+        st_range_relate_text(),
+        geometry=("lon", "lat"),
+    ).select(
+        "event_id", "event_type", _cents(F.col("value")).alias("value_c"),
+        F.lit("relate").alias("kind"),
     )
 
 
@@ -1840,6 +1871,16 @@ def _oracle_st_range() -> str:
         "AND (event_type IN ('click', 'view') OR event_type LIKE 'purch%') "
         f"AND value BETWEEN {v0} AND {v1}"
     )
+    relate_leg = (
+        # interior-contact RELATE mask over the same box: a point matches
+        # iff STRICTLY inside (boundary contact labels cell [0][1], not
+        # [0][0]) — strict inequalities are the exact-double twin of the
+        # kernel's _strictly_inside (contains AND NOT on-segment)
+        f"SELECT event_id, event_type, {sql_cents('value')} AS value_c, "
+        f"'relate' AS kind FROM ev WHERE "
+        f"lon > CAST({x0!r} AS DOUBLE) AND lon < CAST({x1!r} AS DOUBLE) "
+        f"AND lat > CAST({y0!r} AS DOUBLE) AND lat < CAST({y1!r} AS DOUBLE)"
+    )
     arith_leg = (
         f"SELECT event_id, event_type, {sql_cents('value')} AS value_c, "
         f"'arith' AS kind FROM ev WHERE {bbox_sql} "
@@ -1858,6 +1899,8 @@ def _oracle_st_range() -> str:
         + cql_leg
         + " UNION ALL "
         + arith_leg
+        + " UNION ALL "
+        + relate_leg
     )
 
 
@@ -3209,6 +3252,9 @@ BENCH_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r4c: polar-cap scan on the stored spherical S2 layout (new work, new
     # row — the consolidated range_query_indexed grew this as a third leg)
     "s2_range_query": q_s2_range,
+    # r5: general DE-9IM mask through the CQL front end (new work, new row
+    # — the consolidated st_range_query grew this as a fifth leg)
+    "st_range_relate": q_st_range_relate,
 }
 
 

@@ -509,11 +509,18 @@ class _Parser:
     }
 
     def relate_pred(self) -> Column:
-        """RELATE(prop, wkt, 'DE-9IM'): the canonical single-predicate
-        patterns map to the kernel's named ops; other patterns raise with
-        guidance (CQLQueryFilter accepts any pattern via JTS relate — a
-        general matrix evaluator is out of scope; every reference IT uses
-        a named predicate)."""
+        """RELATE(prop, wkt, 'DE-9IM'): full GeoTools parity (r4 verdict
+        ask #4).  The canonical single-predicate patterns map to the
+        kernel's named vectorized ops (and contribute their envelope to
+        index-constraint extraction); every OTHER 9-char mask evaluates
+        through the general matrix evaluator (georelate.relate_pair via
+        geo_udfs.st_relate_wkt — the JTS RelateOp analog
+        CQLQueryFilter.java reaches for arbitrary patterns).
+
+        A general pattern demanding interior-interior contact
+        ('T'/'0'/'1'/'2' at cell [0,0]) still yields the envelope
+        constraint — interiors can only meet inside both envelopes — so
+        the index planner prunes for the common masks too."""
         from . import geo_udfs
 
         self.take("lp")
@@ -523,17 +530,20 @@ class _Parser:
         self.take("comma")
         pat = self.take("str")[1:-1].upper()
         self.take("rp")
-        fn = self._RELATE_PATTERNS.get(pat)
-        if fn is None:
+        if len(pat) != 9 or any(c not in "TF*012" for c in pat):
             raise CQLError(
-                f"RELATE pattern {pat!r} is not one of the canonical "
-                "single-predicate patterns "
-                f"({', '.join(sorted(self._RELATE_PATTERNS))}) — use the "
-                "named spatial predicate instead"
+                f"RELATE pattern {pat!r} is not a valid 9-char DE-9IM mask"
             )
-        if fn != "st_disjoint_wkt":
+        fn = self._RELATE_PATTERNS.get(pat)
+        if fn is not None:
+            if fn != "st_disjoint_wkt":
+                self._con = (_wkt_envelope(wkt), None)
+            return getattr(geo_udfs, fn)(self.geom_column(prop), F.lit(wkt))
+        if pat[0] in "T012":
             self._con = (_wkt_envelope(wkt), None)
-        return getattr(geo_udfs, fn)(self.geom_column(prop), F.lit(wkt))
+        return geo_udfs.st_relate_wkt(
+            self.geom_column(prop), F.lit(wkt), F.lit(pat)
+        )
 
     def wkt_literal(self) -> str:
         """WKT inside CQL is unquoted: TYPE ( ... ) — consume tokens

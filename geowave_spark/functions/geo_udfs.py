@@ -326,6 +326,45 @@ def st_covers_wkt(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(T.BooleanType())
+def st_relate_wkt(wkt_a: pd.Series, wkt_b: pd.Series, pattern: pd.Series) -> pd.Series:
+    """Arbitrary DE-9IM mask match (JTS RelateOp / GeoTools relate parity —
+    CQLQueryFilter.java accepts any 9-char pattern).  Arrow-batched; the
+    right geometry factorizes per batch (broadcast sides repeat heavily),
+    the matrix is computed per pair by georelate.relate_pair.  This is the
+    fidelity path, not a join hot path — the named predicates keep their
+    vectorized group kernels."""
+    from .. import georelate
+
+    codes, uniques = pd.factorize(wkt_b)
+    out = np.zeros(len(wkt_a), dtype=bool)
+    lnull = pd.isna(wkt_a).to_numpy()
+    left = wkt_a.to_numpy()
+    pats = pattern.to_numpy()
+    for u, wb in enumerate(uniques):
+        gb = geom.geometry_from_wkt(wb)
+        for i in np.nonzero((codes == u) & ~lnull)[0]:
+            m = georelate.relate_pair(geom.geometry_from_wkt(left[i]), gb)
+            out[i] = georelate.relate_matches(m, pats[i])
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.StringType())
+def st_relate_matrix_wkt(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
+    """The 9-char DE-9IM matrix itself (JTS Geometry.relate(g) analog)."""
+    from .. import georelate
+
+    codes, uniques = pd.factorize(wkt_b)
+    out = np.empty(len(wkt_a), dtype=object)
+    lnull = pd.isna(wkt_a).to_numpy()
+    left = wkt_a.to_numpy()
+    for u, wb in enumerate(uniques):
+        gb = geom.geometry_from_wkt(wb)
+        for i in np.nonzero((codes == u) & ~lnull)[0]:
+            out[i] = georelate.relate_pair(geom.geometry_from_wkt(left[i]), gb)
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BooleanType())
 def st_equals_wkt(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
     """Topological equality (GeomEquals)."""
     got = _group_vectorized(wkt_a, wkt_b, geom.equals_pair, _scalar_group)

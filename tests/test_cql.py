@@ -376,8 +376,18 @@ def test_beyond_and_relate(spark):
     # RELATE with canonical patterns maps to the named kernel predicates
     assert f("RELATE(geom, POLYGON ((-1 -1, 4 -1, 4 1, -1 1, -1 -1)), 'T*F**F***')") == {1, 2}
     assert f("RELATE(geom, POLYGON ((-1 -1, 4 -1, 4 1, -1 1, -1 -1)), 'FF*FF****')") == {3}
-    with pytest.raises(cql.CQLError, match="pattern"):
-        cql.cql_to_column("RELATE(geom, POINT (0 0), '012TF*012')", geometry="wkt")
+    # r5: arbitrary masks evaluate through the general matrix evaluator
+    # (point strictly inside -> interior-contact mask matches)
+    assert f("RELATE(geom, POLYGON ((-1 -1, 4 -1, 4 1, -1 1, -1 -1)), 'T********')") == {1, 2}
+    # points ON the polygon edge are boundary contact ('*T...'), and the
+    # interior mask excludes exactly them
+    assert f("RELATE(geom, POLYGON ((0 0, 3 0, 3 1, 0 1, 0 0)), '*T*******')") == {1, 2}
+    assert f("RELATE(geom, POLYGON ((0 0, 3 0, 3 1, 0 1, 0 0)), 'T********')") == set()
+    # malformed masks (wrong length / alphabet) still raise
+    with pytest.raises(cql.CQLError, match="9-char"):
+        cql.cql_to_column("RELATE(geom, POINT (0 0), 'TT*')", geometry="wkt")
+    with pytest.raises(cql.CQLError, match="9-char"):
+        cql.cql_to_column("RELATE(geom, POINT (0 0), 'T*X**F***')", geometry="wkt")
 
 
 def test_compound_temporal(spark):
