@@ -3,12 +3,15 @@
 The reference parametrizes the spatial index over any EPSG code
 (SpatialDimensionalityTypeProvider.java:107-124 ``crsCode``/``decodeCRS``;
 CustomCRSBoundedSpatialDimension bounds come from the CRS domain of
-validity) and reprojects geometry via GeoTools.  Here the two projected
-families a migrating user actually hits — Web Mercator (EPSG:3857) and the
-UTM grid (EPSG:326zz / 327zz) — are implemented from the public formulas
-(spherical Mercator, and the Transverse Mercator series of Snyder, USGS
-Professional Paper 1395, eqs 3-21, 7-1/7-4, 8-9..8-25 — public domain) so
-that:
+validity) and reprojects geometry via GeoTools.  Here the projected
+families a migrating user actually hits — Web Mercator (EPSG:3857), the
+UTM grid (EPSG:326zz / 327zz), and since r5 the conic workhorses Lambert
+Conformal Conic + Albers Equal-Area with an EPSG parameter registry
+(Lambert-93, Canada Atlas, Conus/California/Australian Albers) — are
+implemented from the public formulas (spherical Mercator, and the
+Transverse Mercator / LCC / AEA series of Snyder, USGS Professional
+Paper 1395, eqs 3-21, 7-1/7-4, 8-9..8-25, 14-1..14-21, 15-1..15-11 —
+public domain) so that:
 
 - the forward/inverse transforms are ONE Column expression each (pure JVM,
   whole-stage codegen, no Python in the loop at 100 TB scan width), and
@@ -79,6 +82,9 @@ class _NpOps:
     log = staticmethod(np.log)
     exp = staticmethod(np.exp)
     atan = staticmethod(np.arctan)
+    atan2 = staticmethod(np.arctan2)
+    asin = staticmethod(np.arcsin)
+    pow = staticmethod(np.power)
 
     @staticmethod
     def lit(v):
@@ -93,6 +99,9 @@ class _ColOps:
     log = staticmethod(F.log)
     exp = staticmethod(F.exp)
     atan = staticmethod(F.atan)
+    atan2 = staticmethod(F.atan2)
+    asin = staticmethod(F.asin)
+    pow = staticmethod(F.pow)
 
     @staticmethod
     def lit(v):
@@ -294,6 +303,220 @@ def utm_inverse_np(x, y, zone: int, south: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# Conic families (custom-CRS step 3): Lambert Conformal Conic (2SP) and
+# Albers Equal-Area, from Snyder USGS PP 1395 (public domain) — the same
+# ops-generic design as TM, so each transform is ONE Column expression
+# (codegen, no Python) with a bit-identical numpy twin.  Inverse latitude
+# uses the DIRECT series (conformal-latitude Snyder eq 3-5 for LCC,
+# authalic-latitude eq 3-18 for AEA) instead of fixed-point iteration:
+# an iterated Column would duplicate its argument subtree exponentially
+# (the 64KB-codegen trap r4 fixed in the extent joins).
+
+_RAD = math.pi / 180.0
+_DEG = 180.0 / math.pi
+
+#: GRS80 ellipsoid (EPSG:7019) — the datum of the registered conic codes
+#: (NAD83 / ETRS89-RGF93 / GDA94 share it; a differs from WGS84 by 0).
+GRS80_A = 6378137.0
+GRS80_F = 1.0 / 298.257222101
+GRS80_E2 = GRS80_F * (2.0 - GRS80_F)
+
+
+def _m_of(e2: float, phi: float) -> float:
+    return math.cos(phi) / math.sqrt(1.0 - e2 * math.sin(phi) ** 2)
+
+
+def _t_of(e2: float, phi: float) -> float:
+    e = math.sqrt(e2)
+    s = math.sin(phi)
+    return math.tan(math.pi / 4.0 - phi / 2.0) / (
+        ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
+    )
+
+
+def _q_of(e2: float, phi: float) -> float:
+    e = math.sqrt(e2)
+    s = math.sin(phi)
+    return (1.0 - e2) * (
+        s / (1.0 - e2 * s * s) - (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s))
+    )
+
+
+def lcc_consts(a: float, e2: float, lat0: float, lon0: float,
+               lat1: float, lat2: float, fe: float, fn: float) -> dict:
+    """Driver-side constants for a 2SP Lambert Conformal Conic (Snyder
+    eqs 15-1..15-11 + the 3-5 conformal-latitude series coefficients)."""
+    p0, p1, p2 = lat0 * _RAD, lat1 * _RAD, lat2 * _RAD
+    m1, m2 = _m_of(e2, p1), _m_of(e2, p2)
+    t0, t1, t2 = _t_of(e2, p0), _t_of(e2, p1), _t_of(e2, p2)
+    n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2)) if lat1 != lat2 else math.sin(p1)
+    big_f = m1 / (n * t1**n)
+    rho0 = a * big_f * t0**n
+    e4, e6, e8 = e2 * e2, e2 * e2 * e2, e2 * e2 * e2 * e2
+    return {
+        "a": a, "e2": e2, "e": math.sqrt(e2), "lon0": lon0,
+        "n": n, "F": big_f, "rho0": rho0, "fe": fe, "fn": fn,
+        "sgn": 1.0 if n >= 0 else -1.0,
+        # Snyder eq 3-5: chi -> phi series
+        "c2": e2 / 2.0 + 5.0 * e4 / 24.0 + e6 / 12.0 + 13.0 * e8 / 360.0,
+        "c4": 7.0 * e4 / 48.0 + 29.0 * e6 / 240.0 + 811.0 * e8 / 11520.0,
+        "c6": 7.0 * e6 / 120.0 + 81.0 * e8 / 1120.0,
+        "c8": 4279.0 * e8 / 161280.0,
+    }
+
+
+def _lcc_forward(ops, lon_deg, lat_deg, c: dict):
+    phi = lat_deg * ops.lit(_RAD)
+    s = ops.sin(phi) * ops.lit(c["e"])
+    t = ops.tan(ops.lit(math.pi / 4.0) - phi * ops.lit(0.5)) / ops.pow(
+        (ops.lit(1.0) - s) / (ops.lit(1.0) + s), ops.lit(c["e"] / 2.0)
+    )
+    rho = ops.pow(t, ops.lit(c["n"])) * ops.lit(c["a"] * c["F"])
+    th = (lon_deg - ops.lit(c["lon0"])) * ops.lit(_RAD * c["n"])
+    x = rho * ops.sin(th) + ops.lit(c["fe"])
+    y = ops.lit(c["rho0"] + c["fn"]) - rho * ops.cos(th)
+    return x, y
+
+
+def _lcc_inverse(ops, x, y, c: dict):
+    xp = (x - ops.lit(c["fe"])) * ops.lit(c["sgn"])
+    yp = (ops.lit(c["rho0"]) - (y - ops.lit(c["fn"]))) * ops.lit(c["sgn"])
+    rho = ops.sqrt(xp * xp + yp * yp)
+    th = ops.atan2(xp, yp)
+    lon = th * ops.lit(_DEG / c["n"]) + ops.lit(c["lon0"])
+    t = ops.pow(rho * ops.lit(c["sgn"] / (c["a"] * c["F"])), ops.lit(1.0 / c["n"]))
+    chi = ops.lit(math.pi / 2.0) - ops.atan(t) * ops.lit(2.0)
+    phi = (
+        chi
+        + ops.sin(chi * ops.lit(2.0)) * ops.lit(c["c2"])
+        + ops.sin(chi * ops.lit(4.0)) * ops.lit(c["c4"])
+        + ops.sin(chi * ops.lit(6.0)) * ops.lit(c["c6"])
+        + ops.sin(chi * ops.lit(8.0)) * ops.lit(c["c8"])
+    )
+    return lon, phi * ops.lit(_DEG)
+
+
+def aea_consts(a: float, e2: float, lat0: float, lon0: float,
+               lat1: float, lat2: float, fe: float, fn: float) -> dict:
+    """Driver-side constants for a 2SP Albers Equal-Area conic (Snyder
+    eqs 14-1..14-21 + the 3-18 authalic-latitude series)."""
+    p0, p1, p2 = lat0 * _RAD, lat1 * _RAD, lat2 * _RAD
+    m1, m2 = _m_of(e2, p1), _m_of(e2, p2)
+    q0, q1, q2 = _q_of(e2, p0), _q_of(e2, p1), _q_of(e2, p2)
+    n = (m1 * m1 - m2 * m2) / (q2 - q1) if lat1 != lat2 else math.sin(p1)
+    big_c = m1 * m1 + n * q1
+    rho0 = a * math.sqrt(big_c - n * q0) / n
+    qp = _q_of(e2, math.pi / 2.0)  # authalic normalizer
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    return {
+        "a": a, "e2": e2, "e": math.sqrt(e2), "lon0": lon0,
+        "n": n, "C": big_c, "rho0": rho0, "qp": qp, "fe": fe, "fn": fn,
+        "sgn": 1.0 if n >= 0 else -1.0,
+        # Snyder eq 3-18: beta -> phi series
+        "b2": e2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0,
+        "b4": 23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0,
+        "b6": 761.0 * e6 / 45360.0,
+    }
+
+
+def _aea_q(ops, phi, c: dict):
+    s = ops.sin(phi)
+    es = s * ops.lit(c["e"])
+    return (
+        s / (ops.lit(1.0) - s * s * ops.lit(c["e2"]))
+        - ops.log((ops.lit(1.0) - es) / (ops.lit(1.0) + es)) * ops.lit(1.0 / (2.0 * c["e"]))
+    ) * ops.lit(1.0 - c["e2"])
+
+
+def _aea_forward(ops, lon_deg, lat_deg, c: dict):
+    phi = lat_deg * ops.lit(_RAD)
+    q = _aea_q(ops, phi, c)
+    rho = ops.sqrt(ops.lit(c["C"]) - q * ops.lit(c["n"])) * ops.lit(c["a"] / c["n"])
+    th = (lon_deg - ops.lit(c["lon0"])) * ops.lit(_RAD * c["n"])
+    x = rho * ops.sin(th) + ops.lit(c["fe"])
+    y = ops.lit(c["rho0"] + c["fn"]) - rho * ops.cos(th)
+    return x, y
+
+
+def _aea_inverse(ops, x, y, c: dict):
+    xp = (x - ops.lit(c["fe"])) * ops.lit(c["sgn"])
+    yp = (ops.lit(c["rho0"]) - (y - ops.lit(c["fn"]))) * ops.lit(c["sgn"])
+    rho = ops.sqrt(xp * xp + yp * yp)
+    th = ops.atan2(xp, yp)
+    lon = th * ops.lit(_DEG / c["n"]) + ops.lit(c["lon0"])
+    q = (ops.lit(c["C"]) - rho * rho * ops.lit(c["n"] * c["n"] / (c["a"] * c["a"]))) * ops.lit(
+        1.0 / c["n"]
+    )
+    beta = ops.asin(q * ops.lit(1.0 / c["qp"]))
+    phi = (
+        beta
+        + ops.sin(beta * ops.lit(2.0)) * ops.lit(c["b2"])
+        + ops.sin(beta * ops.lit(4.0)) * ops.lit(c["b4"])
+        + ops.sin(beta * ops.lit(6.0)) * ops.lit(c["b6"])
+    )
+    return lon, phi * ops.lit(_DEG)
+
+
+# EPSG parameter registry for the common projected conic codes (parameter
+# values from the public EPSG registry entries; area = area-of-use bbox in
+# lon/lat, used to derive covering index bounds numerically).
+PROJECTED_REGISTRY: dict[str, dict] = {
+    # RGF93 / Lambert-93 (France)
+    "EPSG:2154": dict(kind="lcc", a=GRS80_A, e2=GRS80_E2, lat0=46.5, lon0=3.0,
+                      lat1=49.0, lat2=44.0, fe=700_000.0, fn=6_600_000.0,
+                      area=(-9.9, 41.1, 10.4, 51.6)),
+    # NAD83 / Canada Atlas Lambert
+    "EPSG:3978": dict(kind="lcc", a=GRS80_A, e2=GRS80_E2, lat0=49.0, lon0=-95.0,
+                      lat1=49.0, lat2=77.0, fe=0.0, fn=0.0,
+                      area=(-141.0, 40.0, -52.0, 86.0)),
+    # NAD83 / Conus Albers
+    "EPSG:5070": dict(kind="aea", a=GRS80_A, e2=GRS80_E2, lat0=23.0, lon0=-96.0,
+                      lat1=29.5, lat2=45.5, fe=0.0, fn=0.0,
+                      area=(-125.0, 24.0, -66.5, 49.5)),
+    # NAD83 / California Albers
+    "EPSG:3310": dict(kind="aea", a=GRS80_A, e2=GRS80_E2, lat0=0.0, lon0=-120.0,
+                      lat1=34.0, lat2=40.5, fe=0.0, fn=-4_000_000.0,
+                      area=(-124.5, 32.0, -114.1, 42.1)),
+    # GDA94 / Australian Albers (southern standard parallels -> n < 0)
+    "EPSG:3577": dict(kind="aea", a=GRS80_A, e2=GRS80_E2, lat0=0.0, lon0=132.0,
+                      lat1=-18.0, lat2=-36.0, fe=0.0, fn=0.0,
+                      area=(112.8, -44.0, 153.7, -9.8)),
+}
+
+_CONIC_CACHE: dict[str, dict] = {}
+
+
+def _conic(code: str) -> tuple[str, dict]:
+    p = PROJECTED_REGISTRY[code]
+    if code not in _CONIC_CACHE:
+        mk = lcc_consts if p["kind"] == "lcc" else aea_consts
+        _CONIC_CACHE[code] = mk(p["a"], p["e2"], p["lat0"], p["lon0"],
+                                p["lat1"], p["lat2"], p["fe"], p["fn"])
+    return p["kind"], _CONIC_CACHE[code]
+
+
+_BOUNDS_CACHE: dict[str, tuple] = {}
+
+
+def _conic_index_bounds(code: str) -> tuple:
+    """Covering index-bounds box: project a dense grid over the code's
+    area of use and pad 5% — the CustomCRSBoundedSpatialDimension analog
+    (bounds from the CRS domain of validity).  Deterministic, cached."""
+    if code in _BOUNDS_CACHE:
+        return _BOUNDS_CACHE[code]
+    kind, c = _conic(code)
+    x0, y0, x1, y1 = PROJECTED_REGISTRY[code]["area"]
+    lon, lat = np.meshgrid(np.linspace(x0, x1, 41), np.linspace(y0, y1, 41))
+    fwd = _lcc_forward if kind == "lcc" else _aea_forward
+    px, py = fwd(_NpOps, lon.ravel(), lat.ravel(), c)
+    mx, my = float(px.max() - px.min()) * 0.05, float(py.max() - py.min()) * 0.05
+    out = (float(px.min()) - mx, float(py.min()) - my,
+           float(px.max()) + mx, float(py.max()) + my)
+    _BOUNDS_CACHE[code] = out
+    return out
+
+
+# ---------------------------------------------------------------------------
 # CRS registry: code → (forward cols, inverse cols, index bounds).
 
 _UTM_RE = re.compile(r"^EPSG:32([67])(\d\d)$")
@@ -311,9 +534,12 @@ def _parse(code: str):
         if not 1 <= zone <= 60:
             raise ValueError(f"bad UTM zone in {code!r}")
         return ("utm", zone, m.group(1) == "7")
+    if code in PROJECTED_REGISTRY:
+        return ("conic", code, None)
     raise ValueError(
         f"unsupported CRS {code!r} (supported: EPSG:4326, EPSG:3857, "
-        "EPSG:326zz / EPSG:327zz UTM)"
+        "EPSG:326zz / EPSG:327zz UTM, and the registered conic codes "
+        f"{sorted(PROJECTED_REGISTRY)})"
     )
 
 
@@ -326,6 +552,8 @@ def crs_index_bounds(code: str):
         return None
     if kind == "merc":
         return WEB_MERCATOR_BOUNDS
+    if kind == "conic":
+        return _conic_index_bounds(_zone)
     return UTM_SOUTH_BOUNDS if south else UTM_NORTH_BOUNDS
 
 
@@ -335,6 +563,10 @@ def forward_cols(code: str, lon: Column, lat: Column) -> tuple[Column, Column]:
         return lon, lat
     if kind == "merc":
         return web_mercator_cols(lon, lat)
+    if kind == "conic":
+        fam, c = _conic(zone)
+        fwd = _lcc_forward if fam == "lcc" else _aea_forward
+        return fwd(_ColOps, lon, lat, c)
     return utm_cols(lon, lat, zone, south)
 
 
@@ -344,6 +576,10 @@ def inverse_cols(code: str, x: Column, y: Column) -> tuple[Column, Column]:
         return x, y
     if kind == "merc":
         return web_mercator_inverse_cols(x, y)
+    if kind == "conic":
+        fam, c = _conic(zone)
+        inv = _lcc_inverse if fam == "lcc" else _aea_inverse
+        return inv(_ColOps, x, y, c)
     return utm_inverse_cols(x, y, zone, south)
 
 
@@ -353,6 +589,12 @@ def forward_np(code: str, lon, lat):
         return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
     if kind == "merc":
         return web_mercator_np(lon, lat)
+    if kind == "conic":
+        fam, c = _conic(zone)
+        fwd = _lcc_forward if fam == "lcc" else _aea_forward
+        lon = np.asarray(lon, np.float64)
+        lat = np.asarray(lat, np.float64)
+        return fwd(_NpOps, lon, lat, c)
     return utm_np(lon, lat, zone, south)
 
 
@@ -386,10 +628,7 @@ def reproject_wkt(wkt: str, code: str) -> str:
 
     def _sub(m: re.Match) -> str:
         lon, lat = float(m.group(1)), float(m.group(2))
-        if kind == "merc":
-            x, y = web_mercator_np([lon], [lat])
-        else:
-            x, y = utm_np([lon], [lat], zone, south)
+        x, y = forward_np(code, [lon], [lat])
         return f"{float(x[0])!r} {float(y[0])!r}"
 
     return _PAIR_RE.sub(_sub, wkt)

@@ -118,8 +118,11 @@ def test_utm_zone_helpers():
     assert crs.crs_index_bounds("EPSG:3857") == crs.WEB_MERCATOR_BOUNDS
     assert crs.crs_index_bounds("EPSG:32617") == crs.UTM_NORTH_BOUNDS
     assert crs.crs_index_bounds("EPSG:32717") == crs.UTM_SOUTH_BOUNDS
+    # r5: Lambert-93 is now a registered conic code with derived bounds
+    b = crs.crs_index_bounds("EPSG:2154")
+    assert len(b) == 4 and b[0] < b[2] and b[1] < b[3]
     with pytest.raises(ValueError):
-        crs.crs_index_bounds("EPSG:2154")  # Lambert-93: unsupported, loud
+        crs.crs_index_bounds("EPSG:26917")  # NAD83 UTM: still unsupported, loud
 
 
 def test_column_twin_matches_numpy(spark):
