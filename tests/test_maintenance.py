@@ -185,3 +185,21 @@ def test_maybe_compact_policy(spark, tmp_path):
     assert mt.maybe_compact(spark, root, max_deltas=8) is None  # 4 <= 8
     m2 = mt.maybe_compact(spark, root, max_deltas=3)
     assert m2 is not None and m2["generation"] == m["generation"] + 1
+
+
+def test_pushed_filters_survive_compaction(spark, tmp_path):
+    """r4 verdict ask #6: after compact + vacuum the cell-range predicate
+    must still reach the (new) base's parquet scan as PushedFilters."""
+    root = str(tmp_path / "maint_push")
+    mt.write_store(_batch(spark, 0), root, n_files=4)
+    mt.append_store(_batch(spark, 1), root, n_files=2)
+    before = _ids(mt.lookup_store(spark, root, BBOX))
+    mt.compact_store(spark, root, n_files=4)
+    mt.vacuum_store(root)
+    assert _ids(mt.lookup_store(spark, root, BBOX)) == before
+    pred, _ = indexed.cell_range_predicate(BBOX)
+    plan = (
+        mt.read_store(spark, root).filter(pred)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "cell" in plan
