@@ -873,9 +873,20 @@ def geometry_join(
     max_cells: int = cells.JOIN_MAX_CELLS,
     left_bbox_cols: tuple[str, str, str, str] | None = None,
     left_is_box: bool = False,
+    exactly_once: bool = False,
 ) -> DataFrame:
     """General geometry × geometry join — ANY supported WKT on both sides
     (LINESTRING tracks, polygons with holes, multi-geometries, points).
+
+    ``exactly_once=True`` selects the STATELESS exactly-once plan: right
+    covers are left untrimmed (full bbox covers, so the PBSM reference
+    point provably lands in a shared candidate cell) and every pair-level
+    ``dropDuplicates`` is replaced by the reference-point filter — the
+    plan contains no stateful operator, which is what lets the SAME
+    operator run unchanged on a streaming left side
+    (streaming.ingest.streaming_geometry_join).  Batch callers keep the
+    default (trimmed covers prune more candidates; the post-refine
+    dedup runs on the small output).
 
     ``left_bbox_cols=(x0, y0, x1, y1)``: when the caller already has the
     left envelopes as columns, pass them to skip the WKT→bbox Arrow pass
@@ -930,7 +941,11 @@ def geometry_join(
 
     covers = geo_udfs.cover_keys(
         pd.Series([w for _, w in rows]),
-        max_cells=max_cells, buffer=buffer, trim=not buffer,
+        max_cells=max_cells, buffer=buffer,
+        # exactly-once emission needs FULL bbox covers: the PBSM reference
+        # point is a bbox-intersection corner, which a geometry-trimmed
+        # cover may not contain
+        trim=not buffer and not exactly_once,
         # boundary-closed cover: a right geometry whose upper edge lies
         # exactly on a cell line still meets left extents touching it from
         # the next cell (the Column-math left cover is already closed).
@@ -1038,6 +1053,19 @@ def geometry_join(
         # comparable in plain coordinates; leave those to the exact refine
         j = j.filter(necessary | (F.col("_rx1") > 180.0) | (F.col("_lx1") > 180.0))
 
+    if exactly_once:
+        # PBSM reference-point emission BEFORE the refine: every candidate
+        # pair survives in exactly the one (tier, cell) containing the
+        # lower-left corner of bbox(l) ∩ bbox(r) (right bbox pre-buffered
+        # for dwithin) — no dropDuplicates anywhere in the plan
+        j = j.withColumn("_rd", F.pow(F.lit(2.0), F.col("_kt").cast("double")))
+        j = j.withColumn("_rm", F.col("_rd").cast("long") - 1)
+        j = _ref_point_filter(
+            j,
+            F.greatest(F.col("_lx0"), F.col("_rx0")),
+            F.greatest(F.col("_ly0"), F.col("_ry0")),
+        )
+
     box_pred = _box_box_predicate(predicate) if left_is_box and not buffer else None
     if box_pred is not None:
         # box×box candidates never touch Python OR the WKT column: the
@@ -1045,11 +1073,11 @@ def geometry_join(
         # stage (the common case — box workloads stay 100% JVM); only
         # candidates with a non-box right geometry take the Arrow refine.
         # Which rids are boxes is known driver-side — no runtime probe.
-        j_box = (
-            j.filter(F.col("_rbox")).filter(box_pred)
-            .select(F.col(left_id), F.col("_rid").alias(right_id))
-            .dropDuplicates([left_id, right_id])
+        j_box = j.filter(F.col("_rbox")).filter(box_pred).select(
+            F.col(left_id), F.col("_rid").alias(right_id)
         )
+        if not exactly_once:
+            j_box = j_box.dropDuplicates([left_id, right_id])
         if all(r[6] for r in cell_rows):  # every right geometry is a box
             return j_box
         j_gen = _pairwise_refine(
@@ -1058,16 +1086,16 @@ def geometry_join(
         # box/general right ids are disjoint sets; the meet-tier filter
         # leaves only same-tier multi-cell duplicates — deduped on the
         # (small) refined output
-        return j_box.unionByName(
-            j_gen.select(F.col(left_id), F.col("_rid").alias(right_id))
-            .dropDuplicates([left_id, right_id])
-        )
+        j_gen = j_gen.select(F.col(left_id), F.col("_rid").alias(right_id))
+        if not exactly_once:
+            j_gen = j_gen.dropDuplicates([left_id, right_id])
+        return j_box.unionByName(j_gen)
 
     j = _pairwise_refine(j.join(right_wkts, "_rid"), predicate, radius)
-    return (
-        j.select(F.col(left_id), F.col("_rid").alias(right_id))
-        .dropDuplicates([left_id, right_id])
-    )
+    out = j.select(F.col(left_id), F.col("_rid").alias(right_id))
+    if not exactly_once:
+        out = out.dropDuplicates([left_id, right_id])
+    return out
 
 
 def geometry_join_shuffle(

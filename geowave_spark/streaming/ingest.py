@@ -242,6 +242,58 @@ def streaming_spatial_join(
     )
 
 
+def streaming_geometry_join(
+    stream: DataFrame,
+    right: DataFrame,
+    predicate: str = "intersects",
+    radius: float = 0.0,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    left_wkt: str = "wkt",
+    right_wkt: str = "wkt",
+) -> DataFrame:
+    """General geometry × geometry join over a STREAM of arbitrary WKT
+    rows (r4 verdict ask #10 — the last batch operator family without a
+    streaming twin).
+
+    Same contract as the batch ``spatial_join.geometry_join`` with all 9
+    predicates, running the operator's ``exactly_once=True`` plan: full
+    (untrimmed) right covers + PBSM reference-point emission instead of
+    pair-level ``dropDuplicates``, so the whole plan is STATELESS — scan →
+    Arrow bbox → Column keys → broadcast hash join → codegen filters →
+    Arrow refine — and therefore legal on an unbounded left side with no
+    watermark and no state store.  The batch twin with the same flag
+    returns identical rows (tests pin batch(exactly_once) == batch
+    default == streaming output).
+
+    The right side must be a BATCH frame small enough to broadcast (its
+    cover is planned driver-side, like every broadcast build)."""
+    from ..operators import spatial_join
+
+    if not stream.isStreaming:
+        raise ValueError("stream side must be a streaming DataFrame")
+    if right.isStreaming:
+        raise ValueError("right side must be a batch DataFrame (broadcast build)")
+    if not spatial_join.probe_broadcastable(right, right_wkt):
+        raise ValueError(
+            "streaming_geometry_join: right side too large to broadcast "
+            "(probe_broadcastable failed) — pre-filter the geometry set or "
+            "run the batch geometry_join_shuffle on micro-batches via "
+            "foreachBatch"
+        )
+    if right.limit(1).count() == 0:
+        raise ValueError(
+            "streaming_geometry_join: empty right side (the batch empty-"
+            "schema guard uses limit(0), which is illegal on a stream)"
+        )
+    return spatial_join.geometry_join(
+        stream, right, predicate=predicate, radius=radius,
+        left_id=left_id, right_id=right_id,
+        left_wkt=left_wkt, right_wkt=right_wkt,
+        exactly_once=True,
+    )
+
+
 def streaming_zone_counts(
     stream: DataFrame,
     polygons: DataFrame,

@@ -474,3 +474,24 @@ def test_tiered_extent_join_routes_oversized_build_to_shuffle(spark, monkeypatch
     monkeypatch.setattr(spatial_join, "BROADCAST_MAX_POLYGONS", 5)
     routed = sorted(map(tuple, spatial_join.tiered_extent_join(ex, polys).collect()))
     assert routed == expect
+
+
+def test_exactly_once_plan_matches_default(spark):
+    """r5 streaming twin groundwork: the exactly_once (PBSM, stateless)
+    plan must return the default plan's rows for every predicate family,
+    and its physical plan must contain no deduplicate operator."""
+    segs = _event_segments(spark)
+    right = spark.createDataFrame(_geoms_mixed(), ["right_id", "wkt"])
+    for predicate, radius in [
+        ("intersects", 0.0), ("dwithin", 1.5), ("within", 0.0),
+        ("crosses", 0.0), ("touches", 0.0),
+    ]:
+        base = sorted(map(tuple, spatial_join.geometry_join(
+            segs, right, predicate=predicate, radius=radius).collect()))
+        eo = spatial_join.geometry_join(
+            segs, right, predicate=predicate, radius=radius, exactly_once=True)
+        got = eo.collect()
+        assert sorted(map(tuple, got)) == base, predicate
+        assert len(got) == len(set(map(tuple, got))), predicate  # no dup rows
+        plan = eo._jdf.queryExecution().executedPlan().toString()
+        assert "Deduplicate" not in plan and "dropDuplicates" not in plan

@@ -211,3 +211,64 @@ def test_streaming_image_dedup_first_seen_perceptual(spark, tmp_path):
         q.stop()
     assert set(got) == {"a0", "a1", "b2"}  # b0 deduped against a0
     assert got["a0"] == phash.phash64_pixels(images.pixels_for(0))
+
+
+def test_streaming_geometry_join_matches_batch(spark, sf_dir, tmp_path):
+    """r4 verdict ask #10: the GENERAL geometry join (arbitrary WKT left
+    side, all-predicate family) runs unchanged on an unbounded stream via
+    the stateless exactly_once plan and emits exactly the batch pairs."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "gj_in")
+    ev = eq._events(spark, sf_dir)
+    left = ev.select(
+        F.col("event_id").cast("string").alias("left_id"),
+        F.concat(
+            F.lit("LINESTRING ("),
+            F.col("lon"), F.lit(" "), F.col("lat"), F.lit(", "),
+            F.least(F.col("lon") + 3.0, F.lit(179.9)), F.lit(" "),
+            F.least(F.col("lat") + 1.5, F.lit(89.9)),
+            F.lit(")"),
+        ).alias("wkt"),
+    )
+    left.write.parquet(src)
+    right = spark.createDataFrame(
+        [("poly_a", "POLYGON ((-60 -30, -20 -30, -20 10, -60 10, -60 -30))"),
+         ("track_b", "LINESTRING (0 0, 40 20, 80 -10)"),
+         ("pt_c", "POINT (2.25 48.9)")],
+        ["right_id", "wkt"],
+    )
+    stream = spark.readStream.schema(left.schema).parquet(src)
+    joined = ingest.streaming_geometry_join(stream, right, predicate="intersects")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("gj_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("gj_stream").collect()))
+    from geowave_spark.operators import spatial_join
+
+    want = sorted(map(tuple, spatial_join.geometry_join(
+        left, right, predicate="intersects").collect()))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_streaming_geometry_join_guards(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    batch = eq._events(spark, sf_dir).select(
+        F.col("event_id").cast("string").alias("left_id"), F.lit("POINT (0 0)").alias("wkt")
+    )
+    right = spark.createDataFrame([("r", "POINT (1 1)")], ["right_id", "wkt"])
+    with _pytest.raises(ValueError, match="stream side"):
+        ingest.streaming_geometry_join(batch, right)
+    src = str(tmp_path / "gjg_in")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    with _pytest.raises(ValueError, match="empty right side"):
+        ingest.streaming_geometry_join(stream, right.limit(0))
