@@ -59,6 +59,10 @@ HEADLINE = [
     "st_range_subbin",
     "st_range_cql",
     "st_range_arith",
+    # r5: general DE-9IM mask leg + maintained-store lookup (new work,
+    # new rows — st_range_query / range_query_indexed grew these legs)
+    "st_range_relate",
+    "range_query_maintained",
     "st_join",
     "subsample_cells",
     "zonal_stats",

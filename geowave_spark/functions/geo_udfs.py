@@ -342,10 +342,50 @@ def st_relate_wkt(wkt_a: pd.Series, wkt_b: pd.Series, pattern: pd.Series) -> pd.
     pats = pattern.to_numpy()
     for u, wb in enumerate(uniques):
         gb = geom.geometry_from_wkt(wb)
-        for i in np.nonzero((codes == u) & ~lnull)[0]:
+        idx = np.nonzero((codes == u) & ~lnull)[0]
+        if not idx.size:
+            continue
+        # vectorized fast path: many POINT lefts vs one area geometry (the
+        # point-table-filtered-by-query-polygon workload) — only three
+        # matrices are possible, classified by two vectorized kernels; the
+        # <=3 distinct (matrix, pattern) matches evaluate once each
+        pts = _parse_points(left[idx])
+        if pts is not None and geom._dim(gb) == 2:
+            mats = georelate.point_vs_area_matrices(pts, gb)
+            upat = pats[idx]
+            memo: dict[tuple, bool] = {}
+            for j, (m, p) in enumerate(zip(mats, upat)):
+                k = (m, p)
+                if k not in memo:
+                    memo[k] = georelate.relate_matches(m, p)
+                out[idx[j]] = memo[k]
+            continue
+        for i in idx:
             m = georelate.relate_pair(geom.geometry_from_wkt(left[i]), gb)
             out[i] = georelate.relate_matches(m, pats[i])
     return pd.Series(out)
+
+
+_POINT_WKT_RE = None
+
+
+def _parse_points(wkts: np.ndarray):
+    """(k,2) float array if EVERY wkt is a simple POINT, else None."""
+    global _POINT_WKT_RE
+    if _POINT_WKT_RE is None:
+        import re
+
+        _POINT_WKT_RE = re.compile(
+            r"^\s*POINT\s*\(\s*(-?[\d.eE+-]+)\s+(-?[\d.eE+-]+)\s*\)\s*$"
+        )
+    pts = np.empty((len(wkts), 2), dtype=np.float64)
+    for i, w in enumerate(wkts):
+        m = _POINT_WKT_RE.match(w)
+        if m is None:
+            return None
+        pts[i, 0] = float(m.group(1))
+        pts[i, 1] = float(m.group(2))
+    return pts
 
 
 @F.pandas_udf(T.StringType())

@@ -333,6 +333,20 @@ def relate_matches(matrix: str, pattern: str) -> bool:
     return True
 
 
+def point_vs_area_matrices(pts: np.ndarray, gb) -> np.ndarray:
+    """Vectorized DE-9IM matrices for MANY single points against one area
+    geometry — the dominant RELATE workload (a point table filtered by a
+    query polygon).  A point has empty boundary, so only three matrices
+    are possible; two vectorized kernels (exact on-segment + boundary-
+    inclusive containment, the same primitives relate_pair uses) classify
+    every point at once instead of one relate_pair call per row."""
+    S = G._nondeg_segments(gb)
+    on = _on_any_segment(pts, S)
+    closed = gb.contains(pts[:, 0], pts[:, 1])
+    out = np.where(on, "F0FFFF212", np.where(closed, "0FFFFF212", "FF0FFF212"))
+    return out.astype(object)
+
+
 def relate_wkt(wkt_a: str, wkt_b: str, pattern: str | None = None):
     """Convenience: parse, evaluate; returns the matrix string, or the
     boolean mask match when ``pattern`` is given."""

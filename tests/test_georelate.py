@@ -190,3 +190,42 @@ def test_cql_general_relate(spark):
         cql.cql_filter(
             df, "RELATE(geom, POINT (0 0), 'TT*')", geometry=("lon", "lat")
         )
+
+
+def test_point_vs_area_fast_path_matches_scalar():
+    """The vectorized point×area matrix classifier must agree with
+    relate_pair on interior / exact-boundary / exterior points."""
+    rng = np.random.RandomState(77)
+    gb = W("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))")
+    pts = rng.uniform(-1, 5, size=(300, 2))
+    # plant exact-boundary and hole-edge contacts
+    pts = np.vstack([pts, [[0.0, 2.0], [4.0, 4.0], [1.0, 1.5], [1.5, 1.5], [2.0, 2.0]]])
+    mats = georelate.point_vs_area_matrices(pts, gb)
+    for (x, y), m in zip(pts, mats):
+        assert m == georelate.relate_pair(geom.Point(x, y), gb), (x, y)
+
+
+def test_st_relate_udf_fast_path_consistency(spark):
+    from pyspark.sql import functions as F
+
+    from geowave_spark.functions import geo_udfs
+
+    rng = np.random.RandomState(3)
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(rng.uniform(-1, 5, (200, 2)))]
+    rows += [(900, 0.0, 2.0), (901, 4.0, 4.0), (902, 1.5, 1.5)]
+    df = spark.createDataFrame(rows, "id int, lon double, lat double")
+    poly = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+    wkt = F.concat(F.lit("POINT ("), F.col("lon").cast("string"), F.lit(" "),
+                   F.col("lat").cast("string"), F.lit(")"))
+    for pattern in ("T********", "*T*******", "FF*FF****", "0FFFFF212"):
+        got = {
+            r["id"]: r["m"]
+            for r in df.select(
+                "id", geo_udfs.st_relate_wkt(wkt, F.lit(poly), F.lit(pattern)).alias("m")
+            ).collect()
+        }
+        for i, x, y in rows:
+            want = georelate.relate_matches(
+                georelate.relate_pair(geom.Point(x, y), W(poly)), pattern
+            )
+            assert got[i] == want, (i, x, y, pattern)
