@@ -43,6 +43,8 @@ SQL_UDFS = {
     "st_crosses": "boolean",
     "st_overlaps": "boolean",
     "st_disjoint": "boolean",
+    "st_relate": "boolean",
+    "st_relate_matrix": "string",
 }
 
 
@@ -113,6 +115,11 @@ def register_sql_udfs(spark: SparkSession) -> None:
     spark.udf.register("st_touches", st_touches_wkt)
     spark.udf.register("st_crosses", st_crosses_wkt)
     spark.udf.register("st_overlaps", st_overlaps_wkt)
+    # r5: arbitrary DE-9IM masks + the raw matrix (JTS relate parity)
+    from .geo_udfs import st_relate_matrix_wkt, st_relate_wkt
+
+    spark.udf.register("st_relate", st_relate_wkt)
+    spark.udf.register("st_relate_matrix", st_relate_matrix_wkt)
     spark.udf.register("st_disjoint", st_disjoint_wkt)
 
 

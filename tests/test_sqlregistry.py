@@ -106,3 +106,16 @@ def test_covers_within_equals_sql_functions(spark):
         "'POLYGON ((4 0, 4 4, 0 4, 0 0, 4 0))') AS e"
     ).collect()[0]
     assert r["w"] is True and r["c"] is True and r["e"] is True
+
+
+def test_relate_sql_functions(spark):
+    from geowave_spark.functions.sqlregistry import register_sql_udfs
+
+    register_sql_udfs(spark)
+    r = spark.sql(
+        "SELECT st_relate('POINT (1 1)', "
+        "'POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))', 'T********') AS m, "
+        "st_relate_matrix('POINT (2 1)', "
+        "'POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))') AS x"
+    ).collect()[0]
+    assert r["m"] is True and r["x"] == "F0FFFF212"
