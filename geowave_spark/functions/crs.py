@@ -5,9 +5,10 @@ The reference parametrizes the spatial index over any EPSG code
 CustomCRSBoundedSpatialDimension bounds come from the CRS domain of
 validity) and reprojects geometry via GeoTools.  Here the projected
 families a migrating user actually hits — Web Mercator (EPSG:3857), the
-UTM grid (EPSG:326zz / 327zz), and since r5 the conic workhorses Lambert
-Conformal Conic + Albers Equal-Area with an EPSG parameter registry
-(Lambert-93, Canada Atlas, Conus/California/Australian Albers) — are
+UTM grid (EPSG:326zz / 327zz), and since r5 the conic/azimuthal
+workhorses Lambert Conformal Conic, Albers Equal-Area and Lambert
+Azimuthal Equal-Area with an EPSG parameter registry (Lambert-93, Canada
+Atlas, Conus/California/Australian Albers, LAEA Europe EPSG:3035) — are
 implemented from the public formulas (spherical Mercator, and the
 Transverse Mercator / LCC / AEA series of Snyder, USGS Professional
 Paper 1395, eqs 3-21, 7-1/7-4, 8-9..8-25, 14-1..14-21, 15-1..15-11 —
@@ -457,6 +458,73 @@ def _aea_inverse(ops, x, y, c: dict):
     return lon, phi * ops.lit(_DEG)
 
 
+def laea_consts(a: float, e2: float, lat0: float, lon0: float,
+                fe: float, fn: float) -> dict:
+    """Driver-side constants for the oblique Lambert Azimuthal Equal-Area
+    (Snyder eqs 24-2..24-16 ellipsoidal + the 3-18 authalic series) —
+    EPSG:3035's projection method."""
+    p0 = lat0 * _RAD
+    qp = _q_of(e2, math.pi / 2.0)
+    q1 = _q_of(e2, p0)
+    beta1 = math.asin(q1 / qp)
+    rq = a * math.sqrt(qp / 2.0)
+    m1 = _m_of(e2, p0)
+    d = a * m1 / (rq * math.cos(beta1))
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    return {
+        "a": a, "e2": e2, "e": math.sqrt(e2), "lon0": lon0, "lat0": lat0,
+        "qp": qp, "rq": rq, "D": d,
+        "sb1": math.sin(beta1), "cb1": math.cos(beta1),
+        "fe": fe, "fn": fn,
+        "b2": e2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0,
+        "b4": 23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0,
+        "b6": 761.0 * e6 / 45360.0,
+    }
+
+
+def _laea_forward(ops, lon_deg, lat_deg, c: dict):
+    phi = lat_deg * ops.lit(_RAD)
+    q = _aea_q(ops, phi, c)
+    beta = ops.asin(q * ops.lit(1.0 / c["qp"]))
+    sb, cb = ops.sin(beta), ops.cos(beta)
+    dl = (lon_deg - ops.lit(c["lon0"])) * ops.lit(_RAD)
+    cdl = ops.cos(dl)
+    b = ops.lit(c["rq"]) * ops.sqrt(
+        ops.lit(2.0)
+        / (ops.lit(1.0) + sb * ops.lit(c["sb1"]) + cb * cdl * ops.lit(c["cb1"]))
+    )
+    x = b * cb * ops.sin(dl) * ops.lit(c["D"]) + ops.lit(c["fe"])
+    y = b * (sb * ops.lit(c["cb1"]) - cb * cdl * ops.lit(c["sb1"])) * ops.lit(
+        1.0 / c["D"]
+    ) + ops.lit(c["fn"])
+    return x, y
+
+
+def _laea_inverse(ops, x, y, c: dict):
+    xp = (x - ops.lit(c["fe"])) * ops.lit(1.0 / c["D"])
+    yp = (y - ops.lit(c["fn"])) * ops.lit(c["D"])
+    rho = ops.sqrt(xp * xp + yp * yp)
+    ce = ops.asin(rho * ops.lit(1.0 / (2.0 * c["rq"]))) * ops.lit(2.0)
+    sce, cce = ops.sin(ce), ops.cos(ce)
+    # Snyder 24-27 / 24-26; at rho == 0 (the natural origin) the y'/rho
+    # term is 0/0 — the tiny additive guard resolves it to 0, giving
+    # beta = beta1, i.e. exactly the origin latitude
+    safe_rho = rho + ops.lit(1e-300)
+    qr = cce * ops.lit(c["sb1"]) + yp * sce * ops.lit(c["cb1"]) / safe_rho
+    beta = ops.asin(qr)
+    phi = (
+        beta
+        + ops.sin(beta * ops.lit(2.0)) * ops.lit(c["b2"])
+        + ops.sin(beta * ops.lit(4.0)) * ops.lit(c["b4"])
+        + ops.sin(beta * ops.lit(6.0)) * ops.lit(c["b6"])
+    )
+    lam = ops.atan2(
+        xp * sce,
+        rho * cce * ops.lit(c["cb1"]) - yp * sce * ops.lit(c["sb1"]),
+    )
+    return lam * ops.lit(_DEG) + ops.lit(c["lon0"]), phi * ops.lit(_DEG)
+
+
 # EPSG parameter registry for the common projected conic codes (parameter
 # values from the public EPSG registry entries; area = area-of-use bbox in
 # lon/lat, used to derive covering index bounds numerically).
@@ -481,18 +549,38 @@ PROJECTED_REGISTRY: dict[str, dict] = {
     "EPSG:3577": dict(kind="aea", a=GRS80_A, e2=GRS80_E2, lat0=0.0, lon0=132.0,
                       lat1=-18.0, lat2=-36.0, fe=0.0, fn=0.0,
                       area=(112.8, -44.0, 153.7, -9.8)),
+    # ETRS89-extended / LAEA Europe (the EU statistical grid)
+    "EPSG:3035": dict(kind="laea", a=GRS80_A, e2=GRS80_E2, lat0=52.0, lon0=10.0,
+                      fe=4_321_000.0, fn=3_210_000.0,
+                      area=(-25.0, 26.0, 45.0, 84.0)),
 }
 
 _CONIC_CACHE: dict[str, dict] = {}
 
 
+_CONIC_FWD = {}
+_CONIC_INV = {}
+
+
 def _conic(code: str) -> tuple[str, dict]:
     p = PROJECTED_REGISTRY[code]
     if code not in _CONIC_CACHE:
-        mk = lcc_consts if p["kind"] == "lcc" else aea_consts
-        _CONIC_CACHE[code] = mk(p["a"], p["e2"], p["lat0"], p["lon0"],
-                                p["lat1"], p["lat2"], p["fe"], p["fn"])
+        if p["kind"] == "laea":
+            _CONIC_CACHE[code] = laea_consts(
+                p["a"], p["e2"], p["lat0"], p["lon0"], p["fe"], p["fn"])
+        else:
+            mk = lcc_consts if p["kind"] == "lcc" else aea_consts
+            _CONIC_CACHE[code] = mk(p["a"], p["e2"], p["lat0"], p["lon0"],
+                                    p["lat1"], p["lat2"], p["fe"], p["fn"])
     return p["kind"], _CONIC_CACHE[code]
+
+
+def _conic_fwd_fn(kind: str):
+    return {"lcc": _lcc_forward, "aea": _aea_forward, "laea": _laea_forward}[kind]
+
+
+def _conic_inv_fn(kind: str):
+    return {"lcc": _lcc_inverse, "aea": _aea_inverse, "laea": _laea_inverse}[kind]
 
 
 _BOUNDS_CACHE: dict[str, tuple] = {}
@@ -507,7 +595,7 @@ def _conic_index_bounds(code: str) -> tuple:
     kind, c = _conic(code)
     x0, y0, x1, y1 = PROJECTED_REGISTRY[code]["area"]
     lon, lat = np.meshgrid(np.linspace(x0, x1, 41), np.linspace(y0, y1, 41))
-    fwd = _lcc_forward if kind == "lcc" else _aea_forward
+    fwd = _conic_fwd_fn(kind)
     px, py = fwd(_NpOps, lon.ravel(), lat.ravel(), c)
     mx, my = float(px.max() - px.min()) * 0.05, float(py.max() - py.min()) * 0.05
     out = (float(px.min()) - mx, float(py.min()) - my,
@@ -565,8 +653,7 @@ def forward_cols(code: str, lon: Column, lat: Column) -> tuple[Column, Column]:
         return web_mercator_cols(lon, lat)
     if kind == "conic":
         fam, c = _conic(zone)
-        fwd = _lcc_forward if fam == "lcc" else _aea_forward
-        return fwd(_ColOps, lon, lat, c)
+        return _conic_fwd_fn(fam)(_ColOps, lon, lat, c)
     return utm_cols(lon, lat, zone, south)
 
 
@@ -578,8 +665,7 @@ def inverse_cols(code: str, x: Column, y: Column) -> tuple[Column, Column]:
         return web_mercator_inverse_cols(x, y)
     if kind == "conic":
         fam, c = _conic(zone)
-        inv = _lcc_inverse if fam == "lcc" else _aea_inverse
-        return inv(_ColOps, x, y, c)
+        return _conic_inv_fn(fam)(_ColOps, x, y, c)
     return utm_inverse_cols(x, y, zone, south)
 
 
@@ -591,10 +677,9 @@ def forward_np(code: str, lon, lat):
         return web_mercator_np(lon, lat)
     if kind == "conic":
         fam, c = _conic(zone)
-        fwd = _lcc_forward if fam == "lcc" else _aea_forward
         lon = np.asarray(lon, np.float64)
         lat = np.asarray(lat, np.float64)
-        return fwd(_NpOps, lon, lat, c)
+        return _conic_fwd_fn(fam)(_NpOps, lon, lat, c)
     return utm_np(lon, lat, zone, south)
 
 

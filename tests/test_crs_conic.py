@@ -55,6 +55,7 @@ def test_snyder_aea_worked_example():
     ("EPSG:5070", (-96.0, 23.0), (0.0, 0.0)),
     ("EPSG:3310", (-120.0, 0.0), (0.0, -4_000_000.0)),
     ("EPSG:3577", (132.0, 0.0), (0.0, 0.0)),
+    ("EPSG:3035", (10.0, 52.0), (4_321_000.0, 3_210_000.0)),
 ])
 def test_registry_origin_anchor(code, origin, fefn):
     """The natural origin maps exactly to (false_easting, false_northing)
@@ -72,8 +73,7 @@ def test_roundtrip_over_area_of_use(code):
     lat = rng.uniform(y0, y1, 4000)
     px, py = crs.forward_np(code, lon, lat)
     kind, c = crs._conic(code)
-    inv = crs._lcc_inverse if kind == "lcc" else crs._aea_inverse
-    lon2, lat2 = inv(crs._NpOps, px, py, c)
+    lon2, lat2 = crs._conic_inv_fn(kind)(crs._NpOps, px, py, c)
     # direct-series inverse: centimetre-level across the area of use
     assert np.max(np.abs(lon2 - lon)) < 5e-7
     assert np.max(np.abs(lat2 - lat)) < 5e-7
@@ -118,13 +118,13 @@ def test_column_twin_matches_numpy(spark):
     from pyspark.sql import functions as F
 
     rng = np.random.default_rng(9)
-    lon = rng.uniform(-9.0, 10.0, 400)
+    lon = rng.uniform(-8.0, 10.0, 400)   # inside all three codes' domains
     lat = rng.uniform(41.5, 51.0, 400)
     df = spark.createDataFrame(
         [(int(i), float(a), float(b)) for i, (a, b) in enumerate(zip(lon, lat))],
         "i long, lon double, lat double",
     )
-    for code in ("EPSG:2154", "EPSG:5070"):
+    for code in ("EPSG:2154", "EPSG:5070", "EPSG:3035"):
         x, y = crs.forward_cols(code, F.col("lon"), F.col("lat"))
         rows = df.select("i", x.alias("x"), y.alias("y")).collect()
         got = np.zeros((len(lon), 2))
@@ -213,3 +213,27 @@ def test_reproject_wkt_conic():
 def test_unknown_code_message():
     with pytest.raises(ValueError, match="EPSG:2154"):
         crs.crs_index_bounds("EPSG:9999")
+
+
+def test_laea_equal_area_property():
+    """EPSG:3035 is EQUAL-AREA by construction: the projected area of a
+    small lon/lat quad must equal the true ellipsoidal area
+    a^2/2 * dlam * (q(lat2) - q(lat1)) (authalic identity) everywhere in
+    the domain — an independent analytic oracle, no reference
+    implementation needed."""
+    import math
+
+    def proj_quad_area(lo0, la0, d=0.2):
+        cl = np.array([lo0, lo0 + d, lo0 + d, lo0])
+        ca = np.array([la0, la0, la0 + d, la0 + d])
+        qx, qy = crs.forward_np("EPSG:3035", cl, ca)
+        return 0.5 * abs(np.dot(qx, np.roll(qy, -1)) - np.dot(qy, np.roll(qx, -1)))
+
+    def true_area(lo0, la0, d=0.2):
+        q1 = crs._q_of(crs.GRS80_E2, la0 * math.pi / 180)
+        q2 = crs._q_of(crs.GRS80_E2, (la0 + d) * math.pi / 180)
+        return crs.GRS80_A ** 2 / 2 * (d * math.pi / 180) * (q2 - q1)
+
+    for lo0, la0 in [(-20.0, 30.0), (25.0, 70.0), (10.0, 52.0), (40.0, 35.0), (0.0, 80.0)]:
+        r = proj_quad_area(lo0, la0) / true_area(lo0, la0)
+        assert abs(r - 1.0) < 1e-4, (lo0, la0, r)  # finite-quad curvature residual
