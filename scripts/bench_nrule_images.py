@@ -32,7 +32,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_once(cpus: int, n: int, passes: int = 2) -> dict:
+def run_once(cpus: int, n: int, passes: int = 2, work_mult: int = 1) -> dict:
     from pyspark.sql import functions as F
 
     from geowave_spark import sqlcells
@@ -47,26 +47,34 @@ def run_once(cpus: int, n: int, passes: int = 2) -> dict:
         polys = images.generate_polygons(spark, 19)
         best = None
         for _ in range(passes):
+            # work_mult > 1 repeats the identical workload inside the
+            # timed region (scaling runs only): a single 1M-image pass is
+            # seconds-scale, so fixed per-query overhead (planning, task
+            # launch, broadcast) would otherwise dominate the 1-core leg
+            # and understate parallel efficiency
             t0 = time.monotonic()
             df = spark.read.parquet(path).select(
                 "image_id",
                 sqlcells.lon_from_phash(F.col("phash")).alias("lon"),
                 sqlcells.lat_from_phash(F.col("phash")).alias("lat"),
             )
-            pairs = spatial_join.tiered_spatial_join(
-                df, polys, point_id="image_id"
-            ).count()
+            for _k in range(work_mult):
+                pairs = spatial_join.tiered_spatial_join(
+                    df, polys, point_id="image_id"
+                ).count()
             t1 = time.monotonic()
-            tile_rows = tiling.tile_counts(df, [4, 6, 8]).count()
+            for _k in range(work_mult):
+                tile_rows = tiling.tile_counts(df, [4, 6, 8]).count()
             t2 = time.monotonic()
             rec = {
                 "cpus": cpus,
+                "work_mult": work_mult,
                 "join_sec": round(t1 - t0, 3),
                 "join_pairs": pairs,
                 "tiles_sec": round(t2 - t1, 3),
                 "tile_rows": tile_rows,
                 "total_sec": round(t2 - t0, 3),
-                "rows_per_sec": round(n / (t2 - t0), 1),
+                "rows_per_sec": round(n * work_mult / (t2 - t0), 1),
             }
             if os.environ.get("NRULE_CELL_FAMILIES"):
                 # r4c families over the same 1M-image frame: (a) S2
@@ -109,9 +117,10 @@ def main() -> None:
     ap.add_argument("--cpus", default="32", help="comma-separated core counts")
     ap.add_argument("--out", default=None)
     ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument("--work-mult", type=int, default=1)
     args = ap.parse_args()
     levels = [int(c) for c in args.cpus.split(",")]
-    runs = [run_once(c, args.n, args.passes) for c in levels]
+    runs = [run_once(c, args.n, args.passes, args.work_mult) for c in levels]
     out = {
         "workload": (
             "north-rule metric verbatim: spatial join + tiling over the "
