@@ -2839,17 +2839,25 @@ def _ensure_maintained_store(spark: SparkSession, sf_dir: str) -> str:
     base = sf_dir.rstrip("/")
     tag = f"{base.rsplit('/', 1)[-1]}_{_hashlib.md5(base.encode()).hexdigest()[:8]}"
     root = f"{_IMG_CACHE_ROOT}/maintstore_v1_{tag}"
-    done = _os.path.join(root, "_DRIVER_READY")
-    if not _os.path.exists(done):
+    # the multi-step lifecycle builds in a process-private directory and
+    # publishes with ONE atomic rename — two concurrent drivers sharing
+    # the cache can never interleave writes into the same store (review
+    # r5: every other cached artifact here commits via tmp+rename too)
+    if not _os.path.exists(root):
+        build = f"{root}.build.{_os.getpid()}"
         ev = _events(spark, sf_dir)
         third = F.pmod(F.col("event_id"), F.lit(3))
-        _mt.write_store(ev.filter(third == 0), root, n_files=8)
-        _mt.append_store(ev.filter(third == 1), root, n_files=4)
-        _mt.append_store(ev.filter(third == 2), root, n_files=4)
-        _mt.compact_store(spark, root, n_files=8)  # swap only (vacuum opt-in)
-        _mt.vacuum_store(root)
-        with open(done, "w") as f:
-            f.write("ok")
+        _mt.write_store(ev.filter(third == 0), build, n_files=8)
+        _mt.append_store(ev.filter(third == 1), build, n_files=4)
+        _mt.append_store(ev.filter(third == 2), build, n_files=4)
+        _mt.compact_store(spark, build, n_files=8)  # swap only (vacuum opt-in)
+        _mt.vacuum_store(build)
+        try:
+            _os.rename(build, root)
+        except OSError:  # lost the publish race — the winner's store is equivalent
+            import shutil as _shutil
+
+            _shutil.rmtree(build, ignore_errors=True)
     return root
 
 

@@ -558,10 +558,6 @@ PROJECTED_REGISTRY: dict[str, dict] = {
 _CONIC_CACHE: dict[str, dict] = {}
 
 
-_CONIC_FWD = {}
-_CONIC_INV = {}
-
-
 def _conic(code: str) -> tuple[str, dict]:
     p = PROJECTED_REGISTRY[code]
     if code not in _CONIC_CACHE:

@@ -1057,13 +1057,23 @@ def geometry_join(
         # PBSM reference-point emission BEFORE the refine: every candidate
         # pair survives in exactly the one (tier, cell) containing the
         # lower-left corner of bbox(l) ∩ bbox(r) (right bbox pre-buffered
-        # for dwithin) — no dropDuplicates anywhere in the plan
+        # for dwithin) — no dropDuplicates anywhere in the plan.
+        # Unwrapped antimeridian right geometries (_rx1 > 180, cover split
+        # across the seam by _split_for_cover): when the pair overlaps the
+        # plain copy in x, the plain corner is the witness cell (wrapped-
+        # side duplicates fail the equality); when it meets ONLY the
+        # wrapped copy, the corner is taken against the -360-shifted right
+        # bbox — both cases land in exactly one shared candidate cell, so
+        # seam pairs are neither dropped nor duplicated (review r5 fix;
+        # tests/test_geometry_join.py::test_exactly_once_antimeridian).
         j = j.withColumn("_rd", F.pow(F.lit(2.0), F.col("_kt").cast("double")))
         j = j.withColumn("_rm", F.col("_rd").cast("long") - 1)
+        wrapped_only = (F.col("_rx1") > 180.0) & (F.col("_lx1") < F.col("_rx0"))
+        px = F.when(
+            wrapped_only, F.greatest(F.col("_lx0"), F.col("_rx0") - 360.0)
+        ).otherwise(F.greatest(F.col("_lx0"), F.col("_rx0")))
         j = _ref_point_filter(
-            j,
-            F.greatest(F.col("_lx0"), F.col("_rx0")),
-            F.greatest(F.col("_ly0"), F.col("_ry0")),
+            j, px, F.greatest(F.col("_ly0"), F.col("_ry0"))
         )
 
     box_pred = _box_box_predicate(predicate) if left_is_box and not buffer else None

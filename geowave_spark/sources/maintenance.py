@@ -17,6 +17,9 @@ usable for CONTINUOUS ingest at 100 TB rather than one-shot bulk loads:
                     cell, so parquet row-group min-max pruning applies
                     per run and pushed cell-range predicates stay sargable
 - ``compact_store`` merge all live runs into a new base generation
+  (BEHAVIOR CHANGE r5: ``vacuum`` now defaults to False — compaction only
+  swaps the manifest; call ``vacuum_store`` explicitly, or pass
+  ``vacuum=True`` when no reader can hold the previous manifest)
                     (split points re-derived from the merged
                     distribution), swap the manifest atomically, then
                     drop the dead runs

@@ -495,3 +495,28 @@ def test_exactly_once_plan_matches_default(spark):
         assert len(got) == len(set(map(tuple, got))), predicate  # no dup rows
         plan = eo._jdf.queryExecution().executedPlan().toString()
         assert "Deduplicate" not in plan and "dropDuplicates" not in plan
+
+
+def test_exactly_once_antimeridian(spark):
+    """r5 review fix: seam pairs (unwrapped right, x1 > 180) must survive
+    the PBSM reference-point filter on BOTH sides of the antimeridian,
+    exactly once, matching the default plan."""
+    left = spark.createDataFrame(
+        [("L1", "LINESTRING (-176 5, -174 6)"),   # wrapped-side match
+         ("L2", "LINESTRING (172 2, 174 3)"),     # plain-side match
+         ("L3", "LINESTRING (0 0, 1 1)"),         # no match
+         ("L4", "POLYGON ((-179 1, -175 1, -175 8, -179 8, -179 1))")],
+        ["left_id", "wkt"],
+    )
+    right = spark.createDataFrame(
+        [("R1", "POLYGON ((170 0, 190 0, 190 10, 170 10, 170 0))"),
+         ("R2", "POLYGON ((171 4, 189 4, 189 6, 171 6, 171 4))")],
+        ["right_id", "wkt"],
+    )
+    base = sorted(map(tuple, spatial_join.geometry_join(
+        left, right, predicate="intersects").collect()))
+    got = spatial_join.geometry_join(
+        left, right, predicate="intersects", exactly_once=True).collect()
+    assert sorted(map(tuple, got)) == base
+    assert len(got) == len(set(map(tuple, got)))  # exactly once
+    assert ("L1", "R1") in base and ("L2", "R1") in base and ("L4", "R2") in base

@@ -229,3 +229,17 @@ def test_st_relate_udf_fast_path_consistency(spark):
                 georelate.relate_pair(geom.Point(x, y), W(poly)), pattern
             )
             assert got[i] == want, (i, x, y, pattern)
+
+
+def test_transversal_crossing_at_segment_midpoint():
+    """r5 review fix: a boundary crossing landing exactly at a line
+    segment's own midpoint must stay a 0-dim contact (cell BI='0'), not
+    be promoted to a collinear run ('1') by the plain-midpoint witness."""
+    assert R("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+             "LINESTRING (1 -1, 1 1)") == "1020F1102"
+    # the grid-aligned family: crossings at t=0.5 in both axes
+    assert R("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+             "LINESTRING (-1 1, 1 1)") == "1020F1102"
+    # an ACTUAL collinear run must still report '1' at BI
+    assert R("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+             "LINESTRING (0.5 0, 1.5 0)")[3] == "1"
