@@ -446,12 +446,46 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
     return enc(arr)
 
 
+def corrupt_guard(fmt: str):
+    """Decorator: decode entry points raise the module's DESCRIPTIVE
+    ValueError contract on ANY corrupt/truncated payload (r5, extending
+    the r4 ADVICE fix beyond the entropy stage): a truncation inside
+    header parsing otherwise leaks IndexError / struct.error / KeyError,
+    whose text is useless in a 10^12-row decode_health audit column.
+    Deliberate ValueErrors and NotImplementedError stubs pass through."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrap(*a, **k):
+            try:
+                return fn(*a, **k)
+            except (ValueError, NotImplementedError):
+                raise
+            except (IndexError, KeyError, struct.error, OverflowError,
+                    ZeroDivisionError, TypeError, zlib.error) as e:
+                raise ValueError(
+                    f"truncated or corrupt {fmt} data "
+                    f"({type(e).__name__}: {e})"
+                ) from e
+        return wrap
+    return deco
+
+
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
     try:
         dec = _DECODERS[fmt]
     except KeyError:
         raise NotImplementedError(f"no codec for format {fmt!r} in this container")
-    return dec(data)
+    try:
+        return dec(data)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, struct.error, OverflowError,
+            ZeroDivisionError, TypeError, zlib.error) as e:
+        raise ValueError(
+            f"truncated or corrupt {fmt} data ({type(e).__name__}: {e})"
+        ) from e
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

@@ -462,6 +462,10 @@ def _decode_lut(bits: bytes, vals: bytes) -> list[int]:
     return fused.tolist()
 
 
+from .imagecodec import corrupt_guard as _corrupt_guard
+
+
+@_corrupt_guard("jpeg")
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline sequential JFIF/JPEG bytes → HxWx3 uint8 RGB.
 

@@ -34,6 +34,10 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
+from .imagecodec import corrupt_guard as _corrupt_guard
+
+
+@_corrupt_guard("wav")
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes → (float32 mono PCM in [-1, 1], sample_rate).
 
@@ -184,6 +188,7 @@ def _gif_lzw_decode(min_code: int, buf: bytes, n_pixels: int) -> np.ndarray:
 _DEINTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
+@_corrupt_guard("gif")
 def decode_gif_frames(data: bytes) -> list[np.ndarray]:
     """GIF bytes → list of HxWx3 uint8 composited frames.
 
