@@ -3082,22 +3082,25 @@ def q_image_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = sigs.join(first50.select("image_id"), "image_id").select(
         F.lit("phash").alias("kind"),
         "image_id",
-        F.lit(None).cast("double").alias("a"),
-        F.lit(None).cast("double").alias("b"),
+        # a/b are LONG across every leg (values are integers or null by
+        # construction) so the frame is fingerprint-stable cross-engine:
+        # Spark renders big DOUBLEs in scientific notation, DuckDB plain
+        F.lit(None).cast("long").alias("a"),
+        F.lit(None).cast("long").alias("b"),
         F.col("phash64").alias("c"),
     )
     nd = nd_pairs.select(
         F.lit("neardup").alias("kind"),
         F.concat_ws(":", F.col("img_a"), F.col("img_b")).alias("image_id"),
-        F.lit(None).cast("double").alias("a"),
-        F.lit(None).cast("double").alias("b"),
+        F.lit(None).cast("long").alias("a"),
+        F.lit(None).cast("long").alias("b"),
         F.col("hamming").cast("long").alias("c"),
     )
     keep = ph.image_keep_best(corpus, pairs=nd_pairs).select(
         F.lit("keep").alias("kind"),
         "image_id",
-        F.lit(None).cast("double").alias("a"),
-        F.lit(None).cast("double").alias("b"),
+        F.lit(None).cast("long").alias("a"),
+        F.lit(None).cast("long").alias("b"),
         F.col("n_px").alias("c"),
     )
     # cross-modal curation: the planted re-encodes carry a different
@@ -3105,8 +3108,8 @@ def q_image_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     conf = ph.caption_conflicts(corpus, pairs=nd_pairs).select(
         F.lit("conflict").alias("kind"),
         F.concat_ws(":", F.col("img_a"), F.col("img_b")).alias("image_id"),
-        F.lit(None).cast("double").alias("a"),
-        F.lit(None).cast("double").alias("b"),
+        F.lit(None).cast("long").alias("a"),
+        F.lit(None).cast("long").alias("b"),
         F.col("hamming").cast("long").alias("c"),
     )
     sim = feat.image_similarity_topk(
@@ -3114,8 +3117,8 @@ def q_image_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("similar").alias("kind"),
         F.concat_ws(":", F.col("query_id"), F.col("image_id"), F.col("rank")).alias("image_id"),
-        F.lit(None).cast("double").alias("a"),
-        F.lit(None).cast("double").alias("b"),
+        F.lit(None).cast("long").alias("a"),
+        F.lit(None).cast("long").alias("b"),
         F.col("cos_mu").alias("c"),
     )
     return (
@@ -3338,7 +3341,7 @@ def _oracle_image_codec() -> str:
 
     path = imgsig.ensure_sig_artifact(_IMG_CACHE_ROOT)
     ham = "bit_count(xor(a.phash64, b.phash64))"
-    nb = "CAST(NULL AS DOUBLE)"
+    nb = "CAST(NULL AS BIGINT)"  # a/b are BIGINT on every leg (see query)
     nc = "CAST(NULL AS BIGINT)"
     return (
         "WITH RECURSIVE "
@@ -3346,11 +3349,11 @@ def _oracle_image_codec() -> str:
         "feature::DOUBLE[] AS f, mean_r_mu, mean_g_mu, resize_crc "
         f"FROM read_parquet('{path}')), "
         # decode stats: full 300-row base fixture
-        "d AS (SELECT 'decode' AS kind, image_id, CAST(mean_r_mu AS DOUBLE) AS a, "
-        f"CAST(mean_g_mu AS DOUBLE) AS b, {nc} AS c FROM sig WHERE image_id LIKE 'img%'), "
+        "d AS (SELECT 'decode' AS kind, image_id, CAST(mean_r_mu AS BIGINT) AS a, "
+        f"CAST(mean_g_mu AS BIGINT) AS b, {nc} AS c FROM sig WHERE image_id LIKE 'img%'), "
         # resize: first 200 base rows, fixed 16x12 png re-encode crc
-        f"r AS (SELECT 'resize' AS kind, image_id, CAST({imgsig.RESIZE_W} AS DOUBLE) AS a, "
-        f"CAST({imgsig.RESIZE_H} AS DOUBLE) AS b, resize_crc AS c FROM sig "
+        f"r AS (SELECT 'resize' AS kind, image_id, CAST({imgsig.RESIZE_W} AS BIGINT) AS a, "
+        f"CAST({imgsig.RESIZE_H} AS BIGINT) AS b, resize_crc AS c FROM sig "
         f"WHERE image_id LIKE 'img%' AND image_id < 'img{imgsig.N_RESIZE:010d}'), "
         # phash echo: first 50 base ids
         f"p AS (SELECT 'phash' AS kind, image_id, {nb} AS a, {nb} AS b, phash64 AS c "
