@@ -2838,7 +2838,7 @@ def _ensure_maintained_store(spark: SparkSession, sf_dir: str) -> str:
 
     base = sf_dir.rstrip("/")
     tag = f"{base.rsplit('/', 1)[-1]}_{_hashlib.md5(base.encode()).hexdigest()[:8]}"
-    root = f"{_IMG_CACHE_ROOT}/maintstore_v1_{tag}"
+    root = f"{_IMG_CACHE_ROOT}/maintstore_v2_{tag}"
     # the multi-step lifecycle builds in a process-private directory and
     # publishes with ONE atomic rename — two concurrent drivers sharing
     # the cache can never interleave writes into the same store (review

@@ -477,15 +477,9 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         dec = _DECODERS[fmt]
     except KeyError:
         raise NotImplementedError(f"no codec for format {fmt!r} in this container")
-    try:
-        return dec(data)
-    except (ValueError, NotImplementedError):
-        raise
-    except (IndexError, KeyError, struct.error, OverflowError,
-            ZeroDivisionError, TypeError, zlib.error) as e:
-        raise ValueError(
-            f"truncated or corrupt {fmt} data ({type(e).__name__}: {e})"
-        ) from e
+    # ONE exception-contract definition (corrupt_guard) covers the
+    # dispatch path too — no second copy of the exception list to drift
+    return corrupt_guard(fmt)(dec)(data)
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

@@ -827,7 +827,7 @@ def _sample_points(g) -> np.ndarray:
     return np.concatenate([S[:, :2], S[:, 2:], mid])
 
 
-def _cut_midpoints(A: np.ndarray, S: np.ndarray) -> np.ndarray:
+def _cut_midpoints(A: np.ndarray, S: np.ndarray, include_uncut: bool = False) -> np.ndarray:
     """Midpoints of every sub-segment of A (n,4) obtained by cutting each
     segment at its contacts with the segment set S (m,4): non-parallel
     intersection parameters plus S-endpoints lying exactly on the segment
@@ -843,7 +843,13 @@ def _cut_midpoints(A: np.ndarray, S: np.ndarray) -> np.ndarray:
     S = np.asarray(S, dtype=np.float64)
     if A.size:
         A = A[(A[:, 0] != A[:, 2]) | (A[:, 1] != A[:, 3])]
-    if not A.size or not S.size:
+    if not A.size:
+        return np.empty((0, 2), dtype=np.float64)
+    if not S.size:
+        if include_uncut:
+            return np.stack(
+                [(A[:, 0] + A[:, 2]) / 2.0, (A[:, 1] + A[:, 3]) / 2.0], axis=1
+            )
         return np.empty((0, 2), dtype=np.float64)
     ax1, ay1, ax2, ay2 = (A[:, i][:, None] for i in range(4))
     sx1, sy1, sx2, sy2 = (S[:, i][None, :] for i in range(4))
@@ -866,7 +872,12 @@ def _cut_midpoints(A: np.ndarray, S: np.ndarray) -> np.ndarray:
         for tp, ok in zip(end_ts, end_oks):
             ts.extend(tp[i, ok[i]].tolist())
         ts = sorted(set(ts))
-        if len(ts) > 2:
+        # include_uncut (r5, the relate evaluator's witness mode): a
+        # contact-free segment contributes its plain midpoint; a CUT
+        # segment contributes only its sub-segment midpoints, never the
+        # plain one (which can coincide exactly with a transversal
+        # contact and misclassify an isolated crossing as collinear)
+        if len(ts) > 2 or include_uncut:
             tm = (np.asarray(ts[:-1]) + np.asarray(ts[1:])) / 2.0
             pts.append(
                 np.stack([A[i, 0] + tm * (A[i, 2] - A[i, 0]),

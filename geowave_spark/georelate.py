@@ -64,52 +64,11 @@ def _on_any_segment(pts: np.ndarray, S: np.ndarray) -> np.ndarray:
 def _sub_midpoints(A: np.ndarray, S: np.ndarray) -> np.ndarray:
     """Witness set for classifying curve A against the arrangement induced
     by segment set S: for each A segment, the midpoints of its sub-
-    segments cut at A∩S contacts, or its plain midpoint when uncut.
-
-    The plain midpoint is used ONLY for contact-free segments (r5 review
-    fix): a segment whose transversal crossing lands exactly at its own
-    midpoint would otherwise contribute an on-boundary witness and
-    promote an isolated 0-dim crossing to a bogus 1-dim collinear run —
-    trivially hit on grid-aligned data.  Same cut construction as
-    geom._cut_midpoints (exact for piecewise-linear inputs), tracked
-    per segment."""
-    A = np.asarray(A, dtype=np.float64)
-    if A.size:
-        A = A[(A[:, 0] != A[:, 2]) | (A[:, 1] != A[:, 3])]
-    if not A.size:
-        return np.empty((0, 2), dtype=np.float64)
-    S = np.asarray(S, dtype=np.float64)
-    if not S.size:
-        return np.stack(
-            [(A[:, 0] + A[:, 2]) / 2.0, (A[:, 1] + A[:, 3]) / 2.0], axis=1
-        )
-    ax1, ay1, ax2, ay2 = (A[:, i][:, None] for i in range(4))
-    sx1, sy1, sx2, sy2 = (S[:, i][None, :] for i in range(4))
-    adx, ady = ax2 - ax1, ay2 - ay1
-    sdx, sdy = sx2 - sx1, sy2 - sy1
-    denom = adx * sdy - ady * sdx
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t = ((sx1 - ax1) * sdy - (sy1 - ay1) * sdx) / denom
-        u = ((sx1 - ax1) * ady - (sy1 - ay1) * adx) / denom
-    cross_ok = (denom != 0) & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
-    len2 = adx * adx + ady * ady
-    end_ts, end_oks = [], []
-    for px, py in ((sx1, sy1), (sx2, sy2)):
-        end_oks.append(G._on_segment_exact(px, py, ax1, ay1, ax2, ay2))
-        end_ts.append(((px - ax1) * adx + (py - ay1) * ady) / len2)
-    pts = []
-    for i in range(A.shape[0]):
-        ts = [0.0, 1.0]
-        ts.extend(t[i, cross_ok[i]].tolist())
-        for tp, ok in zip(end_ts, end_oks):
-            ts.extend(tp[i, ok[i]].tolist())
-        ts = sorted(set(ts))
-        tm = (np.asarray(ts[:-1]) + np.asarray(ts[1:])) / 2.0  # >=1 midpoint
-        pts.append(
-            np.stack([A[i, 0] + tm * (A[i, 2] - A[i, 0]),
-                      A[i, 1] + tm * (A[i, 3] - A[i, 1])], axis=1)
-        )
-    return np.concatenate(pts)
+    segments cut at A∩S contacts, or its plain midpoint when uncut
+    (geom._cut_midpoints include_uncut mode — one shared construction;
+    the plain midpoint of a CUT segment is excluded because it can land
+    exactly on a transversal contact, r5 review fix)."""
+    return G._cut_midpoints(A, S, include_uncut=True)
 
 
 def _curve_vs_area(body: np.ndarray, area) -> tuple[bool, bool, bool]:

@@ -119,6 +119,8 @@ def main() -> None:
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--work-mult", type=int, default=1)
     args = ap.parse_args()
+    if args.work_mult < 1:
+        ap.error("--work-mult must be >= 1")
     levels = [int(c) for c in args.cpus.split(",")]
     runs = [run_once(c, args.n, args.passes, args.work_mult) for c in levels]
     out = {

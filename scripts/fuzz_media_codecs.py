@@ -12,7 +12,7 @@ composites via a manual block builder must match a numpy compositor.
 WAV: random bit depth / channels / format constructed manually → decode
 must match the per-spec reference conversion exactly.
 
-Writes evidence JSON to stdout (and evidence/fuzz_media_r4.json when run
+Writes evidence JSON to stdout (and evidence/fuzz_media_latest.json when run
 from the repo root):
     python scripts/fuzz_media_codecs.py [n_seeds]
 """
@@ -152,7 +152,7 @@ def main() -> None:
     print(json.dumps(out))
     ev = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "evidence")
     if os.path.isdir(ev):
-        with open(os.path.join(ev, "fuzz_media_r4.json"), "w") as f:
+        with open(os.path.join(ev, "fuzz_media_latest.json"), "w") as f:
             json.dump(out, f)
 
 
