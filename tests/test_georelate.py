@@ -243,3 +243,78 @@ def test_transversal_crossing_at_segment_midpoint():
     # an ACTUAL collinear run must still report '1' at BI
     assert R("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
              "LINESTRING (0.5 0, 1.5 0)")[3] == "1"
+
+
+def _box_matrix_oracle(a, b):
+    """Closed-form DE-9IM matrix for two non-degenerate axis-aligned boxes
+    — independent interval algebra, no kernel code, every cell derived
+    from first principles (the one geometry class where full-matrix
+    ground truth is computable another way)."""
+    ax0, ay0, ax1, ay1 = a
+    bx0, by0, bx1, by1 = b
+    wx = min(ax1, bx1) - max(ax0, bx0)
+    wy = min(ay1, by1) - max(ay0, by0)
+    a_in_cb = bx0 <= ax0 and ax1 <= bx1 and by0 <= ay0 and ay1 <= by1
+    b_in_ca = ax0 <= bx0 and bx1 <= ax1 and ay0 <= by0 and by1 <= ay1
+    a_in_ob = bx0 < ax0 and ax1 < bx1 and by0 < ay0 and ay1 < by1
+    b_in_oa = ax0 < bx0 and bx1 < ax1 and ay0 < by0 and by1 < ay1
+
+    def edge_hits_interior(v_lines, v_lo, v_hi, o_lo, o_hi, e_lo, e_hi):
+        # does a perpendicular-line edge at any v in v_lines pass through
+        # the open interior (v_lo, v_hi) x (o_lo, o_hi) given the edge
+        # spans [e_lo, e_hi]?
+        return any(
+            v_lo < v < v_hi and e_hi > o_lo and e_lo < o_hi for v in v_lines
+        )
+
+    ib = (
+        edge_hits_interior((bx0, bx1), ax0, ax1, ay0, ay1, by0, by1)
+        or edge_hits_interior((by0, by1), ay0, ay1, ax0, ax1, bx0, bx1)
+    )
+    bi = (
+        edge_hits_interior((ax0, ax1), bx0, bx1, by0, by1, ay0, ay1)
+        or edge_hits_interior((ay0, ay1), by0, by1, bx0, bx1, ax0, ax1)
+    )
+    shared_line = (
+        (ax0 in (bx0, bx1) or ax1 in (bx0, bx1)) and min(ay1, by1) > max(ay0, by0)
+    ) or (
+        (ay0 in (by0, by1) or ay1 in (by0, by1)) and min(ax1, bx1) > max(ax0, bx0)
+    )
+    if shared_line:
+        bb = "1"
+    elif wx >= 0 and wy >= 0 and not a_in_ob and not b_in_oa:
+        bb = "0"
+    else:
+        bb = "F"
+    return "".join([
+        "2" if wx > 0 and wy > 0 else "F",
+        "1" if ib else "F",
+        "F" if a_in_cb else "2",
+        "1" if bi else "F",
+        bb,
+        "F" if a_in_cb else "1",
+        "F" if b_in_ca else "2",
+        "F" if b_in_ca else "1",
+        "2",
+    ])
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_box_matrix_vs_closed_form(seed):
+    """All NINE matrix cells pinned independently on contact-heavy random
+    box pairs (half-integer grid: shared edges/corners, nesting, equality
+    and crossings all occur)."""
+    rng = np.random.RandomState(500 + seed)
+
+    def rbox():
+        x0 = rng.randint(-8, 5) / 2.0
+        y0 = rng.randint(-8, 5) / 2.0
+        return (x0, y0, x0 + rng.randint(1, 6) / 2.0, y0 + rng.randint(1, 6) / 2.0)
+
+    def wkt(b):
+        x0, y0, x1, y1 = b
+        return f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))"
+
+    for _ in range(250):
+        a, b = rbox(), rbox()
+        assert R(wkt(a), wkt(b)) == _box_matrix_oracle(a, b), (a, b)
