@@ -318,3 +318,76 @@ def test_box_matrix_vs_closed_form(seed):
     for _ in range(250):
         a, b = rbox(), rbox()
         assert R(wkt(a), wkt(b)) == _box_matrix_oracle(a, b), (a, b)
+
+
+def _seg_box_matrix_oracle(seg, box):
+    """Closed-form DE-9IM matrix for an axis-aligned 2-point segment vs a
+    non-degenerate box — independent interval algebra for the LINE×AREA
+    family (the family of the r5 midpoint-on-crossing fix)."""
+    (p0, p1), (bx0, by0, bx1, by1) = seg, box
+    horiz = p0[1] == p1[1]
+    if horiz:
+        c = p0[1]; s0, s1 = sorted((p0[0], p1[0]))
+        plo, phi, blo, bhi = by0, by1, bx0, bx1   # perp range, along range
+    else:
+        c = p0[0]; s0, s1 = sorted((p0[1], p1[1]))
+        plo, phi, blo, bhi = bx0, bx1, by0, by1
+    along_open = min(s1, bhi) - max(s0, blo)      # open-overlap width
+    ii = plo < c < phi and along_open > 0
+    collinear = (c == plo or c == phi) and along_open > 0
+    cross0 = any(s0 < v < s1 for v in (blo, bhi)) and plo <= c <= phi
+    corner0 = (
+        (c == plo or c == phi)
+        and min(s1, bhi) == max(s0, blo)
+        and s0 < min(s1, bhi) < s1
+    )
+    ib = "1" if collinear else ("0" if (plo <= c <= phi and (cross0 or corner0)) else "F")
+    contained = plo <= c <= phi and blo <= s0 and s1 <= bhi
+    ends = [p0, p1]
+
+    def cls(pt):
+        x, y = pt
+        if bx0 < x < bx1 and by0 < y < by1:
+            return "I"
+        if bx0 <= x <= bx1 and by0 <= y <= by1:
+            return "B"
+        return "E"
+
+    e = [cls(p) for p in ends]
+    return "".join([
+        "1" if ii else "F",
+        ib,
+        "F" if contained else "1",
+        "0" if "I" in e else "F",
+        "0" if "B" in e else "F",
+        "0" if "E" in e else "F",
+        "2",
+        "1",
+        "2",
+    ])
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_segment_box_matrix_vs_closed_form(seed):
+    """LINE×AREA matrix cells pinned independently: axis-aligned segments
+    against boxes on the half-integer grid (collinear runs on edges,
+    midpoint crossings, corner grazes, containment, endpoint contacts)."""
+    rng = np.random.RandomState(900 + seed)
+    for _ in range(250):
+        bx0 = rng.randint(-8, 5) / 2.0
+        by0 = rng.randint(-8, 5) / 2.0
+        box = (bx0, by0, bx0 + rng.randint(1, 6) / 2.0, by0 + rng.randint(1, 6) / 2.0)
+        if rng.randint(2):  # horizontal
+            y = rng.randint(-8, 9) / 2.0
+            x0 = rng.randint(-8, 5) / 2.0
+            seg = ((x0, y), (x0 + rng.randint(1, 6) / 2.0, y))
+        else:
+            x = rng.randint(-8, 9) / 2.0
+            y0 = rng.randint(-8, 5) / 2.0
+            seg = ((x, y0), (x, y0 + rng.randint(1, 6) / 2.0))
+        sw = f"LINESTRING ({seg[0][0]} {seg[0][1]}, {seg[1][0]} {seg[1][1]})"
+        x0b, y0b, x1b, y1b = box
+        bw = f"POLYGON (({x0b} {y0b}, {x1b} {y0b}, {x1b} {y1b}, {x0b} {y1b}, {x0b} {y0b}))"
+        want = _seg_box_matrix_oracle(seg, box)
+        got = R(sw, bw)
+        assert got == want, (seg, box, got, want)
