@@ -2088,8 +2088,15 @@ def _oracle_cell_ids() -> str:
     # the cell (5 flipped rows per 1M at sf1 before this was matched)
     a_rad = crs.WGS84_A * (_math.pi / 180.0)
     mx_sql = f"(lon * CAST({a_rad!r} AS DOUBLE))"
+    # r5: the domain clamp (crs.WEB_MERCATOR_MAX_LAT) mirrors the engine
+    # bit-for-bit — a pole-exact row (first at sf10) is otherwise
+    # ln(tan(0)) = -inf (DuckDB errors, Spark nulls)
+    lat_c = (
+        f"greatest(least(lat, CAST({crs.WEB_MERCATOR_MAX_LAT!r} AS DOUBLE)), "
+        f"CAST({-crs.WEB_MERCATOR_MAX_LAT!r} AS DOUBLE))"
+    )
     my_sql = (
-        f"(ln(tan(((lat * CAST({_math.pi / 180.0!r} AS DOUBLE)) * CAST(0.5 AS DOUBLE)) "
+        f"(ln(tan((({lat_c} * CAST({_math.pi / 180.0!r} AS DOUBLE)) * CAST(0.5 AS DOUBLE)) "
         f"+ CAST({_math.pi / 4.0!r} AS DOUBLE))) * CAST({crs.WGS84_A!r} AS DOUBLE))"
     )
     mtr = "CAST(floor({c} + CAST(0.5 AS DOUBLE)) AS BIGINT)"

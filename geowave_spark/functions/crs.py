@@ -46,6 +46,11 @@ UTM_FALSE_NORTHING_SOUTH = 10_000_000.0
 
 #: EPSG:3857 projected extent (± a·π).
 WEB_MERCATOR_MAX = math.pi * WGS84_A  # 20037508.342789244
+#: EPSG:3857 latitude of validity (square domain): y(±this) = ±a·π.
+#: Projecting a pole would be ln(tan(0)) = -inf (DuckDB errors, Spark
+#: nulls) — the web-map convention clamps instead (r5 fix, found by a
+#: lat = -90 row first appearing at sf10).
+WEB_MERCATOR_MAX_LAT = math.degrees(2.0 * math.atan(math.exp(math.pi)) - math.pi / 2.0)
 WEB_MERCATOR_BOUNDS = (
     -WEB_MERCATOR_MAX,
     -WEB_MERCATOR_MAX,
@@ -76,6 +81,8 @@ _F4 = 1097.0 * _E1**4 / 512.0
 
 
 class _NpOps:
+    least = staticmethod(np.minimum)
+    greatest = staticmethod(np.maximum)
     sin = staticmethod(np.sin)
     cos = staticmethod(np.cos)
     tan = staticmethod(np.tan)
@@ -93,6 +100,8 @@ class _NpOps:
 
 
 class _ColOps:
+    least = staticmethod(F.least)
+    greatest = staticmethod(F.greatest)
     sin = staticmethod(F.sin)
     cos = staticmethod(F.cos)
     tan = staticmethod(F.tan)
@@ -117,7 +126,13 @@ class _ColOps:
 def _merc_forward(ops, lon_deg, lat_deg):
     rad = math.pi / 180.0
     x = lon_deg * ops.lit(WGS84_A * rad)
-    phi = lat_deg * ops.lit(rad)
+    # standard web-map domain clamp (|lat| <= ~85.0511): the poles are
+    # outside 3857's validity and ln(tan(0)) is -inf
+    lat_c = ops.greatest(
+        ops.least(lat_deg, ops.lit(WEB_MERCATOR_MAX_LAT)),
+        ops.lit(-WEB_MERCATOR_MAX_LAT),
+    )
+    phi = lat_c * ops.lit(rad)
     y = ops.log(ops.tan(phi * ops.lit(0.5) + ops.lit(math.pi / 4.0))) * ops.lit(WGS84_A)
     return x, y
 
@@ -321,6 +336,11 @@ _DEG = 180.0 / math.pi
 GRS80_A = 6378137.0
 GRS80_F = 1.0 / 298.257222101
 GRS80_E2 = GRS80_F * (2.0 - GRS80_F)
+
+#: Clarke 1866 (EPSG:7008) — the NAD27 datum ellipsoid (defined by a, b).
+CLARKE1866_A = 6378206.4
+CLARKE1866_B = 6356583.8
+CLARKE1866_E2 = 1.0 - (CLARKE1866_B / CLARKE1866_A) ** 2
 
 
 def _m_of(e2: float, phi: float) -> float:
@@ -553,6 +573,12 @@ PROJECTED_REGISTRY: dict[str, dict] = {
     "EPSG:3035": dict(kind="laea", a=GRS80_A, e2=GRS80_E2, lat0=52.0, lon0=10.0,
                       fe=4_321_000.0, fn=3_210_000.0,
                       area=(-25.0, 26.0, 45.0, 84.0)),
+    # NAD27 / Conus Albers — the historical Conus grid on Clarke 1866
+    # (exercises per-code ellipsoid parameters; Snyder's own worked
+    # examples use this ellipsoid)
+    "EPSG:5069": dict(kind="aea", a=CLARKE1866_A, e2=CLARKE1866_E2,
+                      lat0=23.0, lon0=-96.0, lat1=29.5, lat2=45.5,
+                      fe=0.0, fn=0.0, area=(-125.0, 24.0, -66.5, 49.5)),
 }
 
 _CONIC_CACHE: dict[str, dict] = {}

@@ -262,3 +262,16 @@ def test_crs_indexed_store_roundtrip(spark, tmp_path):
     # cell ranges reach the parquet scan as PushedFilters
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "cell" in plan.split("PushedFilters: [", 1)[1][:400]
+
+
+def test_web_mercator_pole_clamp():
+    """r5: pole-exact inputs clamp to the EPSG:3857 square-domain edge
+    (y = ±a·π) instead of producing ±inf / NULL — a lat = -90 row first
+    appeared in the sf10 fixture and crashed the DuckDB oracle."""
+    x, y = crs.web_mercator_np([0.0, 10.0, -20.0], [-90.0, 90.0, 85.06])
+    assert np.all(np.isfinite(y))
+    assert abs(y[0] + crs.WEB_MERCATOR_MAX) < 1e-6
+    assert abs(y[1] - crs.WEB_MERCATOR_MAX) < 1e-6
+    # inside the domain nothing changes
+    x2, y2 = crs.web_mercator_np([3.0], [45.0])
+    assert abs(float(y2[0]) - 5621521.486192066) < 1e-3

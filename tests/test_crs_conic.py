@@ -237,3 +237,23 @@ def test_laea_equal_area_property():
     for lo0, la0 in [(-20.0, 30.0), (25.0, 70.0), (10.0, 52.0), (40.0, 35.0), (0.0, 80.0)]:
         r = proj_quad_area(lo0, la0) / true_area(lo0, la0)
         assert abs(r - 1.0) < 1e-4, (lo0, la0, r)  # finite-quad curvature residual
+
+
+def test_nad27_conus_albers_clarke1866():
+    """EPSG:5069 runs the registry on a DIFFERENT ellipsoid (Clarke 1866):
+    its output at Snyder's example point must differ from the GRS80 twin
+    (EPSG:5070) by the known datum delta, and the origin anchors exactly."""
+    x, y = crs.forward_np("EPSG:5069", [-96.0], [23.0])
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    # Snyder PP1395 p. 292 example is EXACTLY this projection (Clarke
+    # 1866, 29.5/45.5/23/-96) with his rounded e2; with the EPSG-exact
+    # e2 the published x/y still match to < 1 m
+    x, y = crs.forward_np("EPSG:5069", [-75.0], [35.0])
+    assert abs(x[0] - 1885472.7) < 1.0
+    assert abs(y[0] - 1535925.0) < 1.0
+    x70, y70 = crs.forward_np("EPSG:5070", [-75.0], [35.0])
+    assert abs(x70[0] - x[0]) > 10.0 or abs(y70[0] - y[0]) > 10.0  # datum delta is real
+    # roundtrip on the Clarke ellipsoid
+    kind, c = crs._conic("EPSG:5069")
+    lon2, lat2 = crs._conic_inv_fn(kind)(crs._NpOps, x, y, c)
+    assert abs(lon2[0] + 75.0) < 1e-7 and abs(lat2[0] - 35.0) < 1e-7

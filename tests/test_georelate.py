@@ -391,3 +391,22 @@ def test_segment_box_matrix_vs_closed_form(seed):
         want = _seg_box_matrix_oracle(seg, box)
         got = R(sw, bw)
         assert got == want, (seg, box, got, want)
+
+
+def test_matrix_translation_and_scale_invariance():
+    """Metamorphic: the DE-9IM matrix is invariant under shared integer
+    translation and positive scaling of both geometries."""
+    rng = np.random.RandomState(4242)
+    import re as _re
+
+    def transform(w, dx, dy, s):
+        def rep(m):
+            return f"{float(m.group(1)) * s + dx:g} {float(m.group(2)) * s + dy:g}"
+        return _re.sub(r"(-?[\d.]+)\s+(-?[\d.]+)", rep, w)
+
+    for _ in range(120):
+        wa, wb = _rand_geom(rng), _rand_geom(rng)
+        base = R(wa, wb)
+        dx, dy = float(rng.randint(-40, 40)), float(rng.randint(-40, 40))
+        s = float(rng.choice([1.0, 2.0, 4.0]))
+        assert R(transform(wa, dx, dy, s), transform(wb, dx, dy, s)) == base, (wa, wb, dx, dy, s)
