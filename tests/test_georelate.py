@@ -410,3 +410,63 @@ def test_matrix_translation_and_scale_invariance():
         dx, dy = float(rng.randint(-40, 40)), float(rng.randint(-40, 40))
         s = float(rng.choice([1.0, 2.0, 4.0]))
         assert R(transform(wa, dx, dy, s), transform(wb, dx, dy, s)) == base, (wa, wb, dx, dy, s)
+
+
+def _seg_seg_matrix_oracle(A, B):
+    """Closed-form DE-9IM for two axis-aligned 2-point segments — the
+    LINE×LINE family from pure 1-D interval algebra + point classification."""
+    def norm(s):
+        (x0, y0), (x1, y1) = s
+        if y0 == y1:
+            return ("h", y0, min(x0, x1), max(x0, x1))
+        return ("v", x0, min(y0, y1), max(y0, y1))
+
+    (oa, ca, s0, s1), (ob, cb, t0, t1) = norm(A), norm(B)
+    M = {c: "F" for c in ("II", "IB", "IE", "BI", "BB", "BE", "EI", "EB", "EE")}
+    M["EE"] = "2"
+    if oa == ob:
+        if ca != cb:  # parallel, different lines
+            M.update(IE="1", BE="0", EI="1", EB="0")
+        else:  # collinear: interval algebra
+            ov = min(s1, t1) - max(s0, t0)
+            M["II"] = "1" if ov > 0 else "F"
+            M["IB"] = "0" if any(s0 < t < s1 for t in (t0, t1)) else "F"
+            M["IE"] = "F" if (t0 <= s0 and s1 <= t1) else "1"
+            M["BI"] = "0" if any(t0 < s < t1 for s in (s0, s1)) else "F"
+            M["BB"] = "0" if {s0, s1} & {t0, t1} else "F"
+            M["BE"] = "0" if any(not (t0 <= s <= t1) for s in (s0, s1)) else "F"
+            M["EI"] = "F" if (s0 <= t0 and t1 <= s1) else "1"
+            M["EB"] = "0" if any(not (s0 <= t <= s1) for t in (t0, t1)) else "F"
+    else:  # perpendicular: at most one shared point P = (cb, ca) axes-wise
+        M.update(IE="1", EI="1", BE="0", EB="0")
+        if s0 <= cb <= s1 and t0 <= ca <= t1:
+            a_cls = "I" if s0 < cb < s1 else "B"
+            b_cls = "I" if t0 < ca < t1 else "B"
+            M[a_cls + b_cls] = "0"
+    return "".join(M[c] for c in ("II", "IB", "IE", "BI", "BB", "BE", "EI", "EB", "EE"))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_segment_segment_matrix_vs_closed_form(seed):
+    """LINE×LINE matrix cells pinned independently: axis-aligned segment
+    pairs on the half-integer grid (collinear overlaps, endpoint meets,
+    T-junctions, proper crossings, containment, parallel offsets)."""
+    rng = np.random.RandomState(1300 + seed)
+
+    def rseg():
+        if rng.randint(2):
+            y = rng.randint(-6, 7) / 2.0
+            x0 = rng.randint(-6, 4) / 2.0
+            return ((x0, y), (x0 + rng.randint(1, 5) / 2.0, y))
+        x = rng.randint(-6, 7) / 2.0
+        y0 = rng.randint(-6, 4) / 2.0
+        return ((x, y0), (x, y0 + rng.randint(1, 5) / 2.0))
+
+    def wkt(s):
+        return f"LINESTRING ({s[0][0]} {s[0][1]}, {s[1][0]} {s[1][1]})"
+
+    for _ in range(300):
+        A, B = rseg(), rseg()
+        want = _seg_seg_matrix_oracle(A, B)
+        got = R(wkt(A), wkt(B))
+        assert got == want, (A, B, got, want)
