@@ -12,7 +12,9 @@ state, and image_codec in r5 via the materialized engine-signature artifact
 of sources/imgsig.py — the only self-certified surface left is raw codec
 byte math, pinned by PSNR/roundtrip/fuzz tests).
 Verified value-exact at sf0.001, sf0.01 and sf0.1
-(tests/test_entry_parity.py).
+(tests/test_entry_parity.py), and fingerprint-exact at sf1 (all 50) and
+sf10 (20-query linear-output subset) via scripts/verify_sf.py
+(evidence/sf1_correctness.json, sf10_correctness.json).
 """
 
 from __future__ import annotations
