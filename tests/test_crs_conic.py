@@ -257,3 +257,66 @@ def test_nad27_conus_albers_clarke1866():
     kind, c = crs._conic("EPSG:5069")
     lon2, lat2 = crs._conic_inv_fn(kind)(crs._NpOps, x, y, c)
     assert abs(lon2[0] + 75.0) < 1e-7 and abs(lat2[0] - 35.0) < 1e-7
+
+
+def test_lcc_conformality_property():
+    """Lambert CONFORMAL conic: the local Jacobian at any interior point
+    is a similarity transform (equal scale in all directions, zero
+    shear) — an analytic property oracle independent of any reference
+    implementation.  Checked via central differences at metre scale."""
+    for code in ("EPSG:2154", "EPSG:3978"):
+        x0, y0, x1, y1 = crs.PROJECTED_REGISTRY[code]["area"]
+        rng = np.random.default_rng(17)
+        lon = rng.uniform(x0 + 1, x1 - 1, 50)
+        lat = rng.uniform(y0 + 1, y1 - 1, 50)
+        h = 1e-6
+        fx1, fy1 = crs.forward_np(code, lon + h, lat)
+        fx0, fy0 = crs.forward_np(code, lon - h, lat)
+        gx1, gy1 = crs.forward_np(code, lon, lat + h)
+        gx0, gy0 = crs.forward_np(code, lon, lat - h)
+        dxdlon, dydlon = (fx1 - fx0) / (2 * h), (fy1 - fy0) / (2 * h)
+        dxdlat, dydlat = (gx1 - gx0) / (2 * h), (gy1 - gy0) / (2 * h)
+        # conformal on the ellipsoid: column norms scaled by the metric
+        # (M dlat, N cos(lat) dlon) must agree, and columns be orthogonal
+        import math
+
+        phi = lat * math.pi / 180.0
+        e2 = crs.PROJECTED_REGISTRY[code]["e2"]
+        a = crs.PROJECTED_REGISTRY[code]["a"]
+        W = np.sqrt(1 - e2 * np.sin(phi) ** 2)
+        N = a / W                      # prime-vertical radius
+        M = a * (1 - e2) / W**3        # meridian radius
+        k_lon = np.hypot(dxdlon, dydlon) / (N * np.cos(phi) * math.pi / 180.0)
+        k_lat = np.hypot(dxdlat, dydlat) / (M * math.pi / 180.0)
+        assert np.max(np.abs(k_lon / k_lat - 1.0)) < 1e-4
+        dot = dxdlon * dxdlat + dydlon * dydlat
+        assert np.max(np.abs(dot) / (np.hypot(dxdlon, dydlon) * np.hypot(dxdlat, dydlat))) < 1e-4
+
+
+@pytest.mark.parametrize("code", ["EPSG:5070", "EPSG:3310", "EPSG:3577", "EPSG:5069"])
+def test_albers_equal_area_identity(code):
+    """Every registered Albers code satisfies the authalic area identity:
+    projected quad area == a^2/2 * dlam * (q(lat2) - q(lat1))."""
+    import math
+
+    e2 = crs.PROJECTED_REGISTRY[code]["e2"]
+    a = crs.PROJECTED_REGISTRY[code]["a"]
+    x0, y0, x1, y1 = crs.PROJECTED_REGISTRY[code]["area"]
+
+    def proj_quad_area(lo0, la0, d=0.2):
+        cl = np.array([lo0, lo0 + d, lo0 + d, lo0])
+        ca = np.array([la0, la0, la0 + d, la0 + d])
+        qx, qy = crs.forward_np(code, cl, ca)
+        return 0.5 * abs(np.dot(qx, np.roll(qy, -1)) - np.dot(qy, np.roll(qx, -1)))
+
+    def true_area(lo0, la0, d=0.2):
+        q1 = crs._q_of(e2, la0 * math.pi / 180)
+        q2 = crs._q_of(e2, (la0 + d) * math.pi / 180)
+        return a ** 2 / 2 * (d * math.pi / 180) * (q2 - q1)
+
+    rng = np.random.default_rng(23)
+    for _ in range(8):
+        lo0 = float(rng.uniform(x0, x1 - 0.3))
+        la0 = float(rng.uniform(y0, y1 - 0.3))
+        r = proj_quad_area(lo0, la0) / true_area(lo0, la0)
+        assert abs(r - 1.0) < 1e-4, (code, lo0, la0, r)
