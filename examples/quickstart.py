@@ -114,6 +114,34 @@ def main() -> None:
     print("hex hotspot cells:", hot.count(),
           "| max Gi* (micro):", hot.agg(F.max("gi_mu")).first()[0])
 
+    # 10. round-5 surface: general DE-9IM RELATE through CQL and SQL, a
+    #     conic projected frame, and the maintained (append/compact) store
+    from geowave_spark.functions import cql, crs
+    from geowave_spark.sources import maintenance as mt
+
+    inside = cql.cql_filter(
+        sf.df,
+        "RELATE(geom, POLYGON ((-10 35, 40 35, 40 70, -10 70, -10 35)), 'T********')",
+        geometry=("lon", "lat"),
+    )
+    print("RELATE interior-mask rows (general DE-9IM):", inside.count())
+    m = spark.sql(
+        "SELECT st_relate_matrix('POINT (2 48)', "
+        "'POLYGON ((-10 35, 40 35, 40 70, -10 70, -10 35))') AS m"
+    ).first()["m"]
+    print("DE-9IM matrix via SQL:", m)
+    lamb = crs.reproject(sf.df, "EPSG:2154", x_out="e", y_out="n")
+    print("Lambert-93 reprojection (pure codegen):",
+          lamb.filter("e IS NOT NULL").count())
+
+    mroot = os.path.join(work, "maintained_store")
+    mt.write_store(sf.df.filter(F.col("phash") % 2 == 0), mroot, n_files=4, phash_col=None)
+    mt.append_store(sf.df.filter(F.col("phash") % 2 != 0), mroot, n_files=2)
+    mt.compact_store(spark, mroot, n_files=4)
+    mt.vacuum_store(mroot)
+    print("maintained-store range rows (post append+compact+vacuum):",
+          mt.lookup_store(spark, mroot, (-30.0, 10.0, 45.0, 55.0)).count())
+
     spark.stop()
     print("done — work dir:", work)
 
