@@ -238,3 +238,35 @@ def test_image_features_single_map_stage(spark):
     small = img.generate_images(spark, 200)  # 8 scan partitions
     plan2 = _plan(feat.compute_features(small))
     assert plan2.count("Exchange") == 1  # the decode re-split, nothing else
+
+
+def test_relate_leg_single_arrow_stage(spark, sf_dir):
+    """The general-RELATE CQL leg (r5) must be one Arrow-batched
+    MapInPandas filter over the scan — no row-at-a-time Python, no
+    cartesian, no shuffle (it is a pure filter)."""
+    from geowave_spark import entry_queries as eq
+
+    plan = _plan(eq.q_st_range_relate(spark, sf_dir))
+    assert plan.count("MapInPandas") + plan.count("ArrowEvalPython") >= 1
+    assert "BatchEvalPython" not in plan  # row-at-a-time banned
+    assert "CartesianProduct" not in plan
+    # the only permissible exchange is the small-scan round-robin
+    # re-split (ensure_parallelism); the operator itself never shuffles
+    assert plan.count("Exchange") <= 1
+    assert "hashpartitioning" not in plan.lower()
+
+
+def test_exactly_once_geometry_join_stateless_plan(spark):
+    """The streaming-legal exactly_once geometry join plan carries no
+    stateful operator (the PBSM reference point replaces dedup) and no
+    cartesian product."""
+    from geowave_spark.operators import spatial_join as sj
+
+    left = spark.createDataFrame(
+        [("a", "LINESTRING (0 0, 2 1)"), ("b", "POINT (5 5)")], ["left_id", "wkt"]
+    )
+    right = spark.createDataFrame(
+        [("r", "POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))")], ["right_id", "wkt"]
+    )
+    plan = _plan(sj.geometry_join(left, right, exactly_once=True))
+    assert "Deduplicate" not in plan and "CartesianProduct" not in plan
